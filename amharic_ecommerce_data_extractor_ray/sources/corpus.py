@@ -1,0 +1,148 @@
+"""Deterministic synthetic corpus in the north-rule input shape.
+
+Input table (authoritative, BASELINE.json input_hint):
+``(repo:string, path:string, commit:string, lang:string, content:string)``
+plus engine-derived ``message_id``, ``views``, ``message_date``.
+
+Every derivation is pure integer/string arithmetic over ``doc_id`` so a DuckDB
+oracle can rebuild the identical table in SQL (see __ray_entry__.oracle_sql):
+
+- ``repo``:    doc_id % 10 < 3 → ``vendor_000`` (mega-vendor, ≥30% of rows —
+               the skew case SURVEY.md §4 calls out), else
+               ``vendor_{(doc_id % 17) + 1:03d}``
+- ``path``:    ``msgs/{doc_id:08d}.txt``
+- ``commit``:  sha256 hex of str(doc_id)  (DuckDB: ``sha256(doc_id::VARCHAR)``)
+- ``lang``:    ``en`` when doc_id % 10 == 7 else ``am``
+- ``content``: TEMPLATES[doc_id % len(TEMPLATES)] — Amharic e-commerce
+  messages exercising every normalize rule and tagger rule (fidel variants,
+  Geez numerals, Ethiopic punctuation, URLs/mentions/hashtags/emoji, price /
+  location / product / contact surface forms; cites:
+  /root/reference/src/data_preprocessing/text_preprocessor.py:17-59,
+  /root/reference/src/data_labeling/pseudo_labeler.py:92-125)
+- ``views``:   (doc_id * 9973 + 12345) % 5000
+- ``message_date``: DATE '2024-01-01' + ((doc_id * 37) % 365) days
+- ``message_id``: doc_id
+
+The per-row invariant ``content_sha256 = sha256(content)`` is attached by the
+normalize stage and must survive every downstream stage unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import date, timedelta
+
+import numpy as np
+import pyarrow as pa
+
+# Deliberately diverse message templates.  Indexes are load-bearing: golden
+# normalize/tag/triple fixtures (goldens.py) and the DuckDB oracles key on
+# ``doc_id % len(TEMPLATES)``.
+TEMPLATES: list[str] = [
+    # 0: FIXTURES.md §3 row 1 — Geez numerals, Ethiopic punct, mention/hashtag/emoji/URL
+    "ጤና ይስጥልኝ! ዋጋው ፻፳፭ ብር ነው። አድራሻችን መገናኛ ስሪ ኤም ሲቲ ሞል ነው። @Shageronlinestore #ቅናሽ 😊 https://t.me/example_product",
+    # 1: fidel variants
+    "ሃሎ ኋይት ሧት ፅናት",
+    # 2: ዋጋ፦ price with attached digits
+    "ዋጋ፦500ብር።",
+    # 3: mixed English, colon price, hashtag-with-underscore, mention
+    "Hello World! ዋጋ: 1000 ብር. #አዲስ_እቃ @AmharicStore",
+    # 4: English product + ETB price + location + phone
+    "Dell laptop ዋጋ 25000 ETB አድራሻ ቦሌ +251911123456",
+    # 5: FIXTURES.md §4 — heuristic tagger golden
+    "ዋጋ፦550ብር መገናኛ ዛም ሞል portable blender electric",
+    # 6: Geez numerals + repeated punct + contact number
+    "ምርጥ stove ፳፭ ብር ብቻ!!! ውስን እቃ ነው፣ ይደውሉ 0911234567",
+    # 7: empty message (M13: row kept, empty entity lists)
+    "",
+    # 8: whitespace + emoji only
+    "   😊🔥   ",
+    # 9: comma price, location with ቁ.2, www URL
+    "silicon brush ማሽን 1,200ብር ለቡ ሞል ቁ.2 ይገኛል www.example.com",
+    # 10: multi-word location with ፎቅ/ቢሮ/ቁጥር + plain price
+    "ላፕቶፕ እና ስልክ በመገናኛ ፎቅ 3 ቢሮ ቁጥር 12 ዋጋ 3500 ብር",
+    # 11: repeated Ethiopic punct runs + Geez price
+    "አዲስ እቃ።።። ዋጋ፡- ፲፭፻ ብር... በጣም ምርጥ!!!",
+]
+
+N_TEMPLATES = len(TEMPLATES)
+EPOCH = date(2024, 1, 1)
+
+CORPUS_SCHEMA = pa.schema([
+    ("message_id", pa.int64()),
+    ("repo", pa.string()),
+    ("path", pa.string()),
+    ("commit", pa.string()),
+    ("lang", pa.string()),
+    ("content", pa.string()),
+    ("views", pa.int64()),
+    ("message_date", pa.date32()),
+])
+
+
+def corpus_batch(doc_ids: np.ndarray) -> pa.Table:
+    """Build corpus rows for a batch of doc ids — the vectorized generator
+    used both by ``corpus_from_documents`` (map_batches) and ``make_corpus``."""
+    ids = np.asarray(doc_ids, dtype=np.int64)
+    tmpl_idx = ids % N_TEMPLATES
+    is_mega = (ids % 10) < 3
+    vendor_no = (ids % 17) + 1
+    repo = np.where(
+        is_mega,
+        "vendor_000",
+        np.char.add("vendor_", np.char.zfill(vendor_no.astype(str), 3)),
+    )
+    path = np.char.add(np.char.add("msgs/", np.char.zfill(ids.astype(str), 8)), ".txt")
+    commit = [hashlib.sha256(str(i).encode()).hexdigest() for i in ids]
+    lang = np.where(ids % 10 == 7, "en", "am")
+    content = [TEMPLATES[t] for t in tmpl_idx]
+    views = (ids * 9973 + 12345) % 5000
+    dates = [EPOCH + timedelta(days=int((i * 37) % 365)) for i in ids]
+    return pa.table(
+        {
+            "message_id": pa.array(ids, pa.int64()),
+            "repo": pa.array(repo.tolist(), pa.string()),
+            "path": pa.array(path.tolist(), pa.string()),
+            "commit": pa.array(commit, pa.string()),
+            "lang": pa.array(lang.tolist(), pa.string()),
+            "content": pa.array(content, pa.string()),
+            "views": pa.array(views, pa.int64()),
+            "message_date": pa.array(dates, pa.date32()),
+        },
+        schema=CORPUS_SCHEMA,
+    )
+
+
+def corpus_from_documents(sf_dir: str):
+    """Derive the corpus Dataset from the driver's documents table.
+
+    Streams: reads only ``doc_id`` (column pruning at the read) and expands
+    each id into a corpus row inside map_batches — no driver-side
+    materialization, scales with the documents table.
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(
+        lambda b: corpus_batch(b["doc_id"]),
+        batch_format="numpy",
+        batch_size=8192,
+    )
+
+
+def make_corpus(out_dir: str, n_rows: int, *, block_rows: int = 65536):
+    """Write a synthetic corpus of ``n_rows`` to partitioned Parquet.
+
+    Uses ``ray.data.range`` so generation itself is distributed; for the 100 TB
+    analog this is the stand-in for reading the real repo-file table.
+    """
+    import ray.data as rd
+
+    ds = rd.range(n_rows, override_num_blocks=max(1, n_rows // block_rows))
+    ds = ds.map_batches(
+        lambda b: corpus_batch(b["id"]),
+        batch_format="numpy",
+        batch_size=block_rows,
+    )
+    ds.write_parquet(out_dir)
+    return out_dir
