@@ -1,0 +1,95 @@
+"""The flagship pipeline: corpus → normalize → tag → triples → KG + scorecard.
+
+Dataflow (all lazy, streaming, fused task stages — reproduces reference nb 03
+as ``read_parquet → map_batches(normalize) → map_batches(tag) →
+map_batches(extract/triples) → groupby partial-merge → write_parquet``):
+
+    corpus (repo,path,commit,lang,content,views,message_date)
+      └─ enrich_batch        + content_sha256, preprocessed_text, tokens
+         └─ tag_batch        + tag_tokens, tag_labels        (heuristic, tasks)
+            ├─ triples_batch → (message_id, subj, pred, obj, obj_norm,
+            │                   price_value, content_sha256)
+            │    ├─ canonical_entities → nodes
+            │    └─ canonical_edges    → edges
+            └─ entities_batch → scorecard_from_messages → vendor scorecard
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..sources.corpus import corpus_from_documents
+from ..stages.enrich import (enrich_batch, entities_batch, tag_batch,
+                             triples_batch)
+from ..stages.canonicalize import (canonical_edges, canonical_entities,
+                                   vendor_nodes)
+from ..stages.scorecard import scorecard_from_messages
+
+DEFAULT_BATCH = 4096
+
+
+def corpus_ds(sf_dir: str):
+    return corpus_from_documents(sf_dir)
+
+
+def tagged_messages(sf_dir: str):
+    """Corpus with normalization + tokens + BIO tags attached."""
+    return (
+        corpus_ds(sf_dir)
+        .map_batches(enrich_batch, batch_format="pyarrow", batch_size=DEFAULT_BATCH)
+        .map_batches(tag_batch, batch_format="pyarrow", batch_size=DEFAULT_BATCH)
+    )
+
+
+def messages_with_entities(sf_dir: str):
+    return tagged_messages(sf_dir).map_batches(
+        entities_batch, batch_format="pyarrow", batch_size=DEFAULT_BATCH)
+
+
+def triples_ds(sf_dir: str):
+    return tagged_messages(sf_dir).map_batches(
+        triples_batch, batch_format="pyarrow", batch_size=DEFAULT_BATCH)
+
+
+def vendor_scorecard(sf_dir: str):
+    return scorecard_from_messages(messages_with_entities(sf_dir))
+
+
+def kg_nodes(sf_dir: str):
+    return vendor_nodes(corpus_ds(sf_dir)).union(
+        canonical_entities(triples_ds(sf_dir)))
+
+
+def kg_edges(sf_dir: str):
+    return canonical_edges(triples_ds(sf_dir))
+
+
+def build_kg(sf_dir: str, out_dir: str) -> dict:
+    """Materialize the knowledge graph: partitioned Parquet triples/nodes/edges
+    + vendor scorecard, with a per-run manifest (lineage + metrics).
+
+    Returns the manifest dict.  Resumability is provided by
+    state.checkpoint.checkpointed_write (skip-if-manifest-complete).
+    """
+    from ..state.checkpoint import (_input_fingerprint, checkpointed_write,
+                                    write_manifest)
+
+    fp = _input_fingerprint(sf_dir)
+    stats = {}
+    stats["triples"] = checkpointed_write(
+        triples_ds(sf_dir), f"{out_dir}/triples", partition_on="pred",
+        fingerprint=fp)
+    stats["nodes"] = checkpointed_write(kg_nodes(sf_dir), f"{out_dir}/nodes",
+                                        fingerprint=fp)
+    stats["edges"] = checkpointed_write(
+        kg_edges(sf_dir), f"{out_dir}/edges", partition_on="pred",
+        fingerprint=fp)
+    sc = vendor_scorecard(sf_dir)
+    sc_table = pa.Table.from_pandas(sc, preserve_index=False)
+    import pyarrow.parquet as pq
+    import os
+    os.makedirs(f"{out_dir}/scorecard", exist_ok=True)
+    pq.write_table(sc_table, f"{out_dir}/scorecard/scorecard.parquet")
+    stats["scorecard"] = {"rows": len(sc)}
+    manifest = write_manifest(out_dir, sf_dir, stats)
+    return manifest

@@ -1,0 +1,161 @@
+"""Entity canonicalization + graph materialization (north star §7.5/§7.6).
+
+Exact canonicalization: entities collapse on ``(pred, obj_norm)`` — the
+normalized surface form — via the combiner pattern: per-batch partial
+aggregation (count + lexicographic-min surface) inside ``map_batches``, then a
+small ``groupby`` merge.  The shuffle moves one row per distinct entity per
+batch, not one per mention, so hot entities (mega-vendors' repeated products)
+do not skew the exchange.
+
+Node identity is deterministic and SQL-reproducible:
+``node_id = substr(sha256("<node_type>:<key>"), 1, 16)`` so the DuckDB oracle
+can rebuild ids with its own ``sha256()``.
+
+Near-duplicate canonicalization (MinHash-LSH blocking over entity surfaces)
+is provided by stages.dedup and can be inserted before the exact merge; the
+exact groupby is the baseline the reference's ``set()`` dedup maps to (G6/G8).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+
+def node_id(node_type: str, key: str) -> str:
+    return hashlib.sha256(f"{node_type}:{key}".encode("utf-8")).hexdigest()[:16]
+
+
+def entity_partials_batch(batch: pa.Table) -> pa.Table:
+    """Triples → one partial row per distinct (pred, obj_norm) in the batch."""
+    preds = batch["pred"].to_pylist()
+    objs = batch["obj"].to_pylist()
+    norms = batch["obj_norm"].to_pylist()
+    acc: dict[tuple[str, str], list] = {}
+    for p, o, n in zip(preds, objs, norms):
+        key = (p, n)
+        a = acc.get(key)
+        if a is None:
+            acc[key] = [o, 1]
+        else:
+            if o < a[0]:
+                a[0] = o
+            a[1] += 1
+    keys = sorted(acc)
+    return pa.table({
+        "pred": [k[0] for k in keys],
+        "obj_norm": [k[1] for k in keys],
+        "min_obj": [acc[k][0] for k in keys],
+        "n_mentions": pa.array([acc[k][1] for k in keys], pa.int64()),
+    })
+
+
+def _merge_entity_group(g: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame([{
+        "pred": g["pred"].iloc[0],
+        "obj_norm": g["obj_norm"].iloc[0],
+        "min_obj": g["min_obj"].min(),
+        "n_mentions": int(g["n_mentions"].sum()),
+    }])
+
+
+def canonical_entities(triples_ds):
+    """Dataset of canonical entity nodes:
+    (node_id, node_type='entity', pred, obj_norm, label, n_mentions)."""
+    partials = triples_ds.map_batches(entity_partials_batch, batch_format="pyarrow")
+    merged = partials.groupby(["pred", "obj_norm"]).map_groups(
+        _merge_entity_group, batch_format="pandas")
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        preds = b["pred"].to_pylist()
+        norms = b["obj_norm"].to_pylist()
+        return pa.table({
+            "node_id": [node_id("entity", f"{p}:{n}") for p, n in zip(preds, norms)],
+            "node_type": ["entity"] * len(preds),
+            "pred": preds,
+            "obj_norm": norms,
+            "label": b["min_obj"].to_pylist(),
+            "n_mentions": b["n_mentions"],
+        })
+
+    return merged.map_batches(to_nodes, batch_format="pyarrow")
+
+
+def edge_partials_batch(batch: pa.Table) -> pa.Table:
+    """Triples → one partial row per (subj, pred, obj_norm) per batch."""
+    subjs = batch["subj"].to_pylist()
+    preds = batch["pred"].to_pylist()
+    norms = batch["obj_norm"].to_pylist()
+    acc: dict[tuple, int] = {}
+    for key in zip(subjs, preds, norms):
+        acc[key] = acc.get(key, 0) + 1
+    keys = sorted(acc)
+    return pa.table({
+        "subj": [k[0] for k in keys],
+        "pred": [k[1] for k in keys],
+        "obj_norm": [k[2] for k in keys],
+        "weight": pa.array([acc[k] for k in keys], pa.int64()),
+    })
+
+
+def _merge_edge_group(g: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame([{
+        "subj": g["subj"].iloc[0],
+        "pred": g["pred"].iloc[0],
+        "obj_norm": g["obj_norm"].iloc[0],
+        "weight": int(g["weight"].sum()),
+    }])
+
+
+def canonical_edges(triples_ds):
+    """Dataset of weighted edges:
+    (src_id, dst_id, subj, pred, obj_norm, weight) — src is the vendor node,
+    dst the canonical entity node."""
+    partials = triples_ds.map_batches(edge_partials_batch, batch_format="pyarrow")
+    merged = partials.groupby(["subj", "pred", "obj_norm"]).map_groups(
+        _merge_edge_group, batch_format="pandas")
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        subjs = b["subj"].to_pylist()
+        preds = b["pred"].to_pylist()
+        norms = b["obj_norm"].to_pylist()
+        return pa.table({
+            "src_id": [node_id("vendor", s) for s in subjs],
+            "dst_id": [node_id("entity", f"{p}:{n}") for p, n in zip(preds, norms)],
+            "subj": subjs,
+            "pred": preds,
+            "obj_norm": norms,
+            "weight": b["weight"],
+        })
+
+    return merged.map_batches(to_edges, batch_format="pyarrow")
+
+
+def vendor_nodes(corpus_ds):
+    """Distinct vendors → vendor nodes (small exact dedup via combiner)."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        repos = sorted(set(b["repo"].to_pylist()))
+        return pa.table({"repo": pa.array(repos, pa.string())})
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    distinct = (corpus_ds.select_columns(["repo"])
+                .map_batches(partials, batch_format="pyarrow")
+                .groupby("repo").map_groups(first, batch_format="pandas"))
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        repos = b["repo"].to_pylist()
+        return pa.table({
+            "node_id": [node_id("vendor", r) for r in repos],
+            "node_type": ["vendor"] * len(repos),
+            "pred": pa.array([None] * len(repos), pa.string()),
+            "obj_norm": pa.array([None] * len(repos), pa.string()),
+            "label": repos,
+            "n_mentions": pa.array([0] * len(repos), pa.int64()),
+        })
+
+    return distinct.map_batches(to_nodes, batch_format="pyarrow")

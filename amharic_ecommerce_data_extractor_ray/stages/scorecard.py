@@ -1,0 +1,171 @@
+"""Vendor scorecard (G1-G4, O1) — notebook-03 semantics, shuffle-light.
+
+Instead of shuffling every message row into a ``groupby('repo')``, each input
+batch is pre-aggregated to ONE partial row per vendor per batch (the
+algebraic combiner pattern, SURVEY.md §4 / ray_guide "Aggregation at scale").
+The shuffle then moves ≤ n_vendors × n_batches tiny rows, so a mega-vendor
+owning 30% of all messages contributes no more shuffle volume than anyone
+else — this is the skew answer (salting is unnecessary because every carried
+statistic, including the per-group argmax, is algebraically mergeable).
+
+Semantics (canonical spec = reference notebook 03 cells 13/18/21; the
+src/analytics module is broken, SURVEY.md §2.4):
+- date_range_days = (max_date - min_date).days + 1; if ≤ 0 → posts_per_week =
+  total_posts and range := 1, else posts_per_week = n / (range / 7)
+- avg_price = mean over all flattened numerical prices, NaN→0 before scoring
+- top post per vendor = argmax(views), tie broken by LOWEST message_id (the
+  engine pins the reference's first-occurrence idxmax to a deterministic rule)
+- lending_score = 100 × (0.4·mm(avg_views) + 0.4·mm(posts_week) +
+  0.2·mm(avg_price)), mm = min-max over vendors, 0 when max == min
+- final ordering: score desc, vendor asc
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+METRIC_WEIGHTS = {
+    "avg_views_per_post": 0.4,
+    "posts_per_week": 0.4,
+    "avg_price_etb": 0.2,
+}
+
+_PARTIAL_SCHEMA = pa.schema([
+    ("repo", pa.string()),
+    ("n_posts", pa.int64()),
+    ("sum_views", pa.int64()),
+    ("min_date", pa.date32()),
+    ("max_date", pa.date32()),
+    ("sum_price", pa.float64()),
+    ("n_price", pa.int64()),
+    ("best_views", pa.int64()),
+    ("best_mid", pa.int64()),
+    ("best_product", pa.string()),
+    ("best_price", pa.float64()),
+])
+
+
+def scorecard_partials_batch(batch: pa.Table) -> pa.Table:
+    """One partial-aggregate row per vendor per batch (exact, mergeable)."""
+    repos = batch["repo"].to_pylist()
+    views = batch["views"].to_pylist()
+    dates = batch["message_date"].to_pylist()
+    mids = batch["message_id"].to_pylist()
+    products = batch["products"].to_pylist()
+    prices = batch["all_numerical_prices"].to_pylist()
+
+    acc: dict[str, dict] = {}
+    for repo, v, d, mid, prods, prs in zip(repos, views, dates, mids, products, prices):
+        a = acc.get(repo)
+        if a is None:
+            a = acc[repo] = {
+                "n": 0, "sv": 0, "mind": d, "maxd": d,
+                "sp": 0.0, "np": 0,
+                "bv": None, "bmid": None, "bprod": None, "bprice": None,
+            }
+        a["n"] += 1
+        a["sv"] += v
+        if d < a["mind"]:
+            a["mind"] = d
+        if d > a["maxd"]:
+            a["maxd"] = d
+        for p in prs:
+            a["sp"] += p
+            a["np"] += 1
+        # argmax by (views desc, message_id asc)
+        if a["bv"] is None or v > a["bv"] or (v == a["bv"] and mid < a["bmid"]):
+            a["bv"], a["bmid"] = v, mid
+            a["bprod"] = prods[0] if prods else None
+            a["bprice"] = prs[0] if prs else None
+
+    keys = sorted(acc)
+    return pa.table({
+        "repo": keys,
+        "n_posts": [acc[k]["n"] for k in keys],
+        "sum_views": [acc[k]["sv"] for k in keys],
+        "min_date": [acc[k]["mind"] for k in keys],
+        "max_date": [acc[k]["maxd"] for k in keys],
+        "sum_price": [acc[k]["sp"] for k in keys],
+        "n_price": [acc[k]["np"] for k in keys],
+        "best_views": [acc[k]["bv"] for k in keys],
+        "best_mid": [acc[k]["bmid"] for k in keys],
+        "best_product": [acc[k]["bprod"] for k in keys],
+        "best_price": [acc[k]["bprice"] for k in keys],
+    }, schema=_PARTIAL_SCHEMA)
+
+
+def merge_partials_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Merge the per-batch partials of one vendor into one row."""
+    best = g.sort_values(["best_views", "best_mid"],
+                         ascending=[False, True]).iloc[0]
+    return pd.DataFrame([{
+        "repo": g["repo"].iloc[0],
+        "n_posts": int(g["n_posts"].sum()),
+        "sum_views": int(g["sum_views"].sum()),
+        "min_date": g["min_date"].min(),
+        "max_date": g["max_date"].max(),
+        "sum_price": float(g["sum_price"].sum()),
+        "n_price": int(g["n_price"].sum()),
+        "best_views": int(best["best_views"]),
+        "best_mid": int(best["best_mid"]),
+        "best_product": best["best_product"],
+        "best_price": best["best_price"],
+    }])
+
+
+def finalize_scorecard(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Merged per-vendor rows → final scorecard (driver-side; one row per
+    vendor, tiny).  Implements nb-03 cells 13/18/21 exactly."""
+    rows = []
+    for _, r in pdf.iterrows():
+        n = int(r["n_posts"])
+        avg_views = r["sum_views"] / n
+        mind, maxd = r["min_date"], r["max_date"]
+        if isinstance(mind, pd.Timestamp):
+            mind, maxd = mind.date(), maxd.date()
+        range_days = (maxd - mind).days + 1 if isinstance(mind, dt.date) else 0
+        if range_days <= 0:
+            ppw = float(n)
+            range_days = 1
+        else:
+            ppw = n / (range_days / 7)
+        avg_price = (r["sum_price"] / r["n_price"]) if r["n_price"] > 0 else np.nan
+        rows.append({
+            "vendor": r["repo"],
+            "total_posts": n,
+            "avg_views_per_post": avg_views,
+            "posts_per_week": ppw,
+            "avg_price_etb": avg_price,
+            "top_product": r["best_product"] if r["best_product"] is not None else "N/A",
+            "top_product_price": r["best_price"],
+            "date_range_days": range_days,
+        })
+    out = pd.DataFrame(rows)
+    # NaN→0 on the weighted metrics BEFORE min-max (nb cell 18 mutates the
+    # scorecard columns in place, so avg_price_etb displays as 0 too)
+    for col in METRIC_WEIGHTS:
+        out[col] = out[col].fillna(0.0)
+    score = np.zeros(len(out))
+    for col, w in METRIC_WEIGHTS.items():
+        lo, hi = out[col].min(), out[col].max()
+        norm = np.zeros(len(out)) if hi == lo else (out[col] - lo) / (hi - lo)
+        score = score + norm * w
+    out["lending_score"] = score / sum(METRIC_WEIGHTS.values()) * 100.0
+    out = out.sort_values(["lending_score", "vendor"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out
+
+
+def scorecard_from_messages(messages_ds) -> pd.DataFrame:
+    """Full scorecard over a message-level Dataset that already carries
+    ``products`` and ``all_numerical_prices`` (see stages.enrich).  Streaming:
+    partials per batch → tiny shuffle → driver finalize."""
+    partials = messages_ds.map_batches(scorecard_partials_batch,
+                                       batch_format="pyarrow")
+    merged = partials.groupby("repo").map_groups(merge_partials_group,
+                                                 batch_format="pandas")
+    return finalize_scorecard(merged.to_pandas())
