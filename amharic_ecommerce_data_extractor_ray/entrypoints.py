@@ -1,0 +1,253 @@
+"""Driver contract implementation: entry(), queries(), oracle_sql().
+
+Every implemented operator/pipeline from SURVEY.md §2 (plus the large-scale
+extensions: dedup, similarity search, text analysis, multimodal plumbing) has
+a ``queries()`` entry; SQL-expressible ones have a DuckDB oracle in
+``oracle_sql()`` — the KG oracles encode behavior captured from EXECUTING the
+reference implementation (see oracles.py / scripts/capture_goldens.py).
+
+No ray.init()/shutdown() here — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import oracles
+from .pipelines import kg, relational
+from .stages import dedup, multimodal, similarity, textstats
+from .stages.enrich import enrich_batch
+
+SIM_QUERY_IDS = list(range(10))
+SIM_K = 10
+
+
+# --------------------------------------------------------------- KG pipeline
+
+def q_corpus(sf_dir: str):
+    ds = kg.corpus_ds(sf_dir)
+
+    def date_to_str(b: pa.Table) -> pa.Table:
+        idx = b.schema.get_field_index("message_date")
+        return b.set_column(idx, "message_date",
+                            pc.strftime(b["message_date"], format="%Y-%m-%d"))
+
+    return ds.map_batches(date_to_str, batch_format="pyarrow")
+
+
+def q_normalize(sf_dir: str):
+    ds = kg.corpus_ds(sf_dir).map_batches(enrich_batch, batch_format="pyarrow")
+
+    def project(b: pa.Table) -> pa.Table:
+        toks = b["tokens"].to_pylist()
+        return pa.table({
+            "message_id": b["message_id"],
+            "repo": b["repo"],
+            "content_sha256": b["content_sha256"],
+            "preprocessed_text": b["preprocessed_text"],
+            "token_str": pa.array([oracles.TOKEN_SEP.join(t) for t in toks],
+                                  pa.string()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def q_triples(sf_dir: str):
+    ds = kg.triples_ds(sf_dir)
+    return ds.select_columns(["message_id", "subj", "pred", "obj", "obj_norm",
+                              "price_value", "content_sha256"])
+
+
+def q_kg_nodes(sf_dir: str):
+    return kg.kg_nodes(sf_dir)
+
+
+def q_kg_edges(sf_dir: str):
+    return kg.kg_edges(sf_dir)
+
+
+def q_scorecard(sf_dir: str):
+    pdf = kg.vendor_scorecard(sf_dir)
+    for col in ("avg_views_per_post", "posts_per_week", "avg_price_etb",
+                "top_product_price", "lending_score"):
+        pdf[col] = pdf[col].round(6)
+    return pdf[["vendor", "total_posts", "avg_views_per_post", "posts_per_week",
+                "avg_price_etb", "top_product", "top_product_price",
+                "date_range_days", "lending_score"]]
+
+
+# ------------------------------------------------------------- text analysis
+
+def q_langid(sf_dir: str):
+    ds = kg.corpus_ds(sf_dir).map_batches(textstats.langid_batch,
+                                          batch_format="pyarrow")
+    return ds.select_columns(["message_id", "lang", "pred_lang"])
+
+
+def q_token_counts(sf_dir: str):
+    ds = kg.corpus_ds(sf_dir).map_batches(textstats.token_count_batch,
+                                          batch_format="pyarrow")
+    return ds.select_columns(["message_id", "n_ws_tokens", "n_bpe_tokens"])
+
+
+def q_doc_quality(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(lambda b: textstats.quality_batch(b, text_col="text"),
+                        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "q_chars", "q_tokens", "q_punct",
+                              "q_stopwords"])
+
+
+def q_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(lambda b: textstats.fingerprint_batch(b, text_col="text"),
+                        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+# --------------------------------------------------------------------- dedup
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dedup.exact_dedup_groups(docs)
+
+
+def q_dedup_minhash(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dedup.minhash_lsh_pairs(docs)
+
+
+def q_dedup_simhash(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dedup.simhash_dedup(docs)
+
+
+def q_dedup_ngram(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+    return dedup.ngram_jaccard_pairs(docs)
+
+
+def q_dedup_embedding(sf_dir: str):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup.embedding_cosine_pairs(emb, threshold=0.95)
+
+
+def q_similarity_topk(sf_dir: str):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.brute_force_topk(emb, SIM_QUERY_IDS, k=SIM_K)
+
+
+def q_similarity_lsh(sf_dir: str):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_topk(emb, SIM_QUERY_IDS, k=SIM_K)
+
+
+# ---------------------------------------------------------------- multimodal
+
+def q_multimodal_meta(sf_dir: str):
+    ds = multimodal.decode_pipeline(kg.corpus_ds(sf_dir))
+    return ds.select_columns(["message_id", "n_bytes", "media_type"])
+
+
+# ------------------------------------------------------------ public surface
+
+def entry() -> Any:
+    """Flagship: full KG build at sf0.001 (materializes triples/nodes/edges +
+    scorecard under /tmp), returns the triples Dataset."""
+    sf = "/root/testdata/sf0.001"
+    kg.build_kg(sf, "/tmp/kg_entry")
+    return q_triples(sf)
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        # flagship KG pipeline
+        "corpus": q_corpus,
+        "normalize": q_normalize,
+        "triples": q_triples,
+        "kg_nodes": q_kg_nodes,
+        "kg_edges": q_kg_edges,
+        "vendor_scorecard": q_scorecard,
+        # text analysis
+        "langid": q_langid,
+        "token_counts": q_token_counts,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_fingerprint,
+        # dedup suite
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram": q_dedup_ngram,
+        "dedup_embedding": q_dedup_embedding,
+        # similarity search
+        "similarity_topk": q_similarity_topk,
+        "similarity_lsh": q_similarity_lsh,
+        # multimodal plumbing
+        "multimodal_meta": q_multimodal_meta,
+        # relational operator coverage
+        "rel_filter_project": relational.filter_project_revenue,
+        "rel_pricing_summary": relational.pricing_summary,
+        "rel_top_order_per_customer": relational.top_order_per_customer,
+        "rel_orders_by_segment": relational.orders_by_segment,
+        "rel_top100_orders": relational.top100_orders,
+        "rel_distinct": relational.distinct_status_priority,
+        "rel_union": relational.union_shipdate_extremes,
+        "rel_events_summary": relational.events_summary,
+        "rel_hourly_windows": relational.hourly_event_windows,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "corpus": oracles.corpus_sql(),
+        "normalize": oracles.normalize_sql(),
+        "triples": oracles.triples_sql(),
+        "kg_nodes": oracles.kg_nodes_sql(),
+        "kg_edges": oracles.kg_edges_sql(),
+        "vendor_scorecard": oracles.scorecard_sql(),
+        "langid": oracles.langid_sql(),
+        "token_counts": oracles.token_count_sql(),
+        "doc_quality": oracles.quality_sql(),
+        "dedup_exact": oracles.exact_dedup_sql(),
+        "similarity_topk": oracles.similarity_topk_sql(SIM_QUERY_IDS, SIM_K),
+        "multimodal_meta": oracles.multimodal_meta_sql(),
+        "rel_filter_project": oracles.filter_project_revenue_sql(),
+        "rel_pricing_summary": oracles.pricing_summary_sql(),
+        "rel_top_order_per_customer": oracles.top_order_per_customer_sql(),
+        "rel_orders_by_segment": oracles.orders_by_segment_sql(),
+        "rel_top100_orders": oracles.top100_orders_sql(),
+        "rel_distinct": oracles.distinct_status_priority_sql(),
+        "rel_union": oracles.union_shipdate_extremes_sql(),
+        "rel_events_summary": oracles.events_summary_sql(),
+        "rel_hourly_windows": oracles.hourly_event_windows_sql(),
+        # no-oracle (non-SQL-expressible): doc_fingerprint, dedup_minhash,
+        # dedup_simhash, dedup_ngram, dedup_embedding, similarity_lsh
+    }

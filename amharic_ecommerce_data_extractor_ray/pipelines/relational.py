@@ -1,0 +1,235 @@
+"""Relational operator coverage over the driver's TPC-H-ish tables.
+
+Each function is one engine operator family from SURVEY.md §2 expressed
+Ray-Data-first (vectorized Arrow batch kernels, combiner-pattern aggregation,
+broadcast joins) with an exact DuckDB oracle in __ray_entry__.oracle_sql:
+
+- filter + project + computed column (M12/M13 analogs)
+- grouped aggregates (G1/G5 analogs) with pre-aggregation before the shuffle
+- per-group argmax / top-k (G2/O4)
+- broadcast hash join (J1)
+- global sort + limit (O1/O2)
+- distinct (G8), union-all (S3)
+- tumbling-window aggregate over the events stream table (§2.9 analog)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _lineitem(sf_dir: str, columns: list[str]):
+    return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=columns)
+
+
+def filter_project_revenue(sf_dir: str):
+    """Vectorized filter + computed column; column-pruned read."""
+    ds = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_extendedprice",
+                            "l_discount", "l_shipdate"])
+
+    def fn(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less(b["l_shipdate"],
+                             pa.scalar(pd.Timestamp("1995-06-01"))))
+        rev = pc.round(pc.multiply(b["l_extendedprice"],
+                                   pc.subtract(pa.scalar(1.0), b["l_discount"])), 6)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"],
+            "revenue": rev,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate via native Ray aggregates (partial +
+    final merge comes for free for algebraic aggs)."""
+    ds = _lineitem(sf_dir, ["l_returnflag", "l_linestatus", "l_quantity",
+                            "l_extendedprice", "l_discount"])
+    out = (ds.groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Mean("l_discount", alias_name="avg_disc"),
+                      Count(alias_name="count_order")))
+    pdf = out.to_pandas()
+    pdf["sum_qty"] = pdf["sum_qty"].round(2)
+    pdf["sum_base_price"] = pdf["sum_base_price"].round(2)
+    pdf["avg_disc"] = pdf["avg_disc"].round(6)
+    return pdf.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def top_order_per_customer(sf_dir: str):
+    """Per-group argmax with deterministic tie-break (totalprice desc,
+    orderkey asc) — the G2 top-post pattern, combiner first so only one
+    candidate row per customer per batch shuffles."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True])
+        return pa.Table.from_pandas(df.drop_duplicates("o_custkey"),
+                                    preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(1))
+
+    out = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("o_custkey").map_groups(merge, batch_format="pandas"))
+
+    def round_price(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("o_totalprice"),
+                            "o_totalprice", pc.round(b["o_totalprice"], 2))
+
+    return out.map_batches(round_price, batch_format="pyarrow")
+
+
+def orders_by_segment(sf_dir: str):
+    """Broadcast hash join (J1): customer side is small → ray.put once, dict
+    lookup inside map_batches; zero shuffle for the join itself."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_by_key = dict(zip(cust["c_custkey"].to_pylist(),
+                          cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(seg_by_key)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def join_batch(b: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        segs = [lookup.get(k) for k in b["o_custkey"].to_pylist()]
+        return b.append_column("c_mktsegment", pa.array(segs, pa.string()))
+
+    out = (orders.map_batches(join_batch, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Count(alias_name="n_orders"),
+                      Sum("o_totalprice", alias_name="sum_totalprice")))
+    pdf = out.to_pandas()
+    pdf["sum_totalprice"] = pdf["sum_totalprice"].round(2)
+    return pdf.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def top100_orders(sf_dir: str):
+    """Global sort + limit.  Deterministic across boundaries: secondary key
+    orderkey asc (Ray sort is single-key stable enough only per block, so we
+    sort by both keys)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    out = ds.sort([("o_totalprice"), ("o_orderkey")],
+                  descending=[True, False]).limit(100)
+
+    def round_price(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("o_totalprice"),
+                            "o_totalprice", pc.round(b["o_totalprice"], 2))
+
+    return out.map_batches(round_price, batch_format="pyarrow")
+
+
+def distinct_status_priority(sf_dir: str):
+    """Distinct over two columns — per-batch set() combiner then a tiny
+    groupby-first (G8 exact-dedup pattern)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        seen = sorted(set(zip(b["o_orderstatus"].to_pylist(),
+                              b["o_orderpriority"].to_pylist())))
+        return pa.table({
+            "o_orderstatus": [s for s, _ in seen],
+            "o_orderpriority": [p for _, p in seen],
+        })
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .map_groups(first, batch_format="pandas"))
+
+
+def union_shipdate_extremes(sf_dir: str):
+    """Union-all of two filtered scans, then grouped count (S3 + G1)."""
+    cols = ["l_returnflag", "l_shipdate"]
+    early = _lineitem(sf_dir, cols).map_batches(
+        lambda b: b.filter(pc.less(b["l_shipdate"],
+                                   pa.scalar(pd.Timestamp("1993-01-01")))),
+        batch_format="pyarrow")
+    late = _lineitem(sf_dir, cols).map_batches(
+        lambda b: b.filter(pc.greater(b["l_shipdate"],
+                                      pa.scalar(pd.Timestamp("1997-01-01")))),
+        batch_format="pyarrow")
+    out = (early.union(late).groupby("l_returnflag")
+           .aggregate(Count(alias_name="n")))
+    return out.to_pandas().sort_values("l_returnflag").reset_index(drop=True)
+
+
+def events_summary(sf_dir: str):
+    """G5-style summary stats: per event_type row counts, value stats, null
+    counts and exact distinct users via two-level groupby (scales: first
+    level collapses (type,user) pairs, second level is tiny)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id", "value", "props"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("event_type").agg(
+            n=("event_type", "size"),
+            sum_value=("value", "sum"),
+            n_null_props=("props", lambda s: int(s.isna().sum())),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "event_type": g["event_type"].iloc[0],
+            "n": int(g["n"].sum()),
+            "sum_value": float(g["sum_value"].sum()),
+            "n_null_props": int(g["n_null_props"].sum()),
+        }])
+
+    base = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("event_type").map_groups(merge, batch_format="pandas")
+            .to_pandas())
+
+    users = (ds.groupby(["event_type", "user_id"])
+             .aggregate(Count(alias_name="c"))
+             .groupby("event_type").aggregate(Count(alias_name="n_users"))
+             .to_pandas())
+    out = base.merge(users, on="event_type")
+    out["avg_value"] = (out["sum_value"] / out["n"]).round(6)
+    out = out.drop(columns=["sum_value"])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def hourly_event_windows(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events log (streaming-shaped
+    workload → groupby on (key, window_start), ray_guide §Streaming)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def add_window(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        return b.append_column("window_start",
+                               pc.strftime(hour, format="%Y-%m-%d %H:00:00"))
+
+    out = (ds.map_batches(add_window, batch_format="pyarrow")
+           .groupby(["event_type", "window_start"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value"),
+                      Min("value", alias_name="min_value"),
+                      Max("value", alias_name="max_value")))
+    pdf = out.to_pandas()
+    for c in ("sum_value", "min_value", "max_value"):
+        pdf[c] = pdf[c].round(6)
+    return pdf.sort_values(["event_type", "window_start"]).reset_index(drop=True)

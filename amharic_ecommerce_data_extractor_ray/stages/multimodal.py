@@ -1,0 +1,81 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with metadata columns
+alongside.  The decode kernels themselves are STUBBED (no image/audio libs in
+this container — clearly marked below); everything Ray-side is real and
+tested: schema, actor-pool stage shape, small batch sizes for wide binary
+rows, deterministic fake feature extraction so the pipeline is verifiable.
+
+At scale: binary payloads dominate block size — stages here use small
+``batch_size`` and ``batch_format="pyarrow"`` (binary columns round-trip
+zero-copy through Arrow; pandas object dtype would copy).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+DECODED_LIBS_AVAILABLE = False  # PIL / cv2 / torchaudio absent in sandbox
+
+
+def attach_payload_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+    """Simulate a multimodal ingest: derive a binary payload column (the
+    UTF-8 bytes of the text stand in for an encoded image) + media metadata."""
+    texts = batch[text_col].to_pylist()
+    payloads = [(t or "").encode("utf-8") for t in texts]
+    return (batch
+            .append_column("payload", pa.array(payloads, pa.binary()))
+            .append_column("media_type",
+                           pa.array(["image/fake"] * len(payloads), pa.string())))
+
+
+class DecodeStage:
+    """Actor-pool decode/feature-extract stage.
+
+    Real decode requires PIL/libvips/ffmpeg — unavailable here, so
+    ``_decode`` is a deterministic fake: "width/height" derived from the
+    payload hash, "features" = first 4 bytes of sha256.  The actor signature,
+    per-actor init, batch shaping and output schema are the production
+    layout; swap ``_decode`` for a real kernel when the libs exist.
+    """
+
+    def __init__(self):
+        # Per-actor init: in production, load the codec / model here once.
+        self._hasher = hashlib.sha256
+
+    def _decode(self, payload: bytes) -> tuple[int, int, list[float]]:
+        if DECODED_LIBS_AVAILABLE:  # pragma: no cover
+            raise NotImplementedError("real decode not wired in this sandbox")
+        digest = self._hasher(payload).digest()
+        width = 1 + digest[0] % 64
+        height = 1 + digest[1] % 64
+        feats = [b / 255.0 for b in digest[:4]]
+        return width, height, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        widths, heights, feats, sizes = [], [], [], []
+        for p in payloads:
+            p = p or b""
+            w, h, f = self._decode(p)
+            widths.append(w)
+            heights.append(h)
+            feats.append(f)
+            sizes.append(len(p))
+        return (batch
+                .append_column("n_bytes", pa.array(sizes, pa.int64()))
+                .append_column("width", pa.array(widths, pa.int64()))
+                .append_column("height", pa.array(heights, pa.int64()))
+                .append_column("features",
+                               pa.array(feats, pa.list_(pa.float64()))))
+
+
+def decode_pipeline(ds, *, concurrency: int = 2, batch_size: int = 256):
+    """Attach payloads then decode via an actor pool (small batches — wide
+    binary rows)."""
+    return (ds
+            .map_batches(attach_payload_batch, batch_format="pyarrow")
+            .map_batches(DecodeStage, batch_format="pyarrow",
+                         batch_size=batch_size, concurrency=concurrency))

@@ -1,0 +1,125 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE via
+``ray.put`` and every map_batches task computes a per-batch partial top-k with
+one numpy matmul (never shipping the queries per batch, never materializing
+the corpus).  Partials (k rows per query per batch) are merged with a tiny
+groupby — the scale path to 100 TB: shuffle volume is O(n_queries × k ×
+n_batches), independent of corpus size.
+
+Scale variant: ``lsh_topk`` buckets vectors by random-hyperplane LSH signs and
+searches only matching buckets (IVF-style candidate pruning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def brute_force_topk(emb_ds, query_ids: list[int], k: int = 10, *,
+                     vec_col="embedding", id_col="vec_id"):
+    """Exact cosine top-k of every corpus vector set for each query id.
+
+    Queries are selected from the dataset itself (vec_id ∈ query_ids),
+    broadcast as a unit-normalized matrix.  Output:
+    (query_id, neighbor_id, cosine) — k rows per query, self-match included,
+    ties broken by neighbor_id asc.
+    """
+    qset = set(query_ids)
+
+    def pick_queries(b: pa.Table) -> pa.Table:
+        mask = [i in qset for i in b[id_col].to_pylist()]
+        return b.filter(pa.array(mask))
+
+    qtab = (emb_ds.map_batches(pick_queries, batch_format="pyarrow")
+            .to_pandas().sort_values(id_col))
+    qmat = _to_matrix(qtab[vec_col])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qunit = qmat / qnorm[:, None]
+    qids = qtab[id_col].to_numpy()
+    ref = ray.put((qids, qunit))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        q_ids, q_unit = ray.get(ref)
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        mat = _to_matrix(b[vec_col].to_pylist())
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (mat / norms[:, None]) @ q_unit.T          # (batch, nq)
+        kk = min(k, len(ids))
+        out_q, out_n, out_c = [], [], []
+        for qi in range(len(q_ids)):
+            col = cos[:, qi]
+            # top-k by (cos desc, id asc): argsort on (-cos, id)
+            order = np.lexsort((ids, -col))[:kk]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_n.extend(ids[order].tolist())
+            out_c.extend(col[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    def merge_query(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g["cosine"] = g["cosine"].round(6)
+        return g
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(merge_query,
+                                                   batch_format="pandas")
+
+
+def lsh_topk(emb_ds, query_ids: list[int], k: int = 10, *, n_planes: int = 8,
+             seed: int = 42, vec_col="embedding", id_col="vec_id"):
+    """Approximate top-k: random-hyperplane LSH bucket per vector; each query
+    searches only its own bucket (candidates), exact cosine within.  The
+    bucket column is the co-location key — at scale this replaces the full
+    scan with a partition-pruned read."""
+    first = emb_ds.take(1)[0]
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    qset = set(query_ids)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        mat = _to_matrix(b[vec_col].to_pylist())
+        signs = (mat @ planes.T) > 0
+        bucket = signs @ (1 << np.arange(n_planes))
+        return b.append_column("bucket", pa.array(bucket.astype("int64")))
+
+    def bucket_search(g: pd.DataFrame) -> pd.DataFrame:
+        qrows = g[g[id_col].isin(qset)]
+        if qrows.empty:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        mat = _to_matrix(g[vec_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        ids = g[id_col].to_numpy()
+        out = []
+        for _, qr in qrows.iterrows():
+            qv = np.asarray(qr[vec_col], dtype=np.float64)
+            qn = np.linalg.norm(qv) or 1.0
+            cos = unit @ (qv / qn)
+            order = np.lexsort((ids, -cos))[:k]
+            for idx in order:
+                out.append({"query_id": int(qr[id_col]),
+                            "neighbor_id": int(ids[idx]),
+                            "cosine": round(float(cos[idx]), 6)})
+        return pd.DataFrame(out)
+
+    return (emb_ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_search, batch_format="pandas"))
