@@ -1,0 +1,80 @@
+"""Dedup operators on constructed corpora with known duplicates."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    other = "completely different words about spark ray data engines at scale"
+    rows = [
+        {"doc_id": 0, "text": base, "lang": "en", "source": "s0"},
+        {"doc_id": 1, "text": base, "lang": "en", "source": "s0"},   # exact dup
+        {"doc_id": 2, "text": near, "lang": "en", "source": "s0"},   # near dup
+        {"doc_id": 3, "text": other, "lang": "en", "source": "s0"},
+        {"doc_id": 4, "text": other, "lang": "de", "source": "s1"},  # other block
+    ]
+    return rd.from_items(rows)
+
+
+def test_exact_dedup(docs):
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import exact_dedup_groups
+
+    out = exact_dedup_groups(docs).to_pandas()
+    # 3 distinct texts: base (ids 0,1), near (2), other (3,4)
+    assert len(out) == 3
+    assert sorted(out["keep_id"]) == [0, 2, 3]
+    assert sorted(out["n_dups"]) == [1, 2, 2]
+
+
+def test_minhash_finds_exact_and_near_dups(docs):
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs                      # exact dup → est 1.0
+    est01 = out[(out["id_a"] == 0) & (out["id_b"] == 1)]["jaccard_est"].iloc[0]
+    assert est01 == 1.0
+    assert (3, 4) in pairs                      # same text, different block
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_simhash_identical_zero_hamming(docs):
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import simhash_dedup
+
+    out = simhash_dedup(docs).to_pandas()
+    pairs = {(a, b): h for a, b, h in zip(out["id_a"], out["id_b"],
+                                          out["hamming"])}
+    assert pairs.get((0, 1)) == 0
+    assert pairs.get((3, 4)) == 0
+
+
+def test_ngram_jaccard_blocks(docs):
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs, threshold=0.2).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in pairs
+    # docs 3 and 4 share text but different (lang, source) block → not compared
+    assert (3, 4) not in pairs
+
+
+def test_embedding_cosine_pairs(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import embedding_cosine_pairs
+
+    v = [1.0, 0.0, 0.0]
+    rows = [
+        {"vec_id": 0, "embedding": v, "label": 0},
+        {"vec_id": 1, "embedding": [2.0, 0.0, 0.0], "label": 0},  # cos 1.0
+        {"vec_id": 2, "embedding": [0.0, 1.0, 0.0], "label": 0},  # orthogonal
+        {"vec_id": 3, "embedding": v, "label": 1},                # other block
+    ]
+    out = embedding_cosine_pairs(rd.from_items(rows), threshold=0.99).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert pairs == {(0, 1)}

@@ -1,0 +1,23 @@
+"""Multimodal plumbing: binary payload column, actor-pool decode stage."""
+
+import hashlib
+
+import pytest
+
+
+def test_decode_pipeline_schema_and_determinism(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.multimodal import decode_pipeline
+
+    rows = [{"message_id": i, "content": f"hello {i} ዋጋ"} for i in range(10)]
+    out = decode_pipeline(rd.from_items(rows), concurrency=1).to_pandas()
+    assert len(out) == 10
+    for _, r in out.iterrows():
+        payload = r["content"].encode("utf-8")
+        assert r["n_bytes"] == len(payload)
+        digest = hashlib.sha256(payload).digest()
+        assert r["width"] == 1 + digest[0] % 64
+        assert r["height"] == 1 + digest[1] % 64
+        assert list(r["features"]) == [b / 255.0 for b in digest[:4]]
+        assert r["media_type"] == "image/fake"

@@ -1,0 +1,66 @@
+"""Ray Data stage tests: sha256 invariant, triples vs goldens, KG build."""
+
+import hashlib
+
+import pytest
+
+from amharic_ecommerce_data_extractor_ray import goldens
+from amharic_ecommerce_data_extractor_ray.sources.corpus import N_TEMPLATES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def triples_df(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+
+    return kg.triples_ds(SF).to_pandas()
+
+
+def test_sha256_invariant_survives_pipeline(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+
+    df = kg.tagged_messages(SF).to_pandas()
+    assert len(df) == 500
+    for content, sha in zip(df["content"], df["content_sha256"]):
+        assert hashlib.sha256(content.encode()).hexdigest() == sha
+
+
+def test_normalization_matches_goldens_through_ray(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+
+    df = kg.tagged_messages(SF).to_pandas()
+    for mid, norm, toks in zip(df["message_id"], df["preprocessed_text"],
+                               df["tokens"]):
+        t = mid % N_TEMPLATES
+        assert norm == goldens.NORM[t]
+        assert list(toks) == goldens.TOKENS[t]
+
+
+def test_triples_match_reference_goldens(ray_session, triples_df):
+    by_msg = {mid: g for mid, g in triples_df.groupby("message_id")}
+    for mid in range(500):
+        expected = goldens.TRIPLES[mid % N_TEMPLATES]
+        got = by_msg.get(mid)
+        actual = ([] if got is None else
+                  list(zip(got["pred"], got["obj"], got["obj_norm"],
+                           [None if p != p else p for p in got["price_value"]])))
+        assert sorted(actual, key=str) == sorted(
+            [tuple(e) for e in expected], key=str), f"message {mid}"
+
+
+def test_triples_subject_is_vendor(ray_session, triples_df):
+    assert triples_df["subj"].str.startswith("vendor_").all()
+
+
+def test_kg_nodes_and_edges_consistent(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+
+    nodes = kg.kg_nodes(SF).to_pandas()
+    edges = kg.kg_edges(SF).to_pandas()
+    node_ids = set(nodes["node_id"])
+    assert set(edges["src_id"]) <= node_ids
+    assert set(edges["dst_id"]) <= node_ids
+    # vendor nodes + entity nodes, ids unique
+    assert nodes["node_id"].is_unique
+    assert set(nodes["node_type"]) == {"vendor", "entity"}
