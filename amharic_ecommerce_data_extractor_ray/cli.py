@@ -1,0 +1,93 @@
+"""CLI stage runner — the engine's analog of the reference's
+``scripts/run_pipeline.py --stage ...`` registry (run_pipeline.py:251-287).
+
+Stages:
+  make_corpus   — synthesize the input Parquet corpus (replaces ingest_data;
+                  the Telegram scraper is an external source, out of engine
+                  scope — SURVEY.md S1)
+  build_kg      — flagship: triples + nodes + edges + scorecard (resumable)
+  scorecard     — vendor scorecard only
+  pseudo_label  — labeling loop → CoNLL
+  evaluate      — NER eval harness over a CoNLL corpus
+  all           — make_corpus → build_kg
+
+Owns its Ray session (guarded init) — library code never calls ray.init().
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="amharic_ecommerce_data_extractor_ray")
+    ap.add_argument("--stage", required=True,
+                    choices=["make_corpus", "build_kg", "scorecard",
+                             "pseudo_label", "evaluate", "all"])
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="input tables directory (documents.parquet seed)")
+    ap.add_argument("--corpus-dir", default="/tmp/aede_corpus")
+    ap.add_argument("--out-dir", default="/tmp/aede_out")
+    ap.add_argument("--rows", type=int, default=100_000)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--conll", default=None, help="CoNLL path for evaluate")
+    args = ap.parse_args(argv)
+
+    _ensure_ray(args.num_cpus)
+    import ray
+
+    try:
+        if args.stage in ("make_corpus", "all"):
+            from .sources.corpus import make_corpus
+
+            make_corpus(args.corpus_dir, args.rows)
+            print(json.dumps({"stage": "make_corpus", "rows": args.rows,
+                              "out": args.corpus_dir}))
+        if args.stage in ("build_kg", "all"):
+            from .pipelines.kg import build_kg
+
+            manifest = build_kg(args.sf_dir, args.out_dir)
+            print(json.dumps({"stage": "build_kg",
+                              "datasets": manifest["datasets"]}))
+        if args.stage == "scorecard":
+            from .pipelines.kg import vendor_scorecard
+
+            sc = vendor_scorecard(args.sf_dir)
+            print(sc.to_string(index=False))
+        if args.stage == "pseudo_label":
+            from .pipelines.kg import corpus_ds
+            from .pipelines.labeling import pseudo_label_to_conll
+
+            n = pseudo_label_to_conll(corpus_ds(args.sf_dir),
+                                      f"{args.out_dir}/pseudo_labeled.conll")
+            print(json.dumps({"stage": "pseudo_label", "sentences": n}))
+        if args.stage == "evaluate":
+            from .pipelines.evalharness import evaluate_file
+
+            conll = args.conll or ("/root/reference/data/labeled/"
+                                   "01_labeled_telegram_product_price_location.txt")
+            m = evaluate_file(conll)
+            print(json.dumps({k: v for k, v in m.items() if k != "per_label"}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

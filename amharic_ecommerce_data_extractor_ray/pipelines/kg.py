@@ -74,15 +74,28 @@ def build_kg(sf_dir: str, out_dir: str) -> dict:
     from ..state.checkpoint import (_input_fingerprint, checkpointed_write,
                                     write_manifest)
 
+    import ray.data as rd
+
+    from ..stages.canonicalize import canonical_edges as c_edges
+    from ..stages.canonicalize import canonical_entities as c_entities
+    from ..stages.canonicalize import vendor_nodes as v_nodes
+
     fp = _input_fingerprint(sf_dir)
     stats = {}
     stats["triples"] = checkpointed_write(
         triples_ds(sf_dir), f"{out_dir}/triples", partition_on="pred",
         fingerprint=fp)
-    stats["nodes"] = checkpointed_write(kg_nodes(sf_dir), f"{out_dir}/nodes",
-                                        fingerprint=fp)
+
+    # canonicalization reads the materialized triples (stage boundary) instead
+    # of re-running the normalize→tag chain per consumer
+    def stored_triples():
+        return rd.read_parquet(f"{out_dir}/triples")
+
+    stats["nodes"] = checkpointed_write(
+        v_nodes(corpus_ds(sf_dir)).union(c_entities(stored_triples())),
+        f"{out_dir}/nodes", fingerprint=fp)
     stats["edges"] = checkpointed_write(
-        kg_edges(sf_dir), f"{out_dir}/edges", partition_on="pred",
+        c_edges(stored_triples()), f"{out_dir}/edges", partition_on="pred",
         fingerprint=fp)
     sc = vendor_scorecard(sf_dir)
     sc_table = pa.Table.from_pandas(sc, preserve_index=False)

@@ -130,11 +130,13 @@ def corpus_from_documents(sf_dir: str):
     )
 
 
-def make_corpus(out_dir: str, n_rows: int, *, block_rows: int = 65536):
+def make_corpus(out_dir: str, n_rows: int, *, block_rows: int = 8192):
     """Write a synthetic corpus of ``n_rows`` to partitioned Parquet.
 
     Uses ``ray.data.range`` so generation itself is distributed; for the 100 TB
     analog this is the stand-in for reading the real repo-file table.
+    ``block_rows`` sets the output file granularity — the downstream read's
+    parallelism unit (≥ 2-4 files per CPU for a full-width scan).
     """
     import ray.data as rd
 

@@ -1,5 +1,11 @@
 """Entity canonicalization + graph materialization (north star §7.5/§7.6).
 
+Combiner outputs are coalesced (repartition to a handful of blocks) before
+each groupby: Ray's sort-based aggregate creates an all-to-all exchange of
+#blocks × #partitions objects, so shuffling many tiny partial blocks costs
+more in scheduling than the data itself — coalescing first keeps the exchange
+O(16²) regardless of input width.
+
 Exact canonicalization: entities collapse on ``(pred, obj_norm)`` — the
 normalized surface form — via the combiner pattern: per-batch partial
 aggregation (count + lexicographic-min surface) inside ``map_batches``, then a
@@ -52,21 +58,18 @@ def entity_partials_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def _merge_entity_group(g: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame([{
-        "pred": g["pred"].iloc[0],
-        "obj_norm": g["obj_norm"].iloc[0],
-        "min_obj": g["min_obj"].min(),
-        "n_mentions": int(g["n_mentions"].sum()),
-    }])
-
-
 def canonical_entities(triples_ds):
     """Dataset of canonical entity nodes:
-    (node_id, node_type='entity', pred, obj_norm, label, n_mentions)."""
-    partials = triples_ds.map_batches(entity_partials_batch, batch_format="pyarrow")
-    merged = partials.groupby(["pred", "obj_norm"]).map_groups(
-        _merge_entity_group, batch_format="pandas")
+    (node_id, node_type='entity', pred, obj_norm, label, n_mentions).
+    Merge is a NATIVE Min/Sum aggregate — one group per distinct entity, so
+    per-group Python would dominate; the combiner already shrank the rows."""
+    from ray.data.aggregate import Min, Sum
+
+    partials = triples_ds.map_batches(entity_partials_batch,
+                                      batch_format="pyarrow").repartition(16)
+    merged = partials.groupby(["pred", "obj_norm"]).aggregate(
+        Min("min_obj", alias_name="min_obj"),
+        Sum("n_mentions", alias_name="n_mentions"))
 
     def to_nodes(b: pa.Table) -> pa.Table:
         preds = b["pred"].to_pylist()
@@ -100,22 +103,16 @@ def edge_partials_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def _merge_edge_group(g: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame([{
-        "subj": g["subj"].iloc[0],
-        "pred": g["pred"].iloc[0],
-        "obj_norm": g["obj_norm"].iloc[0],
-        "weight": int(g["weight"].sum()),
-    }])
-
-
 def canonical_edges(triples_ds):
     """Dataset of weighted edges:
     (src_id, dst_id, subj, pred, obj_norm, weight) — src is the vendor node,
-    dst the canonical entity node."""
-    partials = triples_ds.map_batches(edge_partials_batch, batch_format="pyarrow")
-    merged = partials.groupby(["subj", "pred", "obj_norm"]).map_groups(
-        _merge_edge_group, batch_format="pandas")
+    dst the canonical entity node.  Native Sum merge (see canonical_entities)."""
+    from ray.data.aggregate import Sum
+
+    partials = triples_ds.map_batches(edge_partials_batch,
+                                      batch_format="pyarrow").repartition(16)
+    merged = partials.groupby(["subj", "pred", "obj_norm"]).aggregate(
+        Sum("weight", alias_name="weight"))
 
     def to_edges(b: pa.Table) -> pa.Table:
         subjs = b["subj"].to_pylist()
@@ -140,12 +137,11 @@ def vendor_nodes(corpus_ds):
         repos = sorted(set(b["repo"].to_pylist()))
         return pa.table({"repo": pa.array(repos, pa.string())})
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    from ray.data.aggregate import Count
 
     distinct = (corpus_ds.select_columns(["repo"])
                 .map_batches(partials, batch_format="pyarrow")
-                .groupby("repo").map_groups(first, batch_format="pandas"))
+                .groupby("repo").aggregate(Count(alias_name="_n")))
 
     def to_nodes(b: pa.Table) -> pa.Table:
         repos = b["repo"].to_pylist()

@@ -20,6 +20,7 @@ import struct
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # ---------------------------------------------------------------- exact dedup
 
@@ -49,15 +50,15 @@ def exact_dedup_groups(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
             "n_dups": pa.array([acc[k][1] for k in keys], pa.int64()),
         })
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame([{
-            "text_sha256": g["text_sha256"].iloc[0],
-            "keep_id": int(g["keep_id"].min()),
-            "n_dups": int(g["n_dups"].sum()),
-        }])
+    from ray.data.aggregate import Min, Sum
 
+    # native vectorized merge — no per-group Python (the hash groupby has one
+    # group per distinct text, which is nearly every row)
     return (docs_ds.map_batches(partials, batch_format="pyarrow")
-            .groupby("text_sha256").map_groups(merge, batch_format="pandas"))
+            .repartition(16)
+            .groupby("text_sha256")
+            .aggregate(Min("keep_id", alias_name="keep_id"),
+                       Sum("n_dups", alias_name="n_dups")))
 
 
 # ------------------------------------------------------------- minhash + LSH
@@ -149,14 +150,51 @@ def minhash_lsh_pairs(docs_ds, *, text_col="text", id_col="doc_id",
             {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
              "jaccard_est": pd.Series(dtype="float64")})
 
-    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    import ray
+    from ray.data.aggregate import Count, Max
 
-    pairs = (docs_ds.map_batches(to_bands, batch_format="pyarrow")
+    band_rows = docs_ds.map_batches(to_bands, batch_format="pyarrow")
+
+    # Hot-bucket prefilter: count bucket occupancy with a NATIVE aggregate
+    # over (band_id, band_hash) only — at scale almost every bucket is a
+    # singleton, and running per-group Python over singletons dominates cost.
+    # The collided-bucket set is proportional to the number of near-dup pairs
+    # (small), so broadcasting it is sound.
+    counts = (band_rows.select_columns(["band_id", "band_hash"])
+              .repartition(16)
+              .groupby(["band_id", "band_hash"])
+              .aggregate(Count(alias_name="n")))
+    hot_df = (counts
+              .map_batches(lambda b: b.filter(
+                  pc.greater_equal(b["n"], 2)),
+                  batch_format="pyarrow")
+              .to_pandas())
+    hot = set(zip(hot_df["band_id"], hot_df["band_hash"]))
+    if not hot:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard_est": pa.array([], pa.float64())}))
+    hot_ref = ray.put(hot)
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        mask = [
+            (bi, bh) in hs
+            for bi, bh in zip(b["band_id"].to_pylist(),
+                              b["band_hash"].to_pylist())
+        ]
+        return b.filter(pa.array(mask))
+
+    pairs = (band_rows.map_batches(keep_hot, batch_format="pyarrow")
              .groupby(["band_id", "band_hash"])
              .map_groups(bucket_pairs, batch_format="pandas"))
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pair,
-                                                      batch_format="pandas")
+    # a pair can collide in several bands — native dedup (est is identical
+    # across bands, Max is a no-op merge)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Max("jaccard_est", alias_name="jaccard_est"))
 
 
 # ------------------------------------------------------------------- simhash
@@ -208,7 +246,31 @@ def simhash_dedup(docs_ds, *, text_col="text", id_col="doc_id",
             {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
              "hamming": pd.Series(dtype="int64")})
 
-    return (docs_ds.map_batches(sig_batch, batch_format="pyarrow")
+    import ray
+    from ray.data.aggregate import Count
+
+    sigs = docs_ds.map_batches(sig_batch, batch_format="pyarrow")
+    counts = (sigs.select_columns(["block"]).repartition(16)
+              .groupby("block").aggregate(Count(alias_name="n")))
+    hot_df = (counts.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], 2)),
+        batch_format="pyarrow").to_pandas())
+    hot = set(hot_df["block"])
+    if not hot:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64())}))
+    hot_ref = ray.put(hot)
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        mask = [blk in hs for blk in b["block"].to_pylist()]
+        return b.filter(pa.array(mask))
+
+    return (sigs.map_batches(keep_hot, batch_format="pyarrow")
             .groupby("block").map_groups(block_pairs, batch_format="pandas"))
 
 

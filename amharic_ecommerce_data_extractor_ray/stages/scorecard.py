@@ -165,7 +165,7 @@ def scorecard_from_messages(messages_ds) -> pd.DataFrame:
     ``products`` and ``all_numerical_prices`` (see stages.enrich).  Streaming:
     partials per batch → tiny shuffle → driver finalize."""
     partials = messages_ds.map_batches(scorecard_partials_batch,
-                                       batch_format="pyarrow")
+                                       batch_format="pyarrow").repartition(16)
     merged = partials.groupby("repo").map_groups(merge_partials_group,
                                                  batch_format="pandas")
     return finalize_scorecard(merged.to_pandas())
