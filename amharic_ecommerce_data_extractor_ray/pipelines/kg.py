@@ -19,8 +19,8 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..sources.corpus import corpus_from_documents
-from ..stages.enrich import (enrich_batch, entities_batch, tag_batch,
-                             triples_batch)
+from ..stages.enrich import (enrich_batch, entities_batch, fused_entities_batch,
+                             fused_triples_batch, tag_batch, triples_batch)
 from ..stages.canonicalize import (canonical_edges, canonical_entities,
                                    vendor_nodes)
 from ..stages.scorecard import scorecard_from_messages
@@ -42,13 +42,19 @@ def tagged_messages(sf_dir: str):
 
 
 def messages_with_entities(sf_dir: str):
-    return tagged_messages(sf_dir).map_batches(
-        entities_batch, batch_format="pyarrow", batch_size=DEFAULT_BATCH)
+    """Messages + entity list columns via the fused one-pass kernel (same
+    output as enrich→tag→entities minus the intermediate text/token columns;
+    differential-tested in tests/test_stages.py)."""
+    return corpus_ds(sf_dir).map_batches(
+        fused_entities_batch, batch_format="pyarrow", batch_size=DEFAULT_BATCH)
 
 
 def triples_ds(sf_dir: str):
-    return tagged_messages(sf_dir).map_batches(
-        triples_batch, batch_format="pyarrow", batch_size=DEFAULT_BATCH)
+    """Corpus → triples via the fused one-pass kernel (see stages.enrich:
+    fused_triples_batch — ~35% faster and near-perfectly core-scalable vs the
+    staged chain because it skips the discarded intermediate list columns)."""
+    return corpus_ds(sf_dir).map_batches(
+        fused_triples_batch, batch_format="pyarrow", batch_size=DEFAULT_BATCH)
 
 
 def vendor_scorecard(sf_dir: str):

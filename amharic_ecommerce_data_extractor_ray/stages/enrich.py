@@ -121,6 +121,92 @@ def entities_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _tag_row(text: str | None) -> list[tuple[str, str]]:
+    """content → normalize → tokenize → BIO pairs, no intermediate columns."""
+    norm = preprocess_amharic_text(text, False)
+    return _TAGGER.tag(tokenize_amharic_text(norm))
+
+
+def fused_triples_batch(batch: pa.Table) -> pa.Table:
+    """content → triples in ONE pass per row.
+
+    Semantically identical to ``enrich_batch → tag_batch → triples_batch``
+    (pinned by a differential test), but skips materializing the
+    ``preprocessed_text`` / ``tokens`` / ``tag_tokens`` / ``tag_labels``
+    Arrow list columns that the triples path immediately discards — under
+    32-way concurrency the avoided allocation traffic is what scales, not
+    just the saved CPU.  Use this in the hot KG build; the staged variants
+    remain the composable/stage-inspectable path.
+    """
+    mids = batch["message_id"].to_pylist()
+    repos = batch["repo"].to_pylist()
+    texts = batch["content"].to_pylist()
+
+    out_mid: list[int] = []
+    out_subj: list[str] = []
+    out_pred: list[str] = []
+    out_obj: list[str] = []
+    out_norm: list[str] = []
+    out_price: list[float | None] = []
+    out_sha: list[str] = []
+    for mid, repo, text in zip(mids, repos, texts):
+        sha = hashlib.sha256((text or "").encode("utf-8")).hexdigest()
+        for etype, surface in decode_entities(_tag_row(text)):
+            pred = PRED_BY_TYPE.get(etype)
+            if pred is None:
+                continue
+            price: float | None = None
+            if etype == "PRICE":
+                v = extract_numerical_price([surface])
+                price = None if is_nan(v) else v
+            out_mid.append(mid)
+            out_subj.append(repo)
+            out_pred.append(pred)
+            out_obj.append(surface)
+            out_norm.append(" ".join(surface.lower().split()))
+            out_price.append(price)
+            out_sha.append(sha)
+    return pa.table({
+        "message_id": pa.array(out_mid, pa.int64()),
+        "subj": pa.array(out_subj, pa.string()),
+        "pred": pa.array(out_pred, pa.string()),
+        "obj": pa.array(out_obj, pa.string()),
+        "obj_norm": pa.array(out_norm, pa.string()),
+        "price_value": pa.array(out_price, pa.float64()),
+        "content_sha256": pa.array(out_sha, pa.string()),
+    })
+
+
+def fused_entities_batch(batch: pa.Table) -> pa.Table:
+    """content → per-message entity list columns in ONE pass per row
+    (scorecard input).  Same fusion rationale as ``fused_triples_batch``;
+    output matches ``enrich_batch → tag_batch → entities_batch`` minus the
+    intermediate text/token columns the scorecard never reads."""
+    texts = batch["content"].to_pylist()
+    buckets: dict[str, list[list[str]]] = {
+        "PRODUCT": [], "PRICE": [], "LOC": [], "CONTACT_INFO": []}
+    numeric_prices: list[list[float]] = []
+    for text in texts:
+        ents = decode_entities(_tag_row(text))
+        row: dict[str, list[str]] = {k: [] for k in buckets}
+        for etype, surface in ents:
+            if etype in row:
+                row[etype].append(surface)
+        for k, acc in buckets.items():
+            acc.append(row[k])
+        vals = [extract_numerical_price([p]) for p in row["PRICE"]]
+        numeric_prices.append([v for v in vals if not is_nan(v)])
+    return (
+        batch
+        .append_column("products", pa.array(buckets["PRODUCT"], TOKENS_TYPE))
+        .append_column("prices", pa.array(buckets["PRICE"], TOKENS_TYPE))
+        .append_column("locations", pa.array(buckets["LOC"], TOKENS_TYPE))
+        .append_column("contact_info", pa.array(buckets["CONTACT_INFO"], TOKENS_TYPE))
+        .append_column("all_numerical_prices",
+                       pa.array(numeric_prices, pa.list_(pa.float64())))
+    )
+
+
 def triples_batch(batch: pa.Table) -> pa.Table:
     """Tagged messages → flat triple rows (north star):
     ``(message_id, subj=repo, pred, obj, obj_norm, price_value,

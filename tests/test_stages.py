@@ -64,3 +64,25 @@ def test_kg_nodes_and_edges_consistent(ray_session):
     # vendor nodes + entity nodes, ids unique
     assert nodes["node_id"].is_unique
     assert set(nodes["node_type"]) == {"vendor", "entity"}
+
+
+def test_fused_kernels_match_staged_chain(ray_session):
+    """fused_triples_batch / fused_entities_batch are pure optimizations:
+    bit-identical output to the staged enrich→tag→{triples,entities} chain."""
+    import pyarrow as pa
+
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+    from amharic_ecommerce_data_extractor_ray.stages.enrich import (
+        enrich_batch, entities_batch, fused_entities_batch,
+        fused_triples_batch, tag_batch, triples_batch)
+
+    batch = kg.corpus_ds(SF).take_batch(200, batch_format="pyarrow")
+    tbl = pa.table(batch)
+    staged_tr = triples_batch(tag_batch(enrich_batch(tbl)))
+    assert fused_triples_batch(tbl).equals(staged_tr)
+
+    staged_en = entities_batch(tag_batch(enrich_batch(tbl)))
+    fused_en = fused_entities_batch(tbl)
+    for col in ("products", "prices", "locations", "contact_info",
+                "all_numerical_prices"):
+        assert fused_en[col].to_pylist() == staged_en[col].to_pylist()
