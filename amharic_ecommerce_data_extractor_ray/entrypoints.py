@@ -80,6 +80,68 @@ def q_scorecard(sf_dir: str):
                 "date_range_days", "lending_score"]]
 
 
+# ------------------------------------------------------- labeling / eval ops
+
+def q_bio_tags(sf_dir: str):
+    """Token-level BIO prediction table (reference model_evaluator.py:199-215
+    minus the blank-separator presentation rows)."""
+    from .pipelines.labeling import bio_tags_batch
+
+    return kg.corpus_ds(sf_dir).map_batches(bio_tags_batch,
+                                            batch_format="pyarrow")
+
+
+def q_labeling_sheet(sf_dir: str):
+    """S10/O2: first 50 messages → normalized tokens with all-O skeleton."""
+    from .pipelines.labeling import labeling_sheet_batch
+
+    return kg.corpus_ds(sf_dir).limit(50).map_batches(
+        labeling_sheet_batch, batch_format="pyarrow")
+
+
+def q_conll_csv(sf_dir: str):
+    """S9: labeling loop → (message_id, message_text, labels_sequence)."""
+    from .pipelines.labeling import conll_csv_batch
+
+    return kg.corpus_ds(sf_dir).map_batches(conll_csv_batch,
+                                            batch_format="pyarrow")
+
+
+def q_corpus_summary(sf_dir: str):
+    """G5 summary statistics per channel: post counts, views, empty-text and
+    non-Amharic counts (native algebraic aggregates — combiner merge is
+    built in, shuffle moves one partial row per vendor per block)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    from .functions.normalize import preprocess_amharic_text
+
+    def flags(b: pa.Table) -> pa.Table:
+        texts = b["content"].to_pylist()
+        empty = [1 if preprocess_amharic_text(t) == "" else 0 for t in texts]
+        is_en = pc.cast(pc.equal(b["lang"], "en"), pa.int64())
+        return pa.table({
+            "repo": b["repo"],
+            "views": b["views"],
+            "is_empty": pa.array(empty, pa.int64()),
+            "is_en": is_en,
+        })
+
+    ds = kg.corpus_ds(sf_dir).map_batches(flags, batch_format="pyarrow")
+    agg = ds.groupby("repo").aggregate(
+        Count(alias_name="n_posts"),
+        Sum("views", alias_name="sum_views"),
+        Mean("views", alias_name="avg_views"),
+        Sum("is_empty", alias_name="n_empty_text"),
+        Sum("is_en", alias_name="n_en"),
+    )
+
+    def round_avg(b: pa.Table) -> pa.Table:
+        idx = b.schema.get_field_index("avg_views")
+        return b.set_column(idx, "avg_views", pc.round(b["avg_views"], 6))
+
+    return agg.map_batches(round_avg, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------- text analysis
 
 def q_langid(sf_dir: str):
@@ -196,6 +258,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
         "vendor_scorecard": q_scorecard,
+        # labeling / eval surface
+        "bio_tags": q_bio_tags,
+        "labeling_sheet": q_labeling_sheet,
+        "conll_csv": q_conll_csv,
+        "corpus_summary": q_corpus_summary,
         # text analysis
         "langid": q_langid,
         "token_counts": q_token_counts,
@@ -233,6 +300,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_nodes": oracles.kg_nodes_sql(),
         "kg_edges": oracles.kg_edges_sql(),
         "vendor_scorecard": oracles.scorecard_sql(),
+        "bio_tags": oracles.bio_tags_sql(),
+        "labeling_sheet": oracles.labeling_sheet_sql(50),
+        "conll_csv": oracles.conll_csv_sql(),
+        "corpus_summary": oracles.corpus_summary_sql(),
         "langid": oracles.langid_sql(),
         "token_counts": oracles.token_count_sql(),
         "doc_quality": oracles.quality_sql(),

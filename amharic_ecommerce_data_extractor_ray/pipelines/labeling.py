@@ -22,17 +22,90 @@ _TAGGER = HeuristicTagger()
 
 def prepare_labeling_sheet(messages_ds, out_path: str, *, num_messages: int = 50,
                            text_col: str = "content") -> int:
-    """S10/O2: ``ds.limit(n)`` → tokenize → CoNLL skeleton with all-O labels.
-    Returns the number of sentences written (driver-side write; the sheet is
-    small by construction)."""
+    """S10/O2: ``ds.limit(n)`` → normalize → tokenize → CoNLL skeleton with
+    all-O labels.  Returns the number of sentences written (driver-side write;
+    the sheet is small by construction).
+
+    The reference function is latently broken (passes a nonexistent
+    ``return_tokens`` kwarg, prepare_data_for_labeling.py:70); its evident
+    intent — preprocess then tokenize, as preprocess_dataframe does — is what
+    we implement."""
+    from ..functions.normalize import preprocess_amharic_text
+
     rows = messages_ds.limit(num_messages).select_columns([text_col]).take_all()
     sentences = []
     for r in rows:
-        toks = tokenize_amharic_text(r[text_col] or "")
+        toks = tokenize_amharic_text(preprocess_amharic_text(r[text_col]))
         if toks:
             sentences.append([(t, "O") for t in toks])
     write_conll(sentences, out_path)
     return len(sentences)
+
+
+def labeling_sheet_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+    """S10 as a flat table: one row per token — (message_id, tok_idx, token,
+    label='O').  Empty messages contribute no rows."""
+    from ..functions.normalize import preprocess_amharic_text
+
+    mids = batch["message_id"].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out_mid, out_idx, out_tok = [], [], []
+    for mid, t in zip(mids, texts):
+        for i, tok in enumerate(tokenize_amharic_text(preprocess_amharic_text(t))):
+            out_mid.append(mid)
+            out_idx.append(i)
+            out_tok.append(tok)
+    return pa.table({
+        "message_id": pa.array(out_mid, pa.int64()),
+        "tok_idx": pa.array(out_idx, pa.int64()),
+        "token": pa.array(out_tok, pa.string()),
+        "label": pa.array(["O"] * len(out_tok), pa.string()),
+    })
+
+
+def bio_tags_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+    """Pipeline-path BIO tags as a flat token table: (message_id, tok_idx,
+    token, label) via normalize → M9 tokenize → heuristic tag — the
+    token-level prediction table of the reference (model_evaluator.py:199-215)
+    without the blank-separator-row presentation artifact."""
+    from ..stages.enrich import _tag_row
+
+    mids = batch["message_id"].to_pylist()
+    texts = batch[text_col].to_pylist()
+    out_mid, out_idx, out_tok, out_lab = [], [], [], []
+    for mid, t in zip(mids, texts):
+        for i, (tok, lab) in enumerate(_tag_row(t)):
+            out_mid.append(mid)
+            out_idx.append(i)
+            out_tok.append(tok)
+            out_lab.append(lab)
+    return pa.table({
+        "message_id": pa.array(out_mid, pa.int64()),
+        "tok_idx": pa.array(out_idx, pa.int64()),
+        "token": pa.array(out_tok, pa.string()),
+        "label": pa.array(out_lab, pa.string()),
+    })
+
+
+def conll_csv_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+    """S9 (conll_to_csv_converter.py:13-52) over the labeling loop: each
+    non-empty message → (message_id, message_text, labels_sequence) with
+    space-joined M14 tokens / BIO labels."""
+    labeled = pseudo_label_batch(batch, text_col=text_col)
+    mids = labeled["message_id"].to_pylist()
+    toks = labeled["pl_tokens"].to_pylist()
+    labs = labeled["pl_labels"].to_pylist()
+    out_mid, out_text, out_labs = [], [], []
+    for mid, t, l in zip(mids, toks, labs):
+        if t:
+            out_mid.append(mid)
+            out_text.append(" ".join(t))
+            out_labs.append(" ".join(l))
+    return pa.table({
+        "message_id": pa.array(out_mid, pa.int64()),
+        "message_text": pa.array(out_text, pa.string()),
+        "labels_sequence": pa.array(out_labs, pa.string()),
+    })
 
 
 def pseudo_label_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
