@@ -65,8 +65,13 @@ def canonical_entities(triples_ds):
     per-group Python would dominate; the combiner already shrank the rows."""
     from ray.data.aggregate import Min, Sum
 
-    partials = triples_ds.map_batches(entity_partials_batch,
-                                      batch_format="pyarrow").repartition(16)
+    # materialize() between the heavy combiner map and the shuffle: with both
+    # in one plan, Ray's operator resource reservation starves the map stage
+    # (37.7 s → 13.3 s at 7 CPUs on the sf0.1 bench).  The partials are tiny
+    # (one row per distinct entity per block) and live in the object store.
+    partials = (triples_ds.map_batches(entity_partials_batch,
+                                       batch_format="pyarrow")
+                .materialize().repartition(16))
     merged = partials.groupby(["pred", "obj_norm"]).aggregate(
         Min("min_obj", alias_name="min_obj"),
         Sum("n_mentions", alias_name="n_mentions"))
@@ -109,8 +114,10 @@ def canonical_edges(triples_ds):
     dst the canonical entity node.  Native Sum merge (see canonical_entities)."""
     from ray.data.aggregate import Sum
 
-    partials = triples_ds.map_batches(edge_partials_batch,
-                                      batch_format="pyarrow").repartition(16)
+    # materialize() before the shuffle — same rationale as canonical_entities
+    partials = (triples_ds.map_batches(edge_partials_batch,
+                                       batch_format="pyarrow")
+                .materialize().repartition(16))
     merged = partials.groupby(["subj", "pred", "obj_norm"]).aggregate(
         Sum("weight", alias_name="weight"))
 
@@ -141,6 +148,7 @@ def vendor_nodes(corpus_ds):
 
     distinct = (corpus_ds.select_columns(["repo"])
                 .map_batches(partials, batch_format="pyarrow")
+                .materialize()  # end the map plan before the shuffle (see above)
                 .groupby("repo").aggregate(Count(alias_name="_n")))
 
     def to_nodes(b: pa.Table) -> pa.Table:

@@ -153,7 +153,12 @@ def minhash_lsh_pairs(docs_ds, *, text_col="text", id_col="doc_id",
     import ray
     from ray.data.aggregate import Count, Max
 
-    band_rows = docs_ds.map_batches(to_bands, batch_format="pyarrow")
+    # materialize: band_rows feeds TWO consumers (occupancy counts, then the
+    # hot-bucket pair search) — without it the shingle+minhash map runs twice;
+    # and ending the map plan before the shuffles avoids the operator-
+    # reservation starvation documented in stages/scorecard.py.
+    band_rows = docs_ds.map_batches(to_bands,
+                                    batch_format="pyarrow").materialize()
 
     # Hot-bucket prefilter: count bucket occupancy with a NATIVE aggregate
     # over (band_id, band_hash) only — at scale almost every bucket is a
@@ -249,7 +254,9 @@ def simhash_dedup(docs_ds, *, text_col="text", id_col="doc_id",
     import ray
     from ray.data.aggregate import Count
 
-    sigs = docs_ds.map_batches(sig_batch, batch_format="pyarrow")
+    # materialize: sigs feeds two consumers (block counts + pair search) —
+    # see minhash_lsh_pairs for the rationale
+    sigs = docs_ds.map_batches(sig_batch, batch_format="pyarrow").materialize()
     counts = (sigs.select_columns(["block"]).repartition(16)
               .groupby("block").aggregate(Count(alias_name="n")))
     hot_df = (counts.map_batches(
