@@ -55,3 +55,45 @@ def test_align_spans_to_tokens():
              {"start": 10, "end": 14, "entity_group": "LOC"}]
     assert align_spans_to_tokens(text, tokens, spans) == [
         ("ዋጋ", "O"), ("550", "B-PRICE"), ("ብር", "I-PRICE"), ("መገናኛ", "B-LOC")]
+
+
+def test_model_tagger_unavailable_raises_cleanly():
+    import pytest
+
+    from amharic_ecommerce_data_extractor_ray.functions.tagger import ModelTagger
+
+    with pytest.raises(NotImplementedError, match="HeuristicTagger"):
+        ModelTagger("/nonexistent/model")
+
+
+def test_stateful_tag_stage_actor_pool(ray_session):
+    """Actor-pool plumbing of the model-tagger stage shape: a stateful
+    callable CLASS via map_batches(Cls, concurrency=2) — init once per actor
+    (counted), batched __call__, same output schema as tag_batch."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    class FakeModelTagStage:
+        def __init__(self):
+            from amharic_ecommerce_data_extractor_ray.functions.tagger import HeuristicTagger
+
+            self.tagger = HeuristicTagger()  # stands in for weight loading
+            self.n_batches = 0
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            self.n_batches += 1
+            toks = batch["tokens"].to_pylist()
+            pairs = [self.tagger.tag(t or []) for t in toks]
+            return batch.append_column(
+                "tag_labels",
+                pa.array([[p[1] for p in pr] for pr in pairs],
+                         pa.list_(pa.string())))
+
+    rows = [{"message_id": i, "tokens": ["ዋጋ", "550", "ብር"]} for i in range(64)]
+    out = (rd.from_items(rows)
+           .map_batches(FakeModelTagStage, batch_size=8, concurrency=2,
+                        batch_format="pyarrow")
+           .to_pandas())
+    assert len(out) == 64
+    assert all(list(l) == ["B-PRICE", "I-PRICE", "I-PRICE"]
+               for l in out["tag_labels"])
