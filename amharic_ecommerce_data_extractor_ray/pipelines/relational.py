@@ -233,3 +233,66 @@ def hourly_event_windows(sf_dir: str):
     for c in ("sum_value", "min_value", "max_value"):
         pdf[c] = pdf[c].round(6)
     return pdf.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def suppliers_by_region(sf_dir: str):
+    """Two-level broadcast join over tiny dimension tables (supplier ⋈ nation
+    ⋈ region): nation→region maps are composed driver-side (25 + 5 rows),
+    shipped once via closure, looked up inside map_batches — no shuffle."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    region_by_rkey = dict(zip(reg["r_regionkey"].to_pylist(),
+                              reg["r_name"].to_pylist()))
+    region_by_nkey = {nk: region_by_rkey[rk]
+                      for nk, rk in zip(nat["n_nationkey"].to_pylist(),
+                                        nat["n_regionkey"].to_pylist())}
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def join_batch(b: pa.Table) -> pa.Table:
+        names = [region_by_nkey.get(k) for k in b["s_nationkey"].to_pylist()]
+        return b.append_column("r_name", pa.array(names, pa.string()))
+
+    out = (sup.map_batches(join_batch, batch_format="pyarrow")
+           .groupby("r_name")
+           .aggregate(Count(alias_name="n_suppliers"),
+                      Sum("s_acctbal", alias_name="sum_acctbal")))
+    pdf = out.to_pandas()
+    pdf["sum_acctbal"] = pdf["sum_acctbal"].round(2)
+    return pdf.sort_values("r_name").reset_index(drop=True)
+
+
+def revenue_by_brand(sf_dir: str):
+    """Fact-dim broadcast join at scale (lineitem ⋈ part): the part side is
+    small → ray.put once, per-batch array lookup; revenue aggregated with
+    native algebraic aggregates.  The 100 TB shape: dim broadcast beats a
+    shuffle join whenever the dim fits in the object store."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brand_by_key = dict(zip(part["p_partkey"].to_pylist(),
+                            part["p_brand"].to_pylist()))
+    ref = ray.put(brand_by_key)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def join_batch(b: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        brands = [lookup.get(k) for k in b["l_partkey"].to_pylist()]
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"p_brand": pa.array(brands, pa.string()),
+                         "revenue": rev})
+
+    out = (li.map_batches(join_batch, batch_format="pyarrow")
+           .groupby("p_brand")
+           .aggregate(Count(alias_name="n_lineitems"),
+                      Sum("revenue", alias_name="sum_revenue")))
+    pdf = out.to_pandas()
+    pdf["sum_revenue"] = pdf["sum_revenue"].round(2)
+    return pdf.sort_values("p_brand").reset_index(drop=True)
