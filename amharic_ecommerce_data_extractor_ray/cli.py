@@ -38,8 +38,8 @@ def _ensure_ray(num_cpus: int | None):
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="amharic_ecommerce_data_extractor_ray")
     ap.add_argument("--stage", required=True,
-                    choices=["make_corpus", "build_kg", "scorecard",
-                             "pseudo_label", "evaluate", "all"])
+                    choices=["make_corpus", "build_kg", "build_triples_sharded",
+                             "scorecard", "pseudo_label", "evaluate", "all"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001",
                     help="input tables directory (documents.parquet seed)")
     ap.add_argument("--corpus-dir", default="/tmp/aede_corpus")
@@ -47,6 +47,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--conll", default=None, help="CoNLL path for evaluate")
+    ap.add_argument("--shards", type=int, default=16,
+                    help="partition count for build_triples_sharded")
     args = ap.parse_args(argv)
 
     _ensure_ray(args.num_cpus)
@@ -65,6 +67,33 @@ def main(argv: list[str] | None = None) -> int:
             manifest = build_kg(args.sf_dir, args.out_dir)
             print(json.dumps({"stage": "build_kg",
                               "datasets": manifest["datasets"]}))
+        if args.stage == "build_triples_sharded":
+            # per-partition resumable triples build over a multi-file corpus
+            # (the 100 TB layout): crash anywhere → rerun redoes only the
+            # in-flight shard
+            import glob
+
+            import ray.data as rd
+
+            from .stages.enrich import fused_triples_batch
+            from .state.checkpoint import sharded_checkpointed_write
+
+            paths = sorted(glob.glob(f"{args.corpus_dir}/*.parquet"))
+
+            def make_ds(shard_paths):
+                return (rd.read_parquet(
+                            shard_paths,
+                            columns=["message_id", "repo", "content"])
+                        .map_batches(fused_triples_batch,
+                                     batch_format="pyarrow"))
+
+            m = sharded_checkpointed_write(
+                make_ds, paths, f"{args.out_dir}/triples_sharded",
+                n_shards=args.shards)
+            skipped = sum(1 for s in m["shards"].values() if s["skipped"])
+            print(json.dumps({"stage": "build_triples_sharded",
+                              "n_shards": m["n_shards"], "skipped": skipped,
+                              "rows": sum(s["rows"] for s in m["shards"].values())}))
         if args.stage == "scorecard":
             from .pipelines.kg import vendor_scorecard
 
