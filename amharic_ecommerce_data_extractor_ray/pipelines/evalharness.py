@@ -133,3 +133,11 @@ def evaluate_file(conll_path: str, tagger=None) -> dict:
     from ..sources.conll import conll_to_dataset
 
     return evaluate(conll_to_dataset(conll_path), tagger)
+
+
+def split_corpus(sentences_ds, *, test_size: float = 0.2, seed: int = 42):
+    """O5: seeded train/test split (the reference's train_test_split(0.2,
+    seed=42), ner_trainer.py:138) via ray.data.Dataset.train_test_split —
+    deterministic for a pinned seed."""
+    return sentences_ds.train_test_split(test_size=test_size, shuffle=True,
+                                         seed=seed)

@@ -85,3 +85,58 @@ def read_any(path: str):
     """Dispatch on the path's extension."""
     _, ext = os.path.splitext(path)
     return get_reader(ext)(path)
+
+
+def coerce_schema_batch(batch, *, text_cols=("repo", "path", "commit", "lang",
+                                             "content"),
+                        int_cols=("views",), date_cols=("message_date",),
+                        key_col="message_id"):
+    """M12/S5 defensive schema coercion as ONE map_batches stage (the
+    reference re-coerces per stage with pandas astype/fillna/to_numeric,
+    run_pipeline.py:89-99,220-234):
+
+    - text columns → string, null → ""
+    - int columns → int64, unparseable/null → 0
+    - date columns → date32, unparseable → null (errors='coerce')
+    - rows with a null key column are DROPPED (dropna(subset=[key]))
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = batch
+    if key_col in t.column_names:
+        t = t.filter(pc.is_valid(t[key_col]))
+    for c in text_cols:
+        if c in t.column_names:
+            col = pc.cast(t[c], pa.string())
+            col = pc.fill_null(col, "")
+            t = t.set_column(t.schema.get_field_index(c), c, col)
+    for c in int_cols:
+        if c in t.column_names:
+            try:
+                col = pc.cast(t[c], pa.int64())
+            except pa.ArrowInvalid:
+                vals = []
+                for v in t[c].to_pylist():
+                    try:
+                        vals.append(int(float(v)))
+                    except (TypeError, ValueError):
+                        vals.append(None)
+                col = pa.array(vals, pa.int64())
+            col = pc.fill_null(col, 0)
+            t = t.set_column(t.schema.get_field_index(c), c, col)
+    for c in date_cols:
+        if c in t.column_names:
+            if pa.types.is_date(t[c].type) or pa.types.is_timestamp(t[c].type):
+                continue
+            import datetime as dt
+
+            vals = []
+            for v in t[c].to_pylist():
+                try:
+                    vals.append(dt.date.fromisoformat(str(v)[:10]))
+                except (TypeError, ValueError):
+                    vals.append(None)
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pa.array(vals, pa.date32()))
+    return t

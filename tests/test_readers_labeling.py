@@ -71,3 +71,37 @@ def test_pseudo_label_to_conll(ray_session, tmp_path):
         ("መገናኛ", "B-LOC"), ("ዛም", "O"), ("ሞል", "B-LOC"),
         ("portable", "B-PRODUCT"), ("blender", "I-PRODUCT"),
         ("electric", "I-PRODUCT")]
+
+
+def test_coerce_schema_batch(ray_session):
+    import pyarrow as pa
+
+    from amharic_ecommerce_data_extractor_ray.sources.readers import coerce_schema_batch
+
+    t = pa.table({
+        "message_id": pa.array([1, None, 3], pa.int64()),
+        "content": pa.array(["a", None, "c"], pa.string()),
+        "views": pa.array(["10", "x", None], pa.string()),
+        "message_date": pa.array(["2024-01-02", "bogus", None], pa.string()),
+    })
+    out = coerce_schema_batch(t)
+    assert out.num_rows == 2  # null key dropped
+    assert out["content"].to_pylist() == ["a", "c"]
+    assert out["views"].to_pylist() == [10, 0]
+    import datetime as dt
+
+    assert out["message_date"].to_pylist() == [dt.date(2024, 1, 2), None]
+
+
+def test_seeded_split_deterministic(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.evalharness import split_corpus
+
+    items = [{"sentence_id": i} for i in range(100)]
+    a_train, a_test = split_corpus(rd.from_items(items))
+    b_train, b_test = split_corpus(rd.from_items(items))
+    a_ids = sorted(r["sentence_id"] for r in a_test.take_all())
+    b_ids = sorted(r["sentence_id"] for r in b_test.take_all())
+    assert len(a_ids) == 20
+    assert a_ids == b_ids  # same seed → same split
