@@ -1,0 +1,109 @@
+"""Explicit skew handling: salted two-phase groupby (north rule).
+
+The engine's first skew answer is the combiner pattern (per-batch partial
+aggregation — see stages/scorecard.py, stages/canonicalize.py): a mega-vendor
+owning 30% of all rows contributes one partial row per block, same as anyone
+else, so no salting is needed for algebraic aggregates.
+
+This module covers the remaining case: per-group computations that are
+mergeable but NOT expressible as per-batch combiners (e.g. a `map_groups`
+UDF that needs all of a group's *partial* state together, or when batches
+are too small for per-batch combining to shrink anything).  `salted_groupby`
+splits each hot key into `n_salts` sub-groups — `(key, hash(row) % S)` —
+aggregates the salted groups in parallel (phase 1 spreads a hot key over S
+reducers), then merges the S partials per key (phase 2, tiny).
+
+Reference context: the reference has no parallelism, so skew is a pure
+new-design concern (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+
+
+def add_salt_batch(batch, *, key_col: str, salt_col: str = "_salt",
+                   n_salts: int = 8, seed: int = 0):
+    """Append a deterministic salt column: hash of the row index within a
+    stable row-id column is NOT available in general, so salt derives from a
+    per-row hash of all key bytes + a cheap row counter — deterministic given
+    identical block contents."""
+    import pyarrow as pa
+
+    n = batch.num_rows
+    keys = batch[key_col].to_pylist()
+    salts = [(hash((seed, k, i)) & 0x7FFFFFFF) % n_salts
+             for i, k in enumerate(keys)]
+    return batch.append_column(salt_col, pa.array(salts, pa.int32()))
+
+
+def salted_groupby(ds, key_col: str, phase1: Callable[[pd.DataFrame], pd.DataFrame],
+                   phase2: Callable[[pd.DataFrame], pd.DataFrame],
+                   *, n_salts: int = 8, seed: int = 0):
+    """Two-phase salted aggregation.
+
+    - ``phase1(group_df) -> partial_df`` runs per ``(key, salt)`` group —
+      a hot key is processed by up to ``n_salts`` reducers in parallel.
+    - ``phase2(partials_df) -> row_df`` merges one key's partials.
+
+    Requirement: phase1's output must be mergeable by phase2 (the usual
+    algebraic contract).  Results are identical to an unsalted
+    ``groupby(key).map_groups(...)`` — pinned by tests/test_skew.py.
+    """
+    salted = ds.map_batches(
+        lambda b: add_salt_batch(b, key_col=key_col, n_salts=n_salts,
+                                 seed=seed),
+        batch_format="pyarrow")
+    partials = (salted.groupby([key_col, "_salt"])
+                .map_groups(phase1, batch_format="pandas"))
+    return (partials.materialize()  # end phase-1 plan before the next shuffle
+            .groupby(key_col)
+            .map_groups(phase2, batch_format="pandas"))
+
+
+def topk_phase1(k: int, value_col: str):
+    """Example mergeable pair: per-group top-k by value."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(k, value_col).drop(columns=["_salt"])
+
+    return fn
+
+
+def topk_phase2(k: int, value_col: str):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nlargest(k, value_col)
+
+    return fn
+
+
+def approx_quantile_phase1(value_col: str, max_sample: int = 4096,
+                           seed: int = 0):
+    """Mergeable quantile sketch (uniform reservoir per salted group)."""
+
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[value_col].to_numpy()
+        if len(vals) > max_sample:
+            rng = np.random.default_rng(seed)
+            vals = rng.choice(vals, max_sample, replace=False)
+        key_cols = [c for c in g.columns if c not in (value_col, "_salt")]
+        out = g.iloc[[0]][key_cols].copy()
+        out["_sample"] = [vals.tolist()]
+        out["_n"] = len(g)
+        return out
+
+    return fn
+
+
+def approx_quantile_phase2(value_col: str, q: float):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        allv = np.concatenate([np.asarray(s) for s in g["_sample"]])
+        out = g.iloc[[0]].drop(columns=["_sample", "_n"]).copy()
+        out[f"{value_col}_q{int(q * 100)}"] = float(np.quantile(allv, q))
+        out["n"] = int(g["_n"].sum())
+        return out
+
+    return fn

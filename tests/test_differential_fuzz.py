@@ -1,0 +1,88 @@
+"""Differential fuzzing vs the EXECUTED reference implementation.
+
+Property-based parity: on randomized strings drawn from the full trouble
+alphabet (fidel variants, Geez numerals, Ethiopic punctuation, URLs,
+mentions, hashtags, emoji, digits glued to words), the engine's normalize /
+tokenize / tagger must agree byte-for-byte with the reference functions at
+/root/reference.  This extends the 12-template goldens to an open input
+space."""
+
+import os
+import sys
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "src")),
+                                reason="reference repo not present")
+
+
+def _ref_funcs():
+    sys.path.insert(0, REF)
+    try:
+        from src.data_labeling.pseudo_labeler import (pseudo_label_message,
+                                                      tokenize_amharic_message)
+        from src.data_preprocessing.text_preprocessor import (
+            preprocess_amharic_text, tokenize_amharic_text)
+    finally:
+        sys.path.remove(REF)
+    return (preprocess_amharic_text, tokenize_amharic_text,
+            tokenize_amharic_message, pseudo_label_message)
+
+
+(REF_NORM, REF_TOK, REF_M14, REF_TAG) = _ref_funcs()
+
+# Alphabet chosen to fire every normalize rule and tagger rule.
+ATOMS = st.sampled_from([
+    "ሐ", "ኂ", "ሣ", "ዔ", "ጺ", "ሃ", "ኋ", "ፅ", "ሀ", "ለ", "መ", "ቤት",   # fidel
+    "፩", "፪", "፻", "፼", "፲", "፰፻",                                    # Geez
+    "።", "፣", "፤", "፧", "፡", "፦", "!", "?", ".", ",", ":", "-", ";",   # punct
+    "ዋጋ", "ዋጋ፦", "ብር", "birr", "ETB", "550", "1,200", "3.5",          # price
+    "መገናኛ", "ሞል", "ፎቅ", "ቢሮ", "ቁ.2", "ለቡ",                        # location
+    "blender", "stove", "silicon", "ማሽን", "እቃ", "ምርጥ",               # product
+    "@Vendor1", "#ቅናሽ", "#new_item", "https://t.me/x", "www.a.com",
+    "😊", "🔥", "½", "É",                                               # strip
+    "500ብር", "10x45", "0911234567", "+2519",
+    " ", "  ", "\t", "\n", "",
+])
+TEXTS = st.lists(ATOMS, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTS)
+def test_normalize_tokenize_parity(text):
+    from amharic_ecommerce_data_extractor_ray.functions.normalize import preprocess_amharic_text
+    from amharic_ecommerce_data_extractor_ray.functions.tokenize import tokenize_amharic_text
+
+    ref_n = REF_NORM(text, remove_stopwords=False)
+    assert preprocess_amharic_text(text, False) == ref_n
+    assert tokenize_amharic_text(ref_n) == REF_TOK(ref_n)
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTS)
+def test_stopword_variant_parity(text):
+    from amharic_ecommerce_data_extractor_ray.functions.normalize import preprocess_amharic_text
+
+    assert (preprocess_amharic_text(text, True)
+            == REF_NORM(text, remove_stopwords=True))
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTS)
+def test_tagger_parity(text):
+    from amharic_ecommerce_data_extractor_ray.functions.tagger import HeuristicTagger
+    from amharic_ecommerce_data_extractor_ray.functions.tokenize import (
+        tokenize_amharic_message, tokenize_amharic_text)
+
+    # pipeline path: M9 tokens
+    toks = REF_TOK(REF_NORM(text, remove_stopwords=False))
+    ref = [(d["text"], d["label"]) for d in REF_TAG(toks)]
+    assert HeuristicTagger().tag(toks) == ref
+    # labeling path: M14 tokens over whitespace-cleaned raw
+    cleaned = " ".join(text.split())
+    assert tokenize_amharic_message(cleaned) == REF_M14(cleaned)
+    m14_toks = REF_M14(cleaned)
+    ref14 = [(d["text"], d["label"]) for d in REF_TAG(m14_toks)]
+    assert HeuristicTagger().tag(m14_toks) == ref14
