@@ -74,7 +74,11 @@ def build_kg(sf_dir: str, out_dir: str) -> dict:
     """Materialize the knowledge graph: partitioned Parquet triples/nodes/edges
     + vendor scorecard, with a per-run manifest (lineage + metrics).
 
-    Returns the manifest dict.  Resumability is provided by
+    The expensive normalize→tag pass runs ONCE: the per-message entities
+    table (WITHOUT ``content`` — entity lists + metadata + sha only, so the
+    stage boundary stays small even when content dominates the corpus) is the
+    first checkpoint; triples are a cheap explode of it, canonicalization and
+    the scorecard read the stored boundaries.  Resumability is provided by
     state.checkpoint.checkpointed_write (skip-if-manifest-complete).
     """
     from ..state.checkpoint import (_input_fingerprint, checkpointed_write,
@@ -85,15 +89,29 @@ def build_kg(sf_dir: str, out_dir: str) -> dict:
     from ..stages.canonicalize import canonical_edges as c_edges
     from ..stages.canonicalize import canonical_entities as c_entities
     from ..stages.canonicalize import vendor_nodes as v_nodes
+    from ..stages.enrich import triples_from_entities_batch
+    from ..stages.scorecard import (finalize_scorecard, merge_partials_group,
+                                    scorecard_partials_batch)
 
     fp = _input_fingerprint(sf_dir)
     stats = {}
-    stats["triples"] = checkpointed_write(
-        triples_ds(sf_dir), f"{out_dir}/triples", partition_on="pred",
-        fingerprint=fp)
 
-    # canonicalization reads the materialized triples (stage boundary) instead
-    # of re-running the normalize→tag chain per consumer
+    ENTITY_COLS = ["message_id", "repo", "views", "message_date",
+                   "content_sha256", "products", "prices", "locations",
+                   "contact_info", "all_numerical_prices"]
+    stats["messages"] = checkpointed_write(
+        messages_with_entities(sf_dir).select_columns(ENTITY_COLS),
+        f"{out_dir}/messages", fingerprint=fp)
+
+    def stored_messages():
+        return rd.read_parquet(f"{out_dir}/messages")
+
+    stats["triples"] = checkpointed_write(
+        stored_messages().map_batches(triples_from_entities_batch,
+                                      batch_format="pyarrow",
+                                      batch_size=DEFAULT_BATCH),
+        f"{out_dir}/triples", partition_on="pred", fingerprint=fp)
+
     def stored_triples():
         return rd.read_parquet(f"{out_dir}/triples")
 
@@ -103,7 +121,14 @@ def build_kg(sf_dir: str, out_dir: str) -> dict:
     stats["edges"] = checkpointed_write(
         c_edges(stored_triples()), f"{out_dir}/edges", partition_on="pred",
         fingerprint=fp)
-    sc = vendor_scorecard(sf_dir)
+
+    # scorecard over the stored entities table — no re-tagging
+    merged = (stored_messages()
+              .map_batches(scorecard_partials_batch, batch_format="pyarrow")
+              .materialize()
+              .groupby("repo").map_groups(merge_partials_group,
+                                          batch_format="pandas"))
+    sc = finalize_scorecard(merged.to_pandas())
     sc_table = pa.Table.from_pandas(sc, preserve_index=False)
     import pyarrow.parquet as pq
     import os

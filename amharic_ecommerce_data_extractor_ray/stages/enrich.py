@@ -183,6 +183,8 @@ def fused_entities_batch(batch: pa.Table) -> pa.Table:
     output matches ``enrich_batch → tag_batch → entities_batch`` minus the
     intermediate text/token columns the scorecard never reads."""
     texts = batch["content"].to_pylist()
+    sha = [hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts]
+    batch = batch.append_column("content_sha256", pa.array(sha, pa.string()))
     buckets: dict[str, list[list[str]]] = {
         "PRODUCT": [], "PRICE": [], "LOC": [], "CONTACT_INFO": []}
     numeric_prices: list[list[float]] = []
@@ -205,6 +207,51 @@ def fused_entities_batch(batch: pa.Table) -> pa.Table:
         .append_column("all_numerical_prices",
                        pa.array(numeric_prices, pa.list_(pa.float64())))
     )
+
+
+def triples_from_entities_batch(batch: pa.Table) -> pa.Table:
+    """Entity-list columns (fused_entities_batch output) → flat triple rows.
+
+    The cheap derivation used when the tagged/entities table is already a
+    persisted stage boundary (pipelines.kg.build_kg): the expensive
+    normalize→tag pass runs ONCE, and triples / scorecard both read its
+    output.  Produces the same multiset of rows as ``fused_triples_batch``
+    (per-message ordering groups by entity type instead of scan order —
+    irrelevant, the triple table is keyed, not ordered)."""
+    mids = batch["message_id"].to_pylist()
+    repos = batch["repo"].to_pylist()
+    shas = batch["content_sha256"].to_pylist()
+    by_type = {etype: batch[col].to_pylist()
+               for etype, col in (("PRODUCT", "products"), ("PRICE", "prices"),
+                                  ("LOC", "locations"),
+                                  ("CONTACT_INFO", "contact_info"))}
+
+    out_mid, out_subj, out_pred = [], [], []
+    out_obj, out_norm, out_price, out_sha = [], [], [], []
+    for i, (mid, repo, sha) in enumerate(zip(mids, repos, shas)):
+        for etype, col in by_type.items():
+            pred = PRED_BY_TYPE[etype]
+            for surface in col[i] or []:
+                price: float | None = None
+                if etype == "PRICE":
+                    v = extract_numerical_price([surface])
+                    price = None if is_nan(v) else v
+                out_mid.append(mid)
+                out_subj.append(repo)
+                out_pred.append(pred)
+                out_obj.append(surface)
+                out_norm.append(" ".join(surface.lower().split()))
+                out_price.append(price)
+                out_sha.append(sha)
+    return pa.table({
+        "message_id": pa.array(out_mid, pa.int64()),
+        "subj": pa.array(out_subj, pa.string()),
+        "pred": pa.array(out_pred, pa.string()),
+        "obj": pa.array(out_obj, pa.string()),
+        "obj_norm": pa.array(out_norm, pa.string()),
+        "price_value": pa.array(out_price, pa.float64()),
+        "content_sha256": pa.array(out_sha, pa.string()),
+    })
 
 
 def triples_batch(batch: pa.Table) -> pa.Table:

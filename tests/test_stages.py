@@ -86,3 +86,24 @@ def test_fused_kernels_match_staged_chain(ray_session):
     for col in ("products", "prices", "locations", "contact_info",
                 "all_numerical_prices"):
         assert fused_en[col].to_pylist() == staged_en[col].to_pylist()
+
+
+def test_triples_from_entities_matches_fused(ray_session):
+    """Deriving triples from the entities stage boundary yields the same
+    multiset of rows as the direct fused kernel (per-message order may group
+    by type — the table is keyed, not ordered)."""
+    import pyarrow as pa
+
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+    from amharic_ecommerce_data_extractor_ray.stages.enrich import (
+        fused_entities_batch, fused_triples_batch, triples_from_entities_batch)
+
+    tbl = pa.table(kg.corpus_ds(SF).take_batch(300, batch_format="pyarrow"))
+    direct = fused_triples_batch(tbl).to_pandas()
+    derived = triples_from_entities_batch(fused_entities_batch(tbl)).to_pandas()
+    key = ["message_id", "subj", "pred", "obj", "obj_norm", "content_sha256"]
+    canon = lambda df: (df.sort_values(key).reset_index(drop=True)
+                        [key + ["price_value"]])
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(canon(direct), canon(derived))
