@@ -68,13 +68,13 @@ def bio_tags_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
     token, label) via normalize → M9 tokenize → heuristic tag — the
     token-level prediction table of the reference (model_evaluator.py:199-215)
     without the blank-separator-row presentation artifact."""
-    from ..stages.enrich import _tag_row
+    from ..stages.enrich import _tag_rows
 
     mids = batch["message_id"].to_pylist()
     texts = batch[text_col].to_pylist()
     out_mid, out_idx, out_tok, out_lab = [], [], [], []
-    for mid, t in zip(mids, texts):
-        for i, (tok, lab) in enumerate(_tag_row(t)):
+    for mid, pairs in zip(mids, _tag_rows(texts)):
+        for i, (tok, lab) in enumerate(pairs):
             out_mid.append(mid)
             out_idx.append(i)
             out_tok.append(tok)

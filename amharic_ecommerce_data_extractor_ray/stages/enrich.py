@@ -26,22 +26,40 @@ _TAGGER = HeuristicTagger()
 TOKENS_TYPE = pa.list_(pa.string())
 
 
+def _nfc(texts: list) -> list[str]:
+    import unicodedata
+
+    return [unicodedata.normalize("NFC", t) if t else "" for t in texts]
+
+
 def enrich_batch(batch: pa.Table, *, remove_stopwords: bool = False) -> pa.Table:
     """content → + content_sha256, preprocessed_text, tokens.
 
     The sha256 is computed on the RAW content and carried through every
     downstream stage unchanged (per-row invariant, BASELINE.json input_hint).
     Empty/None text keeps its row (M13 notebook semantics: keep row, empty
-    results downstream).
+    results downstream).  The default (no-stopword) path runs on the Arrow
+    re2 kernels (functions/normalize_vec — 2-3× the scalar throughput, exact
+    parity pinned by fuzz tests); the stopword variant stays scalar.
     """
+    from ..functions.normalize_vec import (normalize_array_post_nfc,
+                                           tokenize_prepare_array,
+                                           tokens_from_prepared)
+
     texts = batch["content"].to_pylist()
     sha = [hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts]
-    norm = [preprocess_amharic_text(t, remove_stopwords) for t in texts]
-    toks = [tokenize_amharic_text(n) for n in norm]
+    if remove_stopwords:
+        norm = [preprocess_amharic_text(t, True) for t in texts]
+        toks = [tokenize_amharic_text(n) for n in norm]
+        norm_arr = pa.array(norm, pa.string())
+    else:
+        norm_arr = normalize_array_post_nfc(pa.array(_nfc(texts), pa.string()))
+        prepared = tokenize_prepare_array(norm_arr).to_pylist()
+        toks = [tokens_from_prepared(p) for p in prepared]
     return (
         batch
         .append_column("content_sha256", pa.array(sha, pa.string()))
-        .append_column("preprocessed_text", pa.array(norm, pa.string()))
+        .append_column("preprocessed_text", norm_arr)
         .append_column("tokens", pa.array(toks, TOKENS_TYPE))
     )
 
@@ -127,6 +145,20 @@ def _tag_row(text: str | None) -> list[tuple[str, str]]:
     return _TAGGER.tag(tokenize_amharic_text(norm))
 
 
+def _tag_rows(texts: list) -> list[list[tuple[str, str]]]:
+    """Batch variant of _tag_row: normalize + tokenize-prepare run as Arrow
+    re2 kernels over the whole column; only the final split and the rule
+    tagger touch Python objects.  Parity with the scalar path is pinned by
+    tests/test_differential_fuzz.py."""
+    from ..functions.normalize_vec import (normalize_array_post_nfc,
+                                           tokenize_prepare_array,
+                                           tokens_from_prepared)
+
+    norm = normalize_array_post_nfc(pa.array(_nfc(texts), pa.string()))
+    prepared = tokenize_prepare_array(norm).to_pylist()
+    return [_TAGGER.tag(tokens_from_prepared(p)) for p in prepared]
+
+
 def fused_triples_batch(batch: pa.Table) -> pa.Table:
     """content → triples in ONE pass per row.
 
@@ -142,6 +174,7 @@ def fused_triples_batch(batch: pa.Table) -> pa.Table:
     repos = batch["repo"].to_pylist()
     texts = batch["content"].to_pylist()
 
+    tagged = _tag_rows(texts)
     out_mid: list[int] = []
     out_subj: list[str] = []
     out_pred: list[str] = []
@@ -149,9 +182,9 @@ def fused_triples_batch(batch: pa.Table) -> pa.Table:
     out_norm: list[str] = []
     out_price: list[float | None] = []
     out_sha: list[str] = []
-    for mid, repo, text in zip(mids, repos, texts):
+    for mid, repo, text, pairs in zip(mids, repos, texts, tagged):
         sha = hashlib.sha256((text or "").encode("utf-8")).hexdigest()
-        for etype, surface in decode_entities(_tag_row(text)):
+        for etype, surface in decode_entities(pairs):
             pred = PRED_BY_TYPE.get(etype)
             if pred is None:
                 continue
@@ -188,8 +221,8 @@ def fused_entities_batch(batch: pa.Table) -> pa.Table:
     buckets: dict[str, list[list[str]]] = {
         "PRODUCT": [], "PRICE": [], "LOC": [], "CONTACT_INFO": []}
     numeric_prices: list[list[float]] = []
-    for text in texts:
-        ents = decode_entities(_tag_row(text))
+    for pairs in _tag_rows(texts):
+        ents = decode_entities(pairs)
         row: dict[str, list[str]] = {k: [] for k in buckets}
         for etype, surface in ents:
             if etype in row:

@@ -86,3 +86,20 @@ def test_tagger_parity(text):
     m14_toks = REF_M14(cleaned)
     ref14 = [(d["text"], d["label"]) for d in REF_TAG(m14_toks)]
     assert HeuristicTagger().tag(m14_toks) == ref14
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=8))
+def test_vectorized_normalize_tokenize_parity(texts):
+    """The Arrow re2 kernel path (functions/normalize_vec) is bit-identical
+    to the scalar chain — and therefore to the reference — column-wise."""
+    import pyarrow as pa
+
+    from amharic_ecommerce_data_extractor_ray.functions.normalize_vec import (
+        normalize_array, tokenize_prepare_array, tokens_from_prepared)
+
+    vec_norm = normalize_array(pa.array(texts, pa.string())).to_pylist()
+    assert vec_norm == [REF_NORM(t, remove_stopwords=False) for t in texts]
+    prepared = tokenize_prepare_array(pa.array(vec_norm, pa.string())).to_pylist()
+    assert ([tokens_from_prepared(p) for p in prepared]
+            == [REF_TOK(n) for n in vec_norm])
