@@ -79,12 +79,23 @@ PRED_BY_TYPE = {
 }
 
 
+# single-scan alternation ≡ any(kw in tok for kw in LOCATION_KEYWORDS)
+_LOC_RX = re.compile("|".join(re.escape(k) for k in LOCATION_KEYWORDS))
+
+_PRODUCT_WORDS = ENGLISH_PRODUCT_INDICATORS | AMHARIC_PRODUCT_INDICATORS
+
+
 def _is_location_like(tok: str) -> bool:
-    return any(kw in tok for kw in LOCATION_KEYWORDS)
+    return _LOC_RX.search(tok) is not None
 
 
 def _is_product_word(low: str) -> bool:
-    return low in ENGLISH_PRODUCT_INDICATORS or low in AMHARIC_PRODUCT_INDICATORS
+    return low in _PRODUCT_WORDS
+
+
+def _numeric(tok: str) -> bool:
+    # ^\d[\d,\.]*$ with a cheap first-char pre-test (most tokens fail here)
+    return bool(tok) and tok[0].isdigit() and NUMERIC.match(tok) is not None
 
 
 class HeuristicTagger:
@@ -93,13 +104,14 @@ class HeuristicTagger:
     def tag(self, tokens: list[str]) -> list[tuple[str, str]]:
         out: list[tuple[str, str]] = []
         n = len(tokens)
+        lows = [t.lower() for t in tokens]
         i = 0
         while i < n:
             tok = tokens[i]
-            low = tok.lower()
+            low = lows[i]
 
             # price: "<number> ብር" pair
-            if NUMERIC.match(tok) and i + 1 < n and tokens[i + 1].lower() == "ብር":
+            if _numeric(tok) and i + 1 < n and lows[i + 1] == "ብር":
                 out.append((tok, "B-PRICE"))
                 out.append((tokens[i + 1], "I-PRICE"))
                 i += 2
@@ -110,7 +122,7 @@ class HeuristicTagger:
                 for piece in _NUM_SPLIT.split(tok):
                     if not piece:
                         continue
-                    if NUMERIC.match(piece):
+                    if _numeric(piece):
                         # B- when the running sequence is empty or last label O
                         if not out or out[-1][1] == "O":
                             out.append((piece, "B-PRICE"))
@@ -127,10 +139,10 @@ class HeuristicTagger:
             if low in PRICE_TRIGGERS:
                 out.append((tok, "B-PRICE"))
                 i += 1
-                if i < n and NUMERIC.match(tokens[i]):
+                if i < n and _numeric(tokens[i]):
                     out.append((tokens[i], "I-PRICE"))
                     i += 1
-                    if i < n and tokens[i].lower() == "ብር":
+                    if i < n and lows[i] == "ብር":
                         out.append((tokens[i], "I-PRICE"))
                         i += 1
                 continue
@@ -140,8 +152,8 @@ class HeuristicTagger:
                 j = i
                 while j < n and (
                     _is_location_like(tokens[j])
-                    or NUMERIC.match(tokens[j])
-                    or tokens[j].lower() in LOCATION_CONTEXT
+                    or _numeric(tokens[j])
+                    or lows[j] in LOCATION_CONTEXT
                 ):
                     j += 1
                 out.append((tokens[i], "B-LOC"))
@@ -153,10 +165,10 @@ class HeuristicTagger:
             if _is_product_word(low):
                 j = i + 1
                 while j < n:
-                    nxt = tokens[j].lower()
+                    nxt = lows[j]
                     if (
                         _is_product_word(nxt)
-                        or NUMERIC.match(tokens[j])
+                        or _numeric(tokens[j])
                         or nxt in PRODUCT_DESCRIPTORS
                     ):
                         j += 1
