@@ -58,7 +58,9 @@ def triples_ds(sf_dir: str):
 
 
 def vendor_scorecard(sf_dir: str):
-    return scorecard_from_messages(messages_with_entities(sf_dir))
+    from ..stages.scorecard import scorecard_from_corpus
+
+    return scorecard_from_corpus(corpus_ds(sf_dir))
 
 
 def kg_nodes(sf_dir: str):

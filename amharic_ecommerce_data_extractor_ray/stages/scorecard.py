@@ -98,6 +98,70 @@ def scorecard_partials_batch(batch: pa.Table) -> pa.Table:
     }, schema=_PARTIAL_SCHEMA)
 
 
+def fused_scorecard_partials_batch(batch: pa.Table) -> pa.Table:
+    """content → tag → entities → per-vendor partials in ONE kernel, with no
+    intermediate entity list columns (same fusion rationale as
+    enrich.fused_triples_batch: the avoided Arrow list-column allocation is
+    what scales).  Output ≡ ``fused_entities_batch → scorecard_partials_batch``
+    (differential test in tests/test_scorecard.py)."""
+    from ..functions.prices import extract_numerical_price, is_nan
+    from ..functions.tagger import decode_entities
+    from ..stages.enrich import _tag_rows
+
+    repos = batch["repo"].to_pylist()
+    views = batch["views"].to_pylist()
+    dates = batch["message_date"].to_pylist()
+    mids = batch["message_id"].to_pylist()
+    tagged = _tag_rows(batch["content"].to_pylist())
+
+    acc: dict[str, dict] = {}
+    for repo, v, d, mid, pairs in zip(repos, views, dates, mids, tagged):
+        prods: list[str] = []
+        prices: list[float] = []
+        for etype, surface in decode_entities(pairs):
+            if etype == "PRODUCT":
+                prods.append(surface)
+            elif etype == "PRICE":
+                val = extract_numerical_price([surface])
+                if not is_nan(val):
+                    prices.append(val)
+        a = acc.get(repo)
+        if a is None:
+            a = acc[repo] = {
+                "n": 0, "sv": 0, "mind": d, "maxd": d,
+                "sp": 0.0, "np": 0,
+                "bv": None, "bmid": None, "bprod": None, "bprice": None,
+            }
+        a["n"] += 1
+        a["sv"] += v
+        if d < a["mind"]:
+            a["mind"] = d
+        if d > a["maxd"]:
+            a["maxd"] = d
+        for p in prices:
+            a["sp"] += p
+            a["np"] += 1
+        if a["bv"] is None or v > a["bv"] or (v == a["bv"] and mid < a["bmid"]):
+            a["bv"], a["bmid"] = v, mid
+            a["bprod"] = prods[0] if prods else None
+            a["bprice"] = prices[0] if prices else None
+
+    keys = sorted(acc)
+    return pa.table({
+        "repo": keys,
+        "n_posts": [acc[k]["n"] for k in keys],
+        "sum_views": [acc[k]["sv"] for k in keys],
+        "min_date": [acc[k]["mind"] for k in keys],
+        "max_date": [acc[k]["maxd"] for k in keys],
+        "sum_price": [acc[k]["sp"] for k in keys],
+        "n_price": [acc[k]["np"] for k in keys],
+        "best_views": [acc[k]["bv"] for k in keys],
+        "best_mid": [acc[k]["bmid"] for k in keys],
+        "best_product": [acc[k]["bprod"] for k in keys],
+        "best_price": [acc[k]["bprice"] for k in keys],
+    }, schema=_PARTIAL_SCHEMA)
+
+
 def merge_partials_group(g: pd.DataFrame) -> pd.DataFrame:
     """Merge the per-batch partials of one vendor into one row."""
     best = g.sort_values(["best_views", "best_mid"],
@@ -175,6 +239,22 @@ def scorecard_from_messages(messages_ds) -> pd.DataFrame:
     driver), so this is safe for millions of vendors."""
     partials = messages_ds.map_batches(scorecard_partials_batch,
                                        batch_format="pyarrow").materialize()
+    merged = partials.groupby("repo").map_groups(merge_partials_group,
+                                                 batch_format="pandas")
+    return finalize_scorecard(merged.to_pandas())
+
+
+SCORECARD_INPUT_COLS = ["message_id", "repo", "content", "views",
+                        "message_date"]
+
+
+def scorecard_from_corpus(corpus_ds) -> pd.DataFrame:
+    """Scorecard straight from the raw corpus via the fully-fused kernel —
+    the fast path when no entities stage boundary exists yet."""
+    partials = (corpus_ds.select_columns(SCORECARD_INPUT_COLS)
+                .map_batches(fused_scorecard_partials_batch,
+                             batch_format="pyarrow")
+                .materialize())
     merged = partials.groupby("repo").map_groups(merge_partials_group,
                                                  batch_format="pandas")
     return finalize_scorecard(merged.to_pandas())

@@ -60,9 +60,10 @@ def run_bench() -> dict:
     from amharic_ecommerce_data_extractor_ray.stages import dedup, similarity
     from amharic_ecommerce_data_extractor_ray.stages.canonicalize import (canonical_edges,
                                                         canonical_entities)
-    from amharic_ecommerce_data_extractor_ray.stages.enrich import (
-        fused_entities_batch, fused_triples_batch)
-    from amharic_ecommerce_data_extractor_ray.stages.scorecard import scorecard_from_messages
+    from amharic_ecommerce_data_extractor_ray.stages.enrich import fused_triples_batch
+    from amharic_ecommerce_data_extractor_ray.stages.scorecard import (
+        fused_scorecard_partials_batch, finalize_scorecard,
+        merge_partials_group)
 
     n_rows = corpus_rows()
     corpus_dir = ensure_corpus(n_rows)
@@ -118,12 +119,16 @@ def run_bench() -> dict:
         n_nodes = canonical_entities(stored()).count()
         n_edges = canonical_edges(stored()).count()
 
-    # q3: vendor scorecard — prune to the five columns it needs at the read
+    # q3: vendor scorecard — fully-fused partials kernel, pruned read
     SCORECARD_COLS = ["message_id", "repo", "content", "views", "message_date"]
     with timed("vendor_scorecard"):
-        msgs = corpus(SCORECARD_COLS).map_batches(
-            fused_entities_batch, batch_format="pyarrow", batch_size=8192)
-        sc = scorecard_from_messages(msgs)
+        partials = (corpus(SCORECARD_COLS)
+                    .map_batches(fused_scorecard_partials_batch,
+                                 batch_format="pyarrow", batch_size=8192)
+                    .materialize())
+        merged = partials.groupby("repo").map_groups(merge_partials_group,
+                                                     batch_format="pandas")
+        sc = finalize_scorecard(merged.to_pandas())
 
     # q4: dedup (MinHash LSH over sf documents)
     with timed("dedup_minhash"):

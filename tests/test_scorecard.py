@@ -87,3 +87,18 @@ def test_single_post_vendor_ppw_is_seven():
     out = _run([("v", dt.date(2024, 3, 3), 10, [], [], 0)])
     assert out.iloc[0]["posts_per_week"] == pytest.approx(7.0)
     assert out.iloc[0]["date_range_days"] == 1
+
+
+def test_fused_scorecard_partials_match_staged(ray_session):
+    import pyarrow as pa
+
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+    from amharic_ecommerce_data_extractor_ray.stages.enrich import fused_entities_batch
+    from amharic_ecommerce_data_extractor_ray.stages.scorecard import (
+        fused_scorecard_partials_batch, scorecard_partials_batch)
+
+    tbl = pa.table(kg.corpus_ds("/root/testdata/sf0.001")
+                   .take_batch(300, batch_format="pyarrow"))
+    staged = scorecard_partials_batch(fused_entities_batch(tbl))
+    fused = fused_scorecard_partials_batch(tbl)
+    assert fused.equals(staged)
