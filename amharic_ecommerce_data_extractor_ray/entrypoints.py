@@ -56,6 +56,16 @@ def q_normalize(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def q_normalize_stopwords(sf_dir: str):
+    """M8: the stopword-removal normalize variant (off by default in the
+    pipeline; exposed as its own operator)."""
+    ds = kg.corpus_ds(sf_dir).map_batches(
+        lambda b: enrich_batch(b, remove_stopwords=True),
+        batch_format="pyarrow")
+    return ds.select_columns(["message_id", "content_sha256",
+                              "preprocessed_text"])
+
+
 def q_triples(sf_dir: str):
     ds = kg.triples_ds(sf_dir)
     return ds.select_columns(["message_id", "subj", "pred", "obj", "obj_norm",
@@ -225,6 +235,13 @@ def q_similarity_topk(sf_dir: str):
     return similarity.brute_force_topk(emb, SIM_QUERY_IDS, k=SIM_K)
 
 
+def q_similarity_ivf(sf_dir: str):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, SIM_QUERY_IDS, k=SIM_K)
+
+
 def q_similarity_lsh(sf_dir: str):
     import ray.data as rd
 
@@ -237,6 +254,13 @@ def q_similarity_lsh(sf_dir: str):
 def q_multimodal_meta(sf_dir: str):
     ds = multimodal.decode_pipeline(kg.corpus_ds(sf_dir))
     return ds.select_columns(["message_id", "n_bytes", "media_type"])
+
+
+def q_multimodal_frames(sf_dir: str):
+    """Video frame-sampling plumbing (deterministic fake decode; rows-only
+    check — the frame features are hash-derived, not SQL-expressible)."""
+    ds = multimodal.frame_sample_pipeline(kg.corpus_ds(sf_dir))
+    return ds.select_columns(["message_id", "frame_idx"])
 
 
 # ------------------------------------------------------------ public surface
@@ -254,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship KG pipeline
         "corpus": q_corpus,
         "normalize": q_normalize,
+        "normalize_stopwords": q_normalize_stopwords,
         "triples": q_triples,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
@@ -277,8 +302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "similarity_topk": q_similarity_topk,
         "similarity_lsh": q_similarity_lsh,
+        "similarity_ivf": q_similarity_ivf,
         # multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_frames": q_multimodal_frames,
         # relational operator coverage
         "rel_filter_project": relational.filter_project_revenue,
         "rel_pricing_summary": relational.pricing_summary,
@@ -298,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "corpus": oracles.corpus_sql(),
         "normalize": oracles.normalize_sql(),
+        "normalize_stopwords": oracles.normalize_stopwords_sql(),
         "triples": oracles.triples_sql(),
         "kg_nodes": oracles.kg_nodes_sql(),
         "kg_edges": oracles.kg_edges_sql(),

@@ -79,3 +79,55 @@ def decode_pipeline(ds, *, concurrency: int = 2, batch_size: int = 256):
             .map_batches(attach_payload_batch, batch_format="pyarrow")
             .map_batches(DecodeStage, batch_format="pyarrow",
                          batch_size=batch_size, concurrency=concurrency))
+
+
+class FrameSampleStage:
+    """Actor-pool frame-sampling stage for video payloads.
+
+    Real frame extraction needs ffmpeg/cv2 (absent here) — the deterministic
+    fake derives ``n_frames`` from the payload hash and emits one feature
+    vector per sampled frame (every ``stride``-th).  The production-relevant
+    parts are real: actor init-once, small batch sizes for wide rows, and the
+    output layout (one row per SAMPLED FRAME via a flat explode — the shape a
+    downstream embedding/train stage consumes)."""
+
+    def __init__(self, stride: int = 5):
+        self.stride = stride
+        self._hasher = hashlib.sha256
+
+    def _frames(self, payload: bytes) -> list[tuple[int, list[float]]]:
+        if DECODED_LIBS_AVAILABLE:  # pragma: no cover
+            raise NotImplementedError("real frame extraction not wired here")
+        digest = self._hasher(payload).digest()
+        n_frames = 1 + digest[2] % 120
+        out = []
+        for fidx in range(0, n_frames, self.stride):
+            d = self._hasher(payload + fidx.to_bytes(4, "little")).digest()
+            out.append((fidx, [b / 255.0 for b in d[:4]]))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids = batch["message_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out_mid, out_frame, out_feat = [], [], []
+        for mid, p in zip(mids, payloads):
+            for fidx, feat in self._frames(p or b""):
+                out_mid.append(mid)
+                out_frame.append(fidx)
+                out_feat.append(feat)
+        return pa.table({
+            "message_id": pa.array(out_mid, pa.int64()),
+            "frame_idx": pa.array(out_frame, pa.int64()),
+            "features": pa.array(out_feat, pa.list_(pa.float64())),
+        })
+
+
+def frame_sample_pipeline(ds, *, stride: int = 5, concurrency: int = 2,
+                          batch_size: int = 128):
+    """Video path: payload → sampled frame-feature rows (actor pool)."""
+    return (ds
+            .map_batches(attach_payload_batch, batch_format="pyarrow")
+            .map_batches(FrameSampleStage,
+                         fn_constructor_kwargs={"stride": stride},
+                         batch_format="pyarrow", batch_size=batch_size,
+                         concurrency=concurrency))

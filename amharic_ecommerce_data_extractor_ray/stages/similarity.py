@@ -123,3 +123,87 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 10, *, n_planes: int = 8,
 
     return (emb_ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("bucket").map_groups(bucket_search, batch_format="pandas"))
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def train_centroids(emb_ds, *, n_clusters=16, sample=2048, iters=10, seed=42,
+                    vec_col="embedding") -> np.ndarray:
+    """Spherical k-means on a driver-side sample (the IVF coarse quantizer).
+    Deterministic for a pinned seed; at 100 TB the sample is still a LIMIT
+    over the first blocks — training cost is independent of corpus size."""
+    rows = emb_ds.limit(sample).to_pandas()
+    x = _unit(_to_matrix(rows[vec_col]))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit(cent)
+    return cent
+
+
+def ivf_topk(emb_ds, query_ids: list[int], k: int = 10, *, n_clusters=16,
+             n_probe=4, sample=2048, iters=10, seed=42,
+             vec_col="embedding", id_col="vec_id"):
+    """IVF approximate top-k: a sampled spherical-k-means coarse quantizer
+    (driver-trained, broadcast once) assigns every vector to a cluster inside
+    map_batches; each query probes only its ``n_probe`` nearest clusters.
+    One streaming pass over the corpus; shuffle volume O(n_queries × k ×
+    n_batches).  Recall vs brute force is pinned by tests/test_similarity.py."""
+    cent = train_centroids(emb_ds, n_clusters=n_clusters, sample=sample,
+                           iters=iters, seed=seed, vec_col=vec_col)
+
+    qset = set(query_ids)
+
+    def pick_queries(b: pa.Table) -> pa.Table:
+        mask = [i in qset for i in b[id_col].to_pylist()]
+        return b.filter(pa.array(mask))
+
+    qtab = (emb_ds.map_batches(pick_queries, batch_format="pyarrow")
+            .to_pandas().sort_values(id_col))
+    qunit = _unit(_to_matrix(qtab[vec_col]))
+    qids = qtab[id_col].to_numpy()
+    # n_probe nearest centroids per query
+    probe = np.argsort(-(qunit @ cent.T), axis=1)[:, :n_probe]
+    ref = ray.put((qids, qunit, probe, cent))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        q_ids, q_unit, q_probe, c = ray.get(ref)
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        unit = _unit(_to_matrix(b[vec_col].to_pylist()))
+        assign = np.argmax(unit @ c.T, axis=1)
+        cos = unit @ q_unit.T                             # (batch, nq)
+        out_q, out_n, out_c = [], [], []
+        for qi in range(len(q_ids)):
+            mask = np.isin(assign, q_probe[qi])
+            if not mask.any():
+                continue
+            col = cos[mask, qi]
+            mids = ids[mask]
+            order = np.lexsort((mids, -col))[:min(k, len(mids))]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_n.extend(mids[order].tolist())
+            out_c.extend(col[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    def merge_query(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g["cosine"] = g["cosine"].round(6)
+        return g
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(merge_query,
+                                                   batch_format="pandas")

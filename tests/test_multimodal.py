@@ -21,3 +21,23 @@ def test_decode_pipeline_schema_and_determinism(ray_session):
         assert r["height"] == 1 + digest[1] % 64
         assert list(r["features"]) == [b / 255.0 for b in digest[:4]]
         assert r["media_type"] == "image/fake"
+
+
+def test_frame_sample_pipeline(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.multimodal import frame_sample_pipeline
+
+    rows = [{"message_id": i, "content": f"video {i}"} for i in range(6)]
+    out = frame_sample_pipeline(rd.from_items(rows), stride=7,
+                                concurrency=1).to_pandas()
+    assert set(out["message_id"]) == set(range(6))
+    # frame indices are stride-aligned and deterministic
+    assert (out["frame_idx"] % 7 == 0).all()
+    for _, g in out.groupby("message_id"):
+        assert list(g["frame_idx"]) == sorted(g["frame_idx"])
+        assert all(len(f) == 4 for f in g["features"])
+    # determinism: second run identical
+    out2 = frame_sample_pipeline(rd.from_items(rows), stride=7,
+                                 concurrency=1).to_pandas()
+    assert out.equals(out2)

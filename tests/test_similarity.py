@@ -57,3 +57,25 @@ def test_lsh_topk_contains_self(emb):
     assert set(got["query_id"]) == {0, 5}
     for qi in (0, 5):
         assert qi in set(got[got["query_id"] == qi]["neighbor_id"])
+
+
+def test_ivf_topk_recall_vs_brute_force(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import brute_force_topk, ivf_topk
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = list(range(5))
+    exact = brute_force_topk(emb, qids, k=10).to_pandas()
+    approx = ivf_topk(rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet"),
+                      qids, k=10, n_clusters=8, n_probe=4).to_pandas()
+    recalls = []
+    for q in qids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"mean recall {mean_recall} too low"
+    # self-match always survives probing (its own cluster is the nearest)
+    for q in qids:
+        assert q in set(approx[approx.query_id == q].neighbor_id)
