@@ -4,7 +4,11 @@ Jaccard, embedding-cosine).
 
 All operators follow the same scale shape: vectorized per-batch signature
 computation (map_batches, stateless tasks) → shuffle only the *signatures*
-(tiny) via groupby → verify candidates inside the group.  Raw text/vectors
+(tiny) via groupby → verify candidates inside the group.  (MinHash: Broder,
+"On the resemblance and containment of documents", 1997; LSH banding:
+Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets" ch.3; SimHash:
+Charikar, "Similarity estimation techniques from rounding algorithms",
+STOC 2002.)  Raw text/vectors
 never take part in an all-to-all exchange except where verification genuinely
 needs them (and then only for candidate groups).
 

@@ -7,8 +7,10 @@ the corpus).  Partials (k rows per query per batch) are merged with a tiny
 groupby — the scale path to 100 TB: shuffle volume is O(n_queries × k ×
 n_batches), independent of corpus size.
 
-Scale variant: ``lsh_topk`` buckets vectors by random-hyperplane LSH signs and
-searches only matching buckets (IVF-style candidate pruning).
+Scale variants: ``lsh_topk`` buckets vectors by random-hyperplane LSH signs
+(Charikar 2002) and searches only matching buckets; ``ivf_topk`` is a
+coarse-quantizer inverted-file search (Jégou/Douze/Schmid, "Product
+quantization for nearest neighbor search", TPAMI 2011 — IVF part, no PQ).
 """
 
 from __future__ import annotations
