@@ -88,8 +88,6 @@ def build_kg(sf_dir: str, out_dir: str) -> dict:
 
     import ray.data as rd
 
-    from ..stages.canonicalize import canonical_edges as c_edges
-    from ..stages.canonicalize import canonical_entities as c_entities
     from ..stages.canonicalize import vendor_nodes as v_nodes
     from ..stages.enrich import triples_from_entities_batch
     from ..stages.scorecard import (finalize_scorecard, merge_partials_group,
@@ -114,15 +112,16 @@ def build_kg(sf_dir: str, out_dir: str) -> dict:
                                       batch_size=DEFAULT_BATCH),
         f"{out_dir}/triples", partition_on="pred", fingerprint=fp)
 
-    def stored_triples():
-        return rd.read_parquet(f"{out_dir}/triples")
+    # one scan of the stored triples feeds BOTH canonical node and edge merges
+    from ..stages.canonicalize import graph_from_triples
 
+    entity_nodes, edges = graph_from_triples(
+        rd.read_parquet(f"{out_dir}/triples"))
     stats["nodes"] = checkpointed_write(
-        v_nodes(corpus_ds(sf_dir)).union(c_entities(stored_triples())),
+        v_nodes(corpus_ds(sf_dir)).union(entity_nodes),
         f"{out_dir}/nodes", fingerprint=fp)
     stats["edges"] = checkpointed_write(
-        c_edges(stored_triples()), f"{out_dir}/edges", partition_on="pred",
-        fingerprint=fp)
+        edges, f"{out_dir}/edges", partition_on="pred", fingerprint=fp)
 
     # scorecard over the stored entities table — no re-tagging
     merged = (stored_messages()

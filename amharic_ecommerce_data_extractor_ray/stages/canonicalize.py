@@ -137,6 +137,87 @@ def canonical_edges(triples_ds):
     return merged.map_batches(to_edges, batch_format="pyarrow")
 
 
+def graph_partials_batch(batch: pa.Table) -> pa.Table:
+    """Triples → one partial row per distinct (subj, pred, obj_norm) per
+    batch, carrying BOTH the edge weight and the lexicographic-min surface —
+    a single scan whose output feeds both the edge merge (groupby subj, pred,
+    obj_norm) and the entity merge (second-level groupby pred, obj_norm)."""
+    subjs = batch["subj"].to_pylist()
+    preds = batch["pred"].to_pylist()
+    objs = batch["obj"].to_pylist()
+    norms = batch["obj_norm"].to_pylist()
+    acc: dict[tuple, list] = {}
+    for s, p, o, n in zip(subjs, preds, objs, norms):
+        key = (s, p, n)
+        a = acc.get(key)
+        if a is None:
+            acc[key] = [o, 1]
+        else:
+            if o < a[0]:
+                a[0] = o
+            a[1] += 1
+    keys = sorted(acc)
+    return pa.table({
+        "subj": [k[0] for k in keys],
+        "pred": [k[1] for k in keys],
+        "obj_norm": [k[2] for k in keys],
+        "min_obj": [acc[k][0] for k in keys],
+        "weight": pa.array([acc[k][1] for k in keys], pa.int64()),
+    })
+
+
+def graph_from_triples(triples_ds):
+    """(nodes_ds, edges_ds) from ONE scan of the triples: the shared
+    materialized (subj, pred, obj_norm) partials feed the edge merge directly
+    and the entity merge via a second-level groupby — half the triples I/O of
+    running canonical_entities + canonical_edges separately."""
+    from ray.data.aggregate import Min, Sum
+
+    partials = (triples_ds.map_batches(graph_partials_batch,
+                                       batch_format="pyarrow")
+                .materialize())
+
+    edge_merged = (partials.repartition(16)
+                   .groupby(["subj", "pred", "obj_norm"])
+                   .aggregate(Min("min_obj", alias_name="min_obj"),
+                              Sum("weight", alias_name="weight")))
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        subjs = b["subj"].to_pylist()
+        preds = b["pred"].to_pylist()
+        norms = b["obj_norm"].to_pylist()
+        return pa.table({
+            "src_id": [node_id("vendor", s) for s in subjs],
+            "dst_id": [node_id("entity", f"{p}:{n}") for p, n in zip(preds, norms)],
+            "subj": subjs,
+            "pred": preds,
+            "obj_norm": norms,
+            "weight": b["weight"],
+        })
+
+    edges = edge_merged.map_batches(to_edges, batch_format="pyarrow")
+
+    ent_merged = (partials.repartition(16)
+                  .groupby(["pred", "obj_norm"])
+                  .aggregate(Min("min_obj", alias_name="min_obj"),
+                             Sum("weight", alias_name="n_mentions")))
+
+    def to_nodes(b: pa.Table) -> pa.Table:
+        preds = b["pred"].to_pylist()
+        norms = b["obj_norm"].to_pylist()
+        return pa.table({
+            "node_id": [node_id("entity", f"{p}:{n}") for p, n in zip(preds, norms)],
+            "node_type": ["entity"] * len(preds),
+            "pred": preds,
+            "obj_norm": norms,
+            "label": b["min_obj"].to_pylist(),
+            "n_mentions": b["n_mentions"],
+        })
+
+    nodes = ent_merged.map_batches(to_nodes, batch_format="pyarrow")
+    return nodes, edges
+
+
 def vendor_nodes(corpus_ds):
     """Distinct vendors → vendor nodes (small exact dedup via combiner)."""
 

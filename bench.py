@@ -58,8 +58,7 @@ def run_bench() -> dict:
 
     from amharic_ecommerce_data_extractor_ray.pipelines import relational
     from amharic_ecommerce_data_extractor_ray.stages import dedup, similarity
-    from amharic_ecommerce_data_extractor_ray.stages.canonicalize import (canonical_edges,
-                                                        canonical_entities)
+    from amharic_ecommerce_data_extractor_ray.stages.canonicalize import graph_from_triples
     from amharic_ecommerce_data_extractor_ray.stages.enrich import fused_triples_batch
     from amharic_ecommerce_data_extractor_ray.stages.scorecard import (
         fused_scorecard_partials_batch, finalize_scorecard,
@@ -111,13 +110,12 @@ def run_bench() -> dict:
         best = min(best, time.time() - t0)
     timings["kg_triples"] = round(best, 3)
 
-    # q2: canonicalization over the materialized triples (stage boundary)
+    # q2: canonicalization over the materialized triples (stage boundary) —
+    # one shared partials scan feeds both node and edge merges
     with timed("kg_canonicalize"):
-        def stored():
-            return rd.read_parquet(triples_out)
-
-        n_nodes = canonical_entities(stored()).count()
-        n_edges = canonical_edges(stored()).count()
+        nodes_ds, edges_ds = graph_from_triples(rd.read_parquet(triples_out))
+        n_nodes = nodes_ds.count()
+        n_edges = edges_ds.count()
 
     # q3: vendor scorecard — fully-fused partials kernel, pruned read
     SCORECARD_COLS = ["message_id", "repo", "content", "views", "message_date"]

@@ -107,3 +107,22 @@ def test_triples_from_entities_matches_fused(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(canon(direct), canon(derived))
+
+
+def test_graph_from_triples_matches_separate_passes(ray_session):
+    """Single-scan graph materialization ≡ canonical_entities +
+    canonical_edges run separately."""
+    import pandas as pd
+
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+    from amharic_ecommerce_data_extractor_ray.stages.canonicalize import (
+        canonical_edges, canonical_entities, graph_from_triples)
+
+    nodes_ds, edges_ds = graph_from_triples(kg.triples_ds(SF))
+    canon = lambda df: df.sort_values(list(df.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        canon(nodes_ds.to_pandas()),
+        canon(canonical_entities(kg.triples_ds(SF)).to_pandas()))
+    pd.testing.assert_frame_equal(
+        canon(edges_ds.to_pandas()),
+        canon(canonical_edges(kg.triples_ds(SF)).to_pandas()))
