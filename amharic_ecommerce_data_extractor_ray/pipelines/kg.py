@@ -1,17 +1,19 @@
 """The flagship pipeline: corpus → normalize → tag → triples → KG + scorecard.
 
-Dataflow (all lazy, streaming, fused task stages — reproduces reference nb 03
-as ``read_parquet → map_batches(normalize) → map_batches(tag) →
-map_batches(extract/triples) → groupby partial-merge → write_parquet``):
+Dataflow (lazy, streaming, fused — reproduces reference nb 03 Ray-Data-first):
 
     corpus (repo,path,commit,lang,content,views,message_date)
-      └─ enrich_batch        + content_sha256, preprocessed_text, tokens
-         └─ tag_batch        + tag_tokens, tag_labels        (heuristic, tasks)
-            ├─ triples_batch → (message_id, subj, pred, obj, obj_norm,
-            │                   price_value, content_sha256)
-            │    ├─ canonical_entities → nodes
-            │    └─ canonical_edges    → edges
-            └─ entities_batch → scorecard_from_messages → vendor scorecard
+      ├─ fused_triples_batch  → (message_id, subj, pred, obj, obj_norm,
+      │                          price_value, content_sha256)   [one-pass kernel]
+      │     └─ graph_from_triples → canonical nodes + edges (one shared scan)
+      └─ fused_scorecard_partials_batch → vendor scorecard     [one-pass kernel]
+
+``build_kg`` is the checkpointed product path: it tags ONCE into a compact
+entities boundary (no content column) and derives triples / canonicalization /
+scorecard from stored stage boundaries.  The staged stages (enrich_batch →
+tag_batch → triples_batch/entities_batch) remain the composable, inspectable
+path and the semantic reference the fused kernels are differential-tested
+against.
 """
 
 from __future__ import annotations
@@ -19,11 +21,10 @@ from __future__ import annotations
 import pyarrow as pa
 
 from ..sources.corpus import corpus_from_documents
-from ..stages.enrich import (enrich_batch, entities_batch, fused_entities_batch,
-                             fused_triples_batch, tag_batch, triples_batch)
+from ..stages.enrich import (enrich_batch, fused_entities_batch,
+                             fused_triples_batch, tag_batch)
 from ..stages.canonicalize import (canonical_edges, canonical_entities,
                                    vendor_nodes)
-from ..stages.scorecard import scorecard_from_messages
 
 DEFAULT_BATCH = 4096
 
