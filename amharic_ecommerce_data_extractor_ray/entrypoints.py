@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_union": relational.union_shipdate_extremes,
         "rel_events_summary": relational.events_summary,
         "rel_hourly_windows": relational.hourly_event_windows,
+        "rel_sliding_windows": relational.sliding_event_windows,
         "rel_suppliers_by_region": relational.suppliers_by_region,
         "rel_revenue_by_brand": relational.revenue_by_brand,
     }
@@ -349,6 +350,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_union": oracles.union_shipdate_extremes_sql(),
         "rel_events_summary": oracles.events_summary_sql(),
         "rel_hourly_windows": oracles.hourly_event_windows_sql(),
+        "rel_sliding_windows": oracles.sliding_event_windows_sql(),
         "rel_suppliers_by_region": oracles.suppliers_by_region_sql(),
         "rel_revenue_by_brand": oracles.revenue_by_brand_sql(),
         # no-oracle (non-SQL-expressible): doc_fingerprint, dedup_minhash,

@@ -296,3 +296,46 @@ def revenue_by_brand(sf_dir: str):
     pdf = out.to_pandas()
     pdf["sum_revenue"] = pdf["sum_revenue"].round(2)
     return pdf.sort_values("p_brand").reset_index(drop=True)
+
+
+def sliding_event_windows(sf_dir: str, *, window_hours: int = 3):
+    """SLIDING window aggregate (window = ``window_hours``, slide = 1h): each
+    event is flat-mapped into every window that covers it (one row per
+    covering window inside map_batches — the standard replicate-then-tumble
+    reduction of a sliding window to a keyed groupby), then aggregated with
+    native algebraic aggregates.  Shuffle volume = window_hours × |events|
+    partials, pre-combined per batch."""
+    import datetime as dt
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def explode_windows(b: pa.Table) -> pa.Table:
+        types = b["event_type"].to_pylist()
+        tss = b["ts"].to_pylist()
+        vals = b["value"].to_pylist()
+        out_t, out_w, out_v = [], [], []
+        for et, ts, v in zip(types, tss, vals):
+            hour = ts.replace(minute=0, second=0, microsecond=0)
+            # windows [hour - (w-1)h, hour] each cover this event
+            for off in range(window_hours):
+                start = hour - dt.timedelta(hours=off)
+                out_t.append(et)
+                out_w.append(start.strftime("%Y-%m-%d %H:00:00"))
+                out_v.append(v)
+        return pa.table({
+            "event_type": pa.array(out_t, pa.string()),
+            "window_start": pa.array(out_w, pa.string()),
+            "value": pa.array(out_v, pa.float64()),
+        })
+
+    out = (ds.map_batches(explode_windows, batch_format="pyarrow")
+           .groupby(["event_type", "window_start"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value", alias_name="sum_value")))
+
+    def round_cols(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("sum_value"),
+                            "sum_value", pc.round(b["sum_value"], 6))
+
+    return out.map_batches(round_cols, batch_format="pyarrow")
