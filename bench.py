@@ -20,8 +20,12 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# bench corpus scales with the sf documents table: 120 rows per document
+# bench corpus scales with the sf documents table: 480 rows per document
 CORPUS_MULT = int(os.environ.get("BENCH_CORPUS_MULT", "480"))
+# scaling mode: run ONLY the kg pipeline (the headline metric) on a 4x corpus
+# so the high-parallelism run is long enough (~30 s) that host noise (±1-2 s)
+# cannot swing the efficiency ratio
+KG_ONLY = os.environ.get("BENCH_KG_ONLY", "") == "1"
 
 
 def corpus_rows() -> int:
@@ -95,7 +99,15 @@ def run_bench() -> dict:
     import shutil
 
     shutil.rmtree("/tmp/bench_warmup", ignore_errors=True)
-    triples_pipeline().write_parquet("/tmp/bench_warmup")
+    if KG_ONLY:
+        # scaling mode: warm workers/imports/write-path on a 500k-row slice —
+        # the timed pass is the only full read of the 4x corpus
+        (corpus(TRIPLE_COLS).limit(500_000)
+         .map_batches(fused_triples_batch, batch_format="pyarrow",
+                      batch_size=8192)
+         .write_parquet("/tmp/bench_warmup"))
+    else:
+        triples_pipeline().write_parquet("/tmp/bench_warmup")
 
     # q1: flagship — corpus → normalize → tag → triples → parquet sink.
     # Best-of-2 (fresh sink dir each attempt): single-shot timings on a busy
@@ -103,12 +115,23 @@ def run_bench() -> dict:
     # criterion.
     triples_out = f"/tmp/bench_out_triples_{NUM_CPUS}"
     best = float("inf")
-    for _ in range(2):
+    for _ in range(1 if KG_ONLY else 2):
         shutil.rmtree(triples_out, ignore_errors=True)
         t0 = time.time()
         triples_pipeline().write_parquet(triples_out)
         best = min(best, time.time() - t0)
     timings["kg_triples"] = round(best, 3)
+
+    if KG_ONLY:
+        total = timings["kg_triples"]
+        result = {
+            "metric": "kg_construct_pipeline_total", "value": total,
+            "unit": "sec", "queries": timings, "sf": SF_DIR,
+            "num_cpus": NUM_CPUS, "kg_rows": n_rows,
+            "kg_rows_per_sec": round(n_rows / timings["kg_triples"], 1),
+        }
+        ray.shutdown()
+        return result
 
     # q2: canonicalization over the materialized triples (stage boundary) —
     # one shared partials scan feeds both node and edge merges
@@ -163,7 +186,8 @@ def run_bench() -> dict:
 
 def run_scaling() -> None:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_KG_ONLY="1",
+                   BENCH_CORPUS_MULT=str(CORPUS_MULT * 4))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
@@ -178,7 +202,16 @@ def run_scaling() -> None:
     # faithful analog of "N nodes vs 4N nodes".
     lo = int(os.environ.get("BENCH_SCALE_LO", "7"))
     hi = int(os.environ.get("BENCH_SCALE_HI", "28"))
-    r_lo, r_hi = one(lo), one(hi)
+    # Host timings drift ±15% over minutes (shared box).  Alternate the two
+    # levels and keep the best run per level so a slow patch of wall-clock
+    # can't land entirely on one side of the ratio.
+    rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(rounds):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+    r_lo = max(runs_lo, key=lambda r: r["kg_rows_per_sec"])
+    r_hi = max(runs_hi, key=lambda r: r["kg_rows_per_sec"])
     tput_lo = r_lo["kg_rows_per_sec"]
     tput_hi = r_hi["kg_rows_per_sec"]
     eff = (tput_hi / tput_lo) / (hi / lo)
@@ -188,6 +221,8 @@ def run_scaling() -> None:
         "kg_rows_per_sec_lo": tput_lo, "kg_rows_per_sec_hi": tput_hi,
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
         "scaling_efficiency": round(eff, 3),
+        "all_rows_per_sec_lo": [r["kg_rows_per_sec"] for r in runs_lo],
+        "all_rows_per_sec_hi": [r["kg_rows_per_sec"] for r in runs_hi],
         "queries_lo": r_lo["queries"], "queries_hi": r_hi["queries"],
     }))
 
