@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_summary": relational.events_summary,
         "rel_hourly_windows": relational.hourly_event_windows,
         "rel_sliding_windows": relational.sliding_event_windows,
+        "rel_shipping_priority": relational.shipping_priority,
         "rel_suppliers_by_region": relational.suppliers_by_region,
         "rel_revenue_by_brand": relational.revenue_by_brand,
     }
@@ -351,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_events_summary": oracles.events_summary_sql(),
         "rel_hourly_windows": oracles.hourly_event_windows_sql(),
         "rel_sliding_windows": oracles.sliding_event_windows_sql(),
+        "rel_shipping_priority": oracles.shipping_priority_sql(),
         "rel_suppliers_by_region": oracles.suppliers_by_region_sql(),
         "rel_revenue_by_brand": oracles.revenue_by_brand_sql(),
         # no-oracle (non-SQL-expressible): doc_fingerprint, dedup_minhash,

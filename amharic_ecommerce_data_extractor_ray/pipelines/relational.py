@@ -339,3 +339,54 @@ def sliding_event_windows(sf_dir: str, *, window_hours: int = 3):
                             "sum_value", pc.round(b["sum_value"], 6))
 
     return out.map_batches(round_cols, batch_format="pyarrow")
+
+
+def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
+                      num_partitions: int = 16):
+    """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, revenue per order, top
+    10.  Demonstrates the DISTRIBUTED hash join (``Dataset.join`` — both
+    sides hash-partitioned on the key) for the fact-fact edge
+    (orders ⋈ lineitem), where neither side fits a broadcast at 100 TB; the
+    tiny customer side stays a broadcast dict."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_keys = {k for k, s in zip(cust["c_custkey"].to_pylist(),
+                                  cust["c_mktsegment"].to_pylist())
+                if s == segment}
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                      "o_orderpriority"])
+
+    def filter_seg(b: pa.Table) -> pa.Table:
+        mask = [k in seg_keys for k in b["o_custkey"].to_pylist()]
+        return b.filter(pa.array(mask)).drop_columns(["o_custkey"])
+
+    orders_f = orders.map_batches(filter_seg, batch_format="pyarrow")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def revenue(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "revenue": rev})
+
+    li_rev = li.map_batches(revenue, batch_format="pyarrow")
+
+    joined = li_rev.join(orders_f, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+    agg = (joined.groupby("l_orderkey")
+           .aggregate(Sum("revenue", alias_name="revenue"),
+                      Min("o_orderdate", alias_name="o_orderdate"),
+                      Min("o_orderpriority", alias_name="o_orderpriority")))
+    pdf = agg.to_pandas()
+    pdf["revenue"] = pdf["revenue"].round(6)
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype(str).str[:10]
+    pdf = pdf.sort_values(["revenue", "l_orderkey"],
+                          ascending=[False, True]).head(10)
+    return pdf.reset_index(drop=True)
