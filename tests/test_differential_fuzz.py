@@ -103,3 +103,44 @@ def test_vectorized_normalize_tokenize_parity(texts):
     prepared = tokenize_prepare_array(pa.array(vec_norm, pa.string())).to_pylist()
     assert ([tokens_from_prepared(p) for p in prepared]
             == [REF_TOK(n) for n in vec_norm])
+
+
+def test_vectorized_parity_on_random_unicode():
+    """Scalar vs Arrow-kernel parity on arbitrary Unicode (exotic whitespace,
+    emoji, unassigned ranges) — beyond the structured atom alphabet."""
+    import random
+
+    import pyarrow as pa
+
+    from amharic_ecommerce_data_extractor_ray.functions.normalize import preprocess_amharic_text
+    from amharic_ecommerce_data_extractor_ray.functions.normalize_vec import normalize_array
+    from amharic_ecommerce_data_extractor_ray.functions.normalize_vec import (
+        tokenize_prepare_array, tokens_from_prepared)
+    from amharic_ecommerce_data_extractor_ray.functions.tokenize import tokenize_amharic_text
+
+    rng = random.Random(123)
+
+    def rand_text():
+        chars = []
+        for _ in range(rng.randint(0, 40)):
+            r = rng.random()
+            if r < 0.3:
+                cp = rng.randint(0x1200, 0x137F)
+            elif r < 0.5:
+                cp = rng.randint(0x20, 0x7E)
+            elif r < 0.65:
+                cp = rng.choice([0xA0, 0x85, 0x2028, 0x2029, 0x180E, 0x200B,
+                                 0x3000, 0x1680, 0x2007, 0x202F, 0xFEFF])
+            elif r < 0.8:
+                cp = rng.randint(0x80, 0x2FFF)
+            else:
+                cp = rng.randint(0x1F300, 0x1F6FF)
+            chars.append(chr(cp))
+        return "".join(chars)
+
+    texts = [rand_text() for _ in range(1000)]
+    refs = [preprocess_amharic_text(t, False) for t in texts]
+    assert normalize_array(pa.array(texts, pa.string())).to_pylist() == refs
+    prepared = tokenize_prepare_array(pa.array(refs, pa.string())).to_pylist()
+    assert ([tokens_from_prepared(p) for p in prepared]
+            == [tokenize_amharic_text(n) for n in refs])
