@@ -26,7 +26,7 @@ from ..stages.enrich import (enrich_batch, fused_entities_batch,
 from ..stages.canonicalize import (canonical_edges, canonical_entities,
                                    vendor_nodes)
 
-DEFAULT_BATCH = 4096
+DEFAULT_BATCH = 8192
 
 
 def corpus_ds(sf_dir: str):
