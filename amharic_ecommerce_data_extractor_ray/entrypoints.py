@@ -189,6 +189,25 @@ def q_fingerprint(sf_dir: str):
 
 # --------------------------------------------------------------------- dedup
 
+def q_curate(sf_dir: str):
+    """Composed curation pipeline: quality filter → exact dedup → kept-docs
+    manifest (pipelines/curate.py)."""
+    from .pipelines.curate import curate_documents
+
+    return curate_documents(sf_dir)
+
+
+def q_approx_ndistinct(sf_dir: str):
+    """KMV sketch COUNT(DISTINCT text) over documents (rows-only check:
+    the estimate is probabilistic; error bound pinned by tests)."""
+    import ray.data as rd
+
+    from .stages.sketch import approx_ndistinct
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return approx_ndistinct(docs, "text")
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -295,6 +314,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_fingerprint,
         # dedup suite
         "dedup_exact": q_dedup_exact,
+        "curate_documents": q_curate,
+        "approx_ndistinct": q_approx_ndistinct,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
@@ -340,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles.token_count_sql(),
         "doc_quality": oracles.quality_sql(),
         "dedup_exact": oracles.exact_dedup_sql(),
+        "curate_documents": oracles.curate_documents_sql(),
         "similarity_topk": oracles.similarity_topk_sql(SIM_QUERY_IDS, SIM_K),
         "multimodal_meta": oracles.multimodal_meta_sql(),
         "rel_filter_project": oracles.filter_project_revenue_sql(),

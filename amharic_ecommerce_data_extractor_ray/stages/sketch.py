@@ -1,0 +1,55 @@
+"""Approximate distinct counting: KMV (k-minimum-values) sketch.
+
+(Bar-Yossef et al., "Counting distinct elements in a data stream",
+RANDOM 2002.)  The combiner shape Ray Data wants: each batch emits its k
+smallest 64-bit hashes (a tiny sorted array), merge = k smallest of the
+union, estimate = (k-1) / normalized k-th minimum.  Shuffle volume is
+O(k × n_blocks) regardless of input size; relative error ≈ 1/sqrt(k).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+_MAX = float(1 << 64)
+
+
+def _h64(s: str) -> int:
+    return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
+
+
+def kmv_partials_batch(batch: pa.Table, *, col: str, k: int) -> pa.Table:
+    """One row per batch: the k smallest distinct hashes of ``col``."""
+    vals = {_h64(v if v is not None else "") for v in batch[col].to_pylist()}
+    smallest = np.sort(np.fromiter(vals, dtype=np.uint64, count=len(vals)))[:k]
+    return pa.table({"kmv": pa.array([smallest.tolist()],
+                                     pa.list_(pa.uint64()))})
+
+
+def kmv_estimate(partials_rows: list[list[int]], k: int) -> float:
+    """Merge partial KMVs and estimate distinct count."""
+    arrays = [np.asarray(r, dtype=np.uint64) for r in partials_rows]
+    arrays = [a for a in arrays if len(a)]
+    if not arrays:
+        return 0.0
+    merged = np.unique(np.concatenate(arrays))[:k]
+    if len(merged) < k:
+        return float(len(merged))  # saw fewer than k distinct → exact
+    return (k - 1) / (float(merged[-1]) / _MAX)
+
+
+def approx_ndistinct(ds, col: str, *, k: int = 1024):
+    """Distributed approximate COUNT(DISTINCT col): per-block KMV partials →
+    driver merge of ≤ k × n_blocks u64s (tiny).  Returns a one-row pyarrow
+    Table (estimate, k)."""
+    parts = (ds.select_columns([col])
+             .map_batches(lambda b: kmv_partials_batch(b, col=col, k=k),
+                          batch_format="pyarrow")
+             .to_pandas())
+    est = kmv_estimate(list(parts["kmv"]), k)
+    return pa.table({"approx_ndistinct": pa.array([round(est, 1)], pa.float64()),
+                     "k": pa.array([k], pa.int64())})
