@@ -15,7 +15,6 @@ broadcast joins) with an exact DuckDB oracle in __ray_entry__.oracle_sql:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
