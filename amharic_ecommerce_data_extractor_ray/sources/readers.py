@@ -115,7 +115,12 @@ def coerce_schema_batch(batch, *, text_cols=("repo", "path", "commit", "lang",
         if c in t.column_names:
             try:
                 col = pc.cast(t[c], pa.int64())
-            except pa.ArrowInvalid:
+            except (pa.ArrowInvalid, pa.ArrowTypeError,
+                    pa.ArrowNotImplementedError):
+                # pc.cast raises different subclasses depending on the source
+                # type (ArrowInvalid for bad strings, ArrowNotImplementedError/
+                # ArrowTypeError for list/struct) — all fall back to per-value
+                # coercion
                 vals = []
                 for v in t[c].to_pylist():
                     try:

@@ -29,13 +29,16 @@ def add_salt_batch(batch, *, key_col: str, salt_col: str = "_salt",
                    n_salts: int = 8, seed: int = 0):
     """Append a deterministic salt column: hash of the row index within a
     stable row-id column is NOT available in general, so salt derives from a
-    per-row hash of all key bytes + a cheap row counter — deterministic given
-    identical block contents."""
+    per-row stable hash (crc32 — NOT Python ``hash()``, which is
+    PYTHONHASHSEED-randomized per process) of key bytes + a cheap row
+    counter — identical across workers/processes given identical block
+    contents."""
+    import zlib
+
     import pyarrow as pa
 
-    n = batch.num_rows
     keys = batch[key_col].to_pylist()
-    salts = [(hash((seed, k, i)) & 0x7FFFFFFF) % n_salts
+    salts = [zlib.crc32(f"{seed}:{k}:{i}".encode()) % n_salts
              for i, k in enumerate(keys)]
     return batch.append_column(salt_col, pa.array(salts, pa.int32()))
 

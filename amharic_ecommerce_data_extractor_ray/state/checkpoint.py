@@ -28,7 +28,7 @@ def _input_fingerprint(sf_dir: str) -> str:
         for name in sorted(os.listdir(sf_dir)):
             p = os.path.join(sf_dir, name)
             st = os.stat(p)
-            h.update(f"{name}:{st.st_size}".encode())
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
     else:
         h.update(sf_dir.encode())
     return h.hexdigest()[:16]
@@ -115,7 +115,9 @@ def sharded_checkpointed_write(make_ds, input_paths: list[str], out_dir: str,
         h = hashlib.sha256()
         for p in paths:
             st = os.stat(p)
-            h.update(f"{p}:{st.st_size}".encode())
+            # size alone misses same-size content edits — mtime_ns catches
+            # them so resume never serves stale shard output
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
         fp = h.hexdigest()[:16]
         res = checkpointed_write(make_ds(paths),
                                  os.path.join(out_dir, f"shard={i}"),

@@ -206,15 +206,14 @@ def run_scaling() -> None:
     # Host timings drift ±15% over minutes (shared box).  Alternate the two
     # levels and keep the best run per level so a slow patch of wall-clock
     # can't land entirely on one side of the ratio.
-    rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "2"))
+    # SAME number of attempts per level (best-of-N of a noisy sample grows
+    # with N, so an asymmetric attempt count would bias the ratio); the
+    # alternating order decorrelates slow patches of host drift.
+    rounds = int(os.environ.get("BENCH_SCALE_ROUNDS", "3"))
     runs_lo, runs_hi = [], []
     for _ in range(rounds):
         runs_lo.append(one(lo))
         runs_hi.append(one(hi))
-    # one extra high-level attempt: with only ~8 spare cores the hi run is
-    # far more sensitive to co-tenant load spikes than the lo run (26 spare),
-    # so it needs more chances to land in a quiet window
-    runs_hi.append(one(hi))
     r_lo = max(runs_lo, key=lambda r: r["kg_rows_per_sec"])
     r_hi = max(runs_hi, key=lambda r: r["kg_rows_per_sec"])
     tput_lo = r_lo["kg_rows_per_sec"]
