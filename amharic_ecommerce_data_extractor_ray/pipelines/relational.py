@@ -91,27 +91,20 @@ def top_order_per_customer(sf_dir: str):
     return out.map_batches(round_price, batch_format="pyarrow")
 
 
-def orders_by_segment(sf_dir: str):
-    """Broadcast hash join (J1): customer side is small → ray.put once, dict
-    lookup inside map_batches; zero shuffle for the join itself."""
-    import pyarrow.parquet as pq
-
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    seg_by_key = dict(zip(cust["c_custkey"].to_pylist(),
-                          cust["c_mktsegment"].to_pylist()))
-    ref = ray.put(seg_by_key)
-
+def orders_by_segment(sf_dir: str, *, num_partitions: int = 16):
+    """Distributed hash join (J1 at fact scale): orders ⋈ customer on
+    custkey with ``Dataset.join`` — both sides hash-partition on the key.
+    Customer is fact-scale at 100× (VERDICT r1 #3): a driver-side broadcast
+    dict of every customer would not survive; broadcasts stay reserved for
+    the genuinely tiny dims (nation/region/part — see suppliers_by_region)."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
-
-    def join_batch(b: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        segs = [lookup.get(k) for k in b["o_custkey"].to_pylist()]
-        return b.append_column("c_mktsegment", pa.array(segs, pa.string()))
-
-    out = (orders.map_batches(join_batch, batch_format="pyarrow")
-           .groupby("c_mktsegment")
+    joined = orders.join(cust, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = (joined.groupby("c_mktsegment")
            .aggregate(Count(alias_name="n_orders"),
                       Sum("o_totalprice", alias_name="sum_totalprice")))
     pdf = out.to_pandas()
@@ -244,16 +237,19 @@ def suppliers_by_region(sf_dir: str):
     reg = pq.read_table(f"{sf_dir}/region.parquet")
     region_by_rkey = dict(zip(reg["r_regionkey"].to_pylist(),
                               reg["r_name"].to_pylist()))
-    region_by_nkey = {nk: region_by_rkey[rk]
-                      for nk, rk in zip(nat["n_nationkey"].to_pylist(),
-                                        nat["n_regionkey"].to_pylist())}
+    # composed nation→region lookup as ALIGNED ARRAYS for a vectorized
+    # index_in/take probe (no per-row Python in the hot map)
+    nkeys = pa.array(nat["n_nationkey"].to_pylist(), pa.int64())
+    rnames = pa.array([region_by_rkey[rk]
+                       for rk in nat["n_regionkey"].to_pylist()], pa.string())
 
     sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_nationkey", "s_acctbal"])
 
     def join_batch(b: pa.Table) -> pa.Table:
-        names = [region_by_nkey.get(k) for k in b["s_nationkey"].to_pylist()]
-        return b.append_column("r_name", pa.array(names, pa.string()))
+        idx = pc.index_in(pc.cast(b["s_nationkey"], pa.int64()),
+                          value_set=nkeys)
+        return b.append_column("r_name", pc.take(rnames, idx))
 
     out = (sup.map_batches(join_batch, batch_format="pyarrow")
            .groupby("r_name")
@@ -273,19 +269,21 @@ def revenue_by_brand(sf_dir: str):
 
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_brand"])
-    brand_by_key = dict(zip(part["p_partkey"].to_pylist(),
-                            part["p_brand"].to_pylist()))
-    ref = ray.put(brand_by_key)
+    # broadcast ONCE as aligned Arrow arrays; the per-batch probe is a
+    # vectorized index_in + take (zero per-row Python)
+    ref = ray.put((pc.cast(part["p_partkey"], pa.int64()).combine_chunks(),
+                   part["p_brand"].combine_chunks()))
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_partkey", "l_extendedprice", "l_discount"])
 
     def join_batch(b: pa.Table) -> pa.Table:
-        lookup = ray.get(ref)
-        brands = [lookup.get(k) for k in b["l_partkey"].to_pylist()]
+        pkeys, brands_arr = ray.get(ref)
+        idx = pc.index_in(pc.cast(b["l_partkey"], pa.int64()),
+                          value_set=pkeys)
         rev = pc.multiply(b["l_extendedprice"],
                           pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return pa.table({"p_brand": pa.array(brands, pa.string()),
+        return pa.table({"p_brand": pc.take(brands_arr, idx),
                          "revenue": rev})
 
     out = (li.map_batches(join_batch, batch_format="pyarrow")
@@ -347,23 +345,24 @@ def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
     sides hash-partitioned on the key) for the fact-fact edge
     (orders ⋈ lineitem), where neither side fits a broadcast at 100 TB; the
     tiny customer side stays a broadcast dict."""
-    import pyarrow.parquet as pq
-
-    cust = pq.read_table(f"{sf_dir}/customer.parquet",
-                         columns=["c_custkey", "c_mktsegment"])
-    seg_keys = {k for k, s in zip(cust["c_custkey"].to_pylist(),
-                                  cust["c_mktsegment"].to_pylist())
-                if s == segment}
+    # BUILDING-segment semi-join carried by a DISTRIBUTED hash join: customer
+    # is fact-scale at 100× (VERDICT r1 #3), so the segment filter pushes
+    # down to the customer scan and the surviving keys hash-partition against
+    # orders — no driver-side key set, no closure broadcast.
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    cust_f = (cust.map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], segment))
+                   .drop_columns(["c_mktsegment"]),
+        batch_format="pyarrow"))
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey", "o_orderdate",
                                       "o_orderpriority"])
-
-    def filter_seg(b: pa.Table) -> pa.Table:
-        mask = [k in seg_keys for k in b["o_custkey"].to_pylist()]
-        return b.filter(pa.array(mask)).drop_columns(["o_custkey"])
-
-    orders_f = orders.map_batches(filter_seg, batch_format="pyarrow")
+    orders_f = (orders.join(cust_f, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("o_custkey",), right_on=("c_custkey",))
+                .drop_columns(["o_custkey"]))
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_extendedprice", "l_discount"])
