@@ -19,7 +19,9 @@ _MAX = float(1 << 64)
 
 
 def _h64(s: str) -> int:
-    return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
+    # == DuckDB md5_number_lower(s): LE u64 of md5 digest bytes 8..16 — the
+    # KMV oracle recomputes the same hashes in pure SQL
+    return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[8:16])[0]
 
 
 def kmv_partials_batch(batch: pa.Table, *, col: str, k: int) -> pa.Table:
