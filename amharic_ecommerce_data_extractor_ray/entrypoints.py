@@ -24,6 +24,7 @@ from .stages.enrich import enrich_batch
 
 SIM_QUERY_IDS = list(range(10))
 SIM_K = 10
+EMB_DEDUP_THRESHOLD = 0.4
 
 
 # --------------------------------------------------------------- KG pipeline
@@ -244,7 +245,9 @@ def q_dedup_embedding(sf_dir: str):
     import ray.data as rd
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return dedup.embedding_cosine_pairs(emb, threshold=0.95)
+    # 0.4: the synthetic embeddings top out near cos 0.51 — this exercises a
+    # non-empty pair set at every sf (0.95 returned zero rows everywhere)
+    return dedup.embedding_cosine_pairs(emb, threshold=EMB_DEDUP_THRESHOLD)
 
 
 def q_similarity_topk(sf_dir: str):
@@ -377,6 +380,15 @@ def oracle_sql() -> dict[str, str]:
         "rel_shipping_priority": oracles.shipping_priority_sql(),
         "rel_suppliers_by_region": oracles.suppliers_by_region_sql(),
         "rel_revenue_by_brand": oracles.revenue_by_brand_sql(),
-        # no-oracle (non-SQL-expressible): doc_fingerprint, dedup_minhash,
-        # dedup_simhash, dedup_ngram, dedup_embedding, similarity_lsh
+        # extension oracles (full independent SQL recompute — see each
+        # generator's docstring for the mirrored arithmetic)
+        "doc_fingerprint": oracles.fingerprint_sql(),
+        "approx_ndistinct": oracles.approx_ndistinct_sql(),
+        "dedup_ngram": oracles.ngram_jaccard_sql(),
+        "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),
+        "multimodal_frames": oracles.multimodal_frames_sql(),
+        "dedup_minhash": oracles.minhash_sql(),
+        "dedup_simhash": oracles.simhash_sql(),
+        "similarity_lsh": oracles.lsh_topk_sql(SIM_QUERY_IDS, SIM_K),
+        "similarity_ivf": oracles.ivf_topk_sql(SIM_QUERY_IDS, SIM_K),
     }
