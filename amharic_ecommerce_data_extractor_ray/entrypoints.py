@@ -102,6 +102,90 @@ def q_bio_tags(sf_dir: str):
                                             batch_format="pyarrow")
 
 
+def q_bio_tags_model(sf_dir: str):
+    """A1/S11: token-level BIO predictions from the REAL batched model
+    forward pass (actor pool, weights built once per actor) through the M18
+    span→token alignment.  Deterministic seeded weights → oracle-checked."""
+    from .stages.enrich import NumpyModelTagStage, enrich_batch
+
+    ds = (kg.corpus_ds(sf_dir)
+          .map_batches(enrich_batch, batch_format="pyarrow")
+          .map_batches(NumpyModelTagStage, batch_format="pyarrow",
+                       batch_size=256, concurrency=2))
+
+    def explode(b: pa.Table) -> pa.Table:
+        mids = b["message_id"].to_pylist()
+        toks_col = b["tag_tokens"].to_pylist()
+        labs_col = b["tag_labels"].to_pylist()
+        out_mid, out_idx, out_tok, out_lab = [], [], [], []
+        for mid, toks, labs in zip(mids, toks_col, labs_col):
+            for i, (tok, lab) in enumerate(zip(toks or [], labs or [])):
+                out_mid.append(mid)
+                out_idx.append(i)
+                out_tok.append(tok)
+                out_lab.append(lab)
+        return pa.table({
+            "message_id": pa.array(out_mid, pa.int64()),
+            "tok_idx": pa.array(out_idx, pa.int64()),
+            "token": pa.array(out_tok, pa.string()),
+            "label": pa.array(out_lab, pa.string()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_train_prep(sf_dir: str):
+    """A2 prep over the pseudo-labeled corpus: corpus → tag → (tokens,
+    labels) sentences → label-id conversion → subword tokenize + -100-masked
+    alignment, exploded to one row per subword piece."""
+    from .pipelines.trainprep import (label_vocab_distributed,
+                                      to_hf_format_batch,
+                                      tokenize_and_align_batch)
+    from .stages.enrich import enrich_batch, tag_batch
+
+    def sentences(b: pa.Table) -> pa.Table:
+        b = tag_batch(enrich_batch(b))
+        return pa.table({
+            "message_id": b["message_id"],
+            "tokens": b["tag_tokens"],
+            "labels": b["tag_labels"],
+        })
+
+    sent_ds = kg.corpus_ds(sf_dir).map_batches(sentences,
+                                               batch_format="pyarrow")
+    vocab = label_vocab_distributed(sent_ds)
+    label_to_id = {l: i for i, l in enumerate(vocab)}
+    aligned = (sent_ds
+               .map_batches(lambda b: to_hf_format_batch(
+                   b, label_to_id=label_to_id, id_col="message_id"),
+                   batch_format="pyarrow")
+               .map_batches(tokenize_and_align_batch, batch_format="pyarrow"))
+
+    def explode(b: pa.Table) -> pa.Table:
+        mids = b["message_id"].to_pylist()
+        pieces = b["pieces"].to_pylist()
+        iids = b["input_ids"].to_pylist()
+        labs = b["labels_aligned"].to_pylist()
+        out = {"message_id": [], "piece_idx": [], "piece": [],
+               "input_id": [], "label_id": []}
+        for mid, ps, ii, ll in zip(mids, pieces, iids, labs):
+            for i, (p, iid, lid) in enumerate(zip(ps, ii, ll)):
+                out["message_id"].append(mid)
+                out["piece_idx"].append(i)
+                out["piece"].append(p)
+                out["input_id"].append(iid)
+                out["label_id"].append(lid)
+        return pa.table({
+            "message_id": pa.array(out["message_id"], pa.int64()),
+            "piece_idx": pa.array(out["piece_idx"], pa.int64()),
+            "piece": pa.array(out["piece"], pa.string()),
+            "input_id": pa.array(out["input_id"], pa.int64()),
+            "label_id": pa.array(out["label_id"], pa.int64()),
+        })
+
+    return aligned.map_batches(explode, batch_format="pyarrow")
+
+
 def q_labeling_sheet(sf_dir: str):
     """S10/O2: first 50 messages → normalized tokens with all-O skeleton."""
     from .pipelines.labeling import labeling_sheet_batch
@@ -307,6 +391,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vendor_scorecard": q_scorecard,
         # labeling / eval surface
         "bio_tags": q_bio_tags,
+        "bio_tags_model": q_bio_tags_model,
+        "train_prep": q_train_prep,
         "labeling_sheet": q_labeling_sheet,
         "conll_csv": q_conll_csv,
         "corpus_summary": q_corpus_summary,
@@ -357,6 +443,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": oracles.kg_edges_sql(),
         "vendor_scorecard": oracles.scorecard_sql(),
         "bio_tags": oracles.bio_tags_sql(),
+        "bio_tags_model": oracles.model_bio_tags_sql(),
+        "train_prep": oracles.train_prep_sql(),
         "labeling_sheet": oracles.labeling_sheet_sql(50),
         "conll_csv": oracles.conll_csv_sql(),
         "corpus_summary": oracles.corpus_summary_sql(),

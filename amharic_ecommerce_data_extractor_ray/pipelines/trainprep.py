@@ -1,0 +1,173 @@
+"""A2 NER fine-tuning data preparation as Ray batch transforms.
+
+The reference prepares training data driver-side with HF Dataset.map
+(/root/reference/src/models/ner_trainer.py:104-176): label-vocab discovery,
+CoNLL→(tokens, ner_tags) conversion, and subword tokenize-and-align with
+``-100`` masking.  Here each step is a distributed stage:
+
+- ``label_vocab_distributed``: per-batch label sets → driver merge (tiny).
+- ``to_hf_format_batch``: (tokens, labels) → (tokens, ner_tags int ids).
+- ``tokenize_and_align_batch``: subword pieces + input_ids + aligned label
+  ids.  Alignment semantics are EXACTLY ner_trainer.align_labels_with_tokens
+  (:149-172): special tokens (word_id None) → -100; first subword of a word
+  → the word's label id; further subwords → -100 unless
+  ``label_all_tokens``.
+
+The subword tokenizer is the deterministic splitter from functions.np_model
+(an HF AutoTokenizer slots in behind the same ``word_ids`` contract when
+transformers exists — see ``hf_trainer_shim``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+BOS, EOS = "<s>", "</s>"
+VOCAB_SIZE = 50_000
+IGNORE_ID = -100
+
+
+def label_vocab_distributed(sentences_ds) -> list[str]:
+    """Sorted distinct labels over a (tokens, labels) Dataset — per-batch set
+    combiner, driver merge of tiny partials (G7 at scale)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        seen = set()
+        for labs in b["labels"].to_pylist():
+            seen.update(labs or [])
+        return pa.table({"label": sorted(seen)})
+
+    parts = sentences_ds.map_batches(partial, batch_format="pyarrow")
+    seen: set[str] = set()
+    for batch in parts.iter_batches(batch_format="pyarrow"):
+        seen.update(batch["label"].to_pylist())
+    return sorted(seen)
+
+
+def to_hf_format_batch(batch: pa.Table, *, label_to_id: dict[str, int],
+                       id_col: str | None = None) -> pa.Table:
+    """(tokens, labels) → (tokens, ner_tags) with int label ids; sentences
+    with no tokens are dropped (ner_trainer.py:117-121).  ``id_col`` carries
+    a row id through for oracle-keyed pipelines."""
+    toks_col = batch["tokens"].to_pylist()
+    labs_col = batch["labels"].to_pylist()
+    ids = batch[id_col].to_pylist() if id_col else [None] * len(toks_col)
+    keep_t, keep_ids, keep_row = [], [], []
+    for rid, toks, labs in zip(ids, toks_col, labs_col):
+        if not toks or not labs:
+            continue
+        keep_t.append(toks)
+        keep_ids.append([label_to_id[l] for l in labs])
+        keep_row.append(rid)
+    cols = {
+        "tokens": pa.array(keep_t, pa.list_(pa.string())),
+        "ner_tags": pa.array(keep_ids, pa.list_(pa.int64())),
+    }
+    if id_col:
+        cols = {id_col: pa.array(keep_row, pa.int64()), **cols}
+    return pa.table(cols)
+
+
+def _piece_id(piece: str) -> int:
+    # deterministic "vocab lookup" for the stand-in tokenizer; ids 2.. so the
+    # special tokens keep 0/1
+    h = int.from_bytes(hashlib.md5(piece.encode("utf-8")).digest()[:4],
+                       "little")
+    return 2 + h % (VOCAB_SIZE - 2)
+
+
+def subword_tokenize(tokens: list[str]) -> tuple[list[str], list[int | None]]:
+    """Stand-in subword tokenizer with the HF ``word_ids`` contract: returns
+    (pieces incl. BOS/EOS, word_ids with None for special tokens)."""
+    from ..functions.np_model import subword_split
+
+    pieces, word_ids = [BOS], [None]
+    for wi, tok in enumerate(tokens):
+        for p in subword_split(tok):
+            pieces.append(p)
+            word_ids.append(wi)
+    pieces.append(EOS)
+    word_ids.append(None)
+    return pieces, word_ids
+
+
+def align_labels(word_ids: list[int | None], label_ids: list[int], *,
+                 label_all_tokens: bool = False) -> list[int]:
+    """The reference alignment rule verbatim (ner_trainer.py:158-171):
+    None → -100; new word → its label; repeated word → -100 (or the label
+    when label_all_tokens)."""
+    out = []
+    prev = None
+    for wi in word_ids:
+        if wi is None:
+            out.append(IGNORE_ID)
+        elif wi != prev:
+            out.append(label_ids[wi])
+        else:
+            out.append(label_ids[wi] if label_all_tokens else IGNORE_ID)
+        prev = wi
+    return out
+
+
+def tokenize_and_align_batch(batch: pa.Table, *,
+                             label_all_tokens: bool = False) -> pa.Table:
+    """(tokens, ner_tags) → + pieces, input_ids, labels (-100-masked)."""
+    toks_col = batch["tokens"].to_pylist()
+    tags_col = batch["ner_tags"].to_pylist()
+    pieces_col, ids_col, labels_col = [], [], []
+    for toks, tags in zip(toks_col, tags_col):
+        pieces, word_ids = subword_tokenize(toks or [])
+        pieces_col.append(pieces)
+        ids_col.append([0 if p == BOS else 1 if p == EOS else _piece_id(p)
+                        for p in pieces])
+        labels_col.append(align_labels(word_ids, tags or [],
+                                       label_all_tokens=label_all_tokens))
+    return (batch
+            .append_column("pieces", pa.array(pieces_col,
+                                              pa.list_(pa.string())))
+            .append_column("input_ids", pa.array(ids_col,
+                                                 pa.list_(pa.int64())))
+            .append_column("labels_aligned",
+                           pa.array(labels_col, pa.list_(pa.int64()))))
+
+
+def prepare_training_data(sentences_ds, *, test_size: float = 0.2,
+                          seed: int = 42, label_all_tokens: bool = False):
+    """Full A2 prep: vocab → id conversion → seeded split → tokenize+align.
+
+    Returns (train_ds, eval_ds, label_vocab) — the two Datasets carry
+    (tokens, ner_tags, pieces, input_ids, labels_aligned), ready for a
+    trainer to consume via iter_batches.
+    """
+    from .evalharness import split_corpus
+
+    vocab = label_vocab_distributed(sentences_ds)
+    label_to_id = {l: i for i, l in enumerate(vocab)}
+    hf = sentences_ds.map_batches(
+        lambda b: to_hf_format_batch(b, label_to_id=label_to_id),
+        batch_format="pyarrow")
+    train, test = split_corpus(hf, test_size=test_size, seed=seed)
+    align = lambda b: tokenize_and_align_batch(
+        b, label_all_tokens=label_all_tokens)
+    return (train.map_batches(align, batch_format="pyarrow"),
+            test.map_batches(align, batch_format="pyarrow"),
+            vocab)
+
+
+def hf_trainer_shim(train_ds, eval_ds, vocab: list[str], *,
+                    model_name: str = "xlm-roberta-base", out_dir: str = ""):
+    """Driver-side trainer hookup (optional-import guarded): consumes the
+    prepared Datasets and hands them to an HF Trainer.  torch/transformers
+    are absent in this sandbox, so this raises cleanly; the DATAFLOW above is
+    the engine-shaped part (ner_trainer.py:178-246 is driver-side config)."""
+    try:
+        import transformers  # noqa: F401
+        import torch  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformers/torch not available in this environment; "
+            "prepare_training_data output is trainer-ready (input_ids + "
+            "labels_aligned with -100 masking)") from exc
+    raise NotImplementedError("HF Trainer wiring not implemented here")

@@ -1,0 +1,89 @@
+"""A2 training-prep dataflow: vocab, id conversion, tokenize-and-align with
+-100 masking — alignment parity vs an independent transcription of the
+reference rule over the full 3,257-sentence reference corpus."""
+
+import os
+
+import pytest
+
+REF_CORPUS = ("/root/reference/data/labeled/"
+              "01_labeled_telegram_product_price_location.txt")
+
+
+def reference_align(word_ids, label_ids):
+    """Independent re-transcription of ner_trainer.align_labels_with_tokens
+    (:158-171) used as the parity check."""
+    previous_word_idx = None
+    out = []
+    for word_idx in word_ids:
+        if word_idx is None:
+            out.append(-100)
+        elif word_idx != previous_word_idx:
+            out.append(label_ids[word_idx])
+        else:
+            out.append(-100)
+        previous_word_idx = word_idx
+    return out
+
+
+def test_align_labels_small_cases():
+    from amharic_ecommerce_data_extractor_ray.pipelines.trainprep import align_labels
+
+    # [BOS] w0 w0 w1 [EOS] — second piece of w0 masked
+    assert align_labels([None, 0, 0, 1, None], [5, 7]) == [-100, 5, -100, 7, -100]
+    assert align_labels([None, 0, 0, 1, None], [5, 7],
+                        label_all_tokens=True) == [-100, 5, 5, 7, -100]
+    assert align_labels([None, None], []) == [-100, -100]
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CORPUS),
+                    reason="reference corpus absent")
+def test_alignment_parity_on_reference_corpus():
+    from amharic_ecommerce_data_extractor_ray.pipelines.trainprep import (align_labels,
+                                                        subword_tokenize)
+    from amharic_ecommerce_data_extractor_ray.sources.conll import (label_vocabulary,
+                                                  read_conll)
+
+    sentences = read_conll(REF_CORPUS)
+    assert len(sentences) == 3257
+    vocab = label_vocabulary(REF_CORPUS)
+    label_to_id = {l: i for i, l in enumerate(vocab)}
+    for sent in sentences:
+        toks = [t for t, _ in sent]
+        ids = [label_to_id[l] for _, l in sent]
+        pieces, word_ids = subword_tokenize(toks)
+        assert align_labels(word_ids, ids) == reference_align(word_ids, ids)
+        # every original word contributes exactly one unmasked label
+        got = align_labels(word_ids, ids)
+        assert sum(1 for g in got if g != -100) == len(toks)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CORPUS),
+                    reason="reference corpus absent")
+def test_prepare_training_data_end_to_end(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines.trainprep import prepare_training_data
+    from amharic_ecommerce_data_extractor_ray.sources.conll import conll_to_dataset
+
+    ds = conll_to_dataset(REF_CORPUS)
+    train, test, vocab = prepare_training_data(ds)
+    assert vocab[0] == "B-CONTACT_INFO" and "O" in vocab
+    t = train.take(5)
+    n_train, n_test = train.count(), test.count()
+    assert n_train + n_test == 3257
+    # seeded 80/20 split
+    assert abs(n_test - round(3257 * 0.2)) <= 1
+    for row in t:
+        assert len(row["pieces"]) == len(row["input_ids"])
+        assert len(row["labels_aligned"]) == len(row["pieces"])
+        assert row["labels_aligned"][0] == -100
+        assert row["labels_aligned"][-1] == -100
+        assert row["input_ids"][0] == 0 and row["input_ids"][-1] == 1
+        unmasked = [l for l in row["labels_aligned"] if l != -100]
+        assert unmasked == row["ner_tags"]
+
+
+def test_trainer_shim_raises_cleanly():
+    from amharic_ecommerce_data_extractor_ray.pipelines.trainprep import hf_trainer_shim
+
+    with pytest.raises(NotImplementedError, match="trainer-ready"):
+        hf_trainer_shim(None, None, ["O"])
