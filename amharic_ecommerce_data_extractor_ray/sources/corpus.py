@@ -63,6 +63,47 @@ TEMPLATES: list[str] = [
     "ላፕቶፕ እና ስልክ በመገናኛ ፎቅ 3 ቢሮ ቁጥር 12 ዋጋ 3500 ብር",
     # 11: repeated Ethiopic punct runs + Geez price
     "አዲስ እቃ።።። ዋጋ፡- ፲፭፻ ብር... በጣም ምርጥ!!!",
+    # 12-49: widened oracle corpus (VERDICT r1 #9) — ≥50 distinct contents so
+    # the per-template oracles cover far more than the original 12 shapes.
+    # Every entry still exercises reference-matched normalize/tag rules.
+    "air fryer ምርጥ እቃ ዋጋ 4500 ብር ይደውሉ 0922334455",
+    "ዋጋ 750 ብር ብቻ! ለቡ መዳህኒዓለም ቤተ/ክርስቲያን ጎን",
+    "knife set stainless steel ዋጋ: 2,350 ብር #ቅናሽ",
+    "ሃያ አምስት በመቶ ቅናሽ!!! humidifier 1800ብር",
+    "ጁስ መፍጫ ማሽን ዋጋ፦ 3,000 ብር። አድራሻ፡ መገናኛ ዛም ሞል ቢሮ ቁ.1",
+    "baby diaper bags በጣም ምርጥ 950 ብር @ShegerKids https://t.me/shegerkids",
+    "ሀሎ ሰላም ነው ዛሬ ምንም ሽያጭ የለም",
+    "mop ማጠቢያ እና መወልወያ ስብስብ ፶፭ ብር",
+    "ዋጋ፦1,250ብር። electric stove ምድጃ ከነ መጥበሻ",
+    "ስልክ ቁጥር 0911 22 33 44 ይደውሉ፣ መገናኛ ታሜ ጋስ ህንፃ ፎቅ 2",
+    "portable juicer rechargeable ዋጋ 1750 ETB",
+    "እንኳን ደህና መጡ! አዲስ እቃ ገብቷል፤ ዋጋ ፪፻፶ ብር ብቻ።",
+    "hair curler ፀጉር ማሽን 2200ብር ለቡ ሲቲ ሞል ቁ.2",
+    "Original quality ስሪ ኤም ሲቲ ሞል ቢሮ ቁጥር 5 ዋጋ 600 ብር",
+    "ድስት ስብስብ 12 pcs ceramic ዋጋ: 5,500 ብር!!!",
+    "yoga mat እና ማሳጅ ስብስብ — ዋጋ 1300 ብር 😊😊",
+    "ኦርጅናል ብርጭቆ 6 pcs ፻ ብር ብቻ፣ ውስን ነው",
+    "smart watch እጅግ ምርጥ ዋጋ 3,999 ብር @SmartAddis",
+    "ማስቀመጫ መደርደሪያ foldable 880ብር ደውሉ 0933445566",
+    "ዋጋ:- 425 ብር silicon brush ስብስብ",
+    "መኪና ውስጥ ማስቀመጫ organizer 700 ብር ቦሌ መዳህኒዓለም አካባቢ",
+    "coffee maker ቡና ማሽን ዋጋ ፲፻ ብር ነው።",
+    "ልብስ ማድረቂያ rack adjustable 2450 ብር #አዲስ_እቃ",
+    "ቢላ መቁረጫ knife sharpener 350ብር ብቻ!!!",
+    "electric kettle 1.8L ዋጋ፦ 980 ብር፤ አድራሻ መገናኛ ሞል",
+    "ሕፃን ልብስ ስብስብ cotton ዋጋ 1,150 ብር 🔥",
+    "LED መብራት rechargeable lamp ፸፭ ብር",
+    "ዋጋ 2800 ብር blender ጁስ መፍጫ German standard",
+    "massager ማሳጅ ማሽን ዘመናዊ ዋጋ: 3750 ብር 0944556677",
+    "የፀጉር ማድረቂያ hair dryer 1600ብር ስሪ ኤም ሲቲ ሞል",
+    "ምጣድ electric injera maker ዋጋ ፭፻፶ ብር",
+    "ውሃ ማጣሪያ water filter 7 stage 4,200 ብር ይምጡ ለቡ ሞል ቁ.1",
+    "ጫማ shoes rack 4 layer 1050 ብር #ListingSale",
+    "ዋጋ፦ 3,500 ብር። air purifier ከ HEPA filter ጋር።",
+    "ስጋ መፍጫ meat grinder 2,750ብር በሞባይል 0955667788 ይደውሉ",
+    "የጽዳት እቃ cleaner spray 199 ብር ብቻ!!!",
+    "ኤሌክትሪክ ምድጃ oven 45L ዋጋ 8,900 ብር መገናኛ ህንፃ ፎቅ 1",
+    "toy abacus ለልጆች 450 ብር፣ እንዲሁም play mat 1,200 ብር",
 ]
 
 N_TEMPLATES = len(TEMPLATES)
