@@ -1,10 +1,10 @@
 """Entity canonicalization + graph materialization (north star §7.5/§7.6).
 
-Combiner outputs are coalesced (repartition to a handful of blocks) before
-each groupby: Ray's sort-based aggregate creates an all-to-all exchange of
-#blocks × #partitions objects, so shuffling many tiny partial blocks costs
-more in scheduling than the data itself — coalescing first keeps the exchange
-O(16²) regardless of input width.
+Combiner outputs are coalesced (dedup.adaptive_coalesce — width proportional
+to actual partial rows) before each groupby: Ray's sort-based aggregate
+creates an all-to-all exchange of #blocks × #partitions objects, so shuffling
+many tiny partial blocks costs more in scheduling than the data itself; when
+partials are large the coalesce is a no-op rather than a throttle.
 
 Exact canonicalization: entities collapse on ``(pred, obj_norm)`` — the
 normalized surface form — via the combiner pattern: per-batch partial
@@ -68,9 +68,11 @@ def canonical_entities(triples_ds):
     # in one plan, Ray's operator resource reservation starves the map stage
     # (37.7 s → 13.3 s at 7 CPUs on the sf0.1 bench).  The partials are tiny
     # (one row per distinct entity per block) and live in the object store.
-    partials = (triples_ds.map_batches(entity_partials_batch,
-                                       batch_format="pyarrow")
-                .materialize().repartition(16))
+    from .dedup import adaptive_coalesce
+
+    partials = adaptive_coalesce(
+        triples_ds.map_batches(entity_partials_batch,
+                               batch_format="pyarrow").materialize())
     merged = partials.groupby(["pred", "obj_norm"]).aggregate(
         Min("min_obj", alias_name="min_obj"),
         Sum("n_mentions", alias_name="n_mentions"))
@@ -113,10 +115,12 @@ def canonical_edges(triples_ds):
     dst the canonical entity node.  Native Sum merge (see canonical_entities)."""
     from ray.data.aggregate import Sum
 
+    from .dedup import adaptive_coalesce
+
     # materialize() before the shuffle — same rationale as canonical_entities
-    partials = (triples_ds.map_batches(edge_partials_batch,
-                                       batch_format="pyarrow")
-                .materialize().repartition(16))
+    partials = adaptive_coalesce(
+        triples_ds.map_batches(edge_partials_batch,
+                               batch_format="pyarrow").materialize())
     merged = partials.groupby(["subj", "pred", "obj_norm"]).aggregate(
         Sum("weight", alias_name="weight"))
 
@@ -172,11 +176,15 @@ def graph_from_triples(triples_ds):
     running canonical_entities + canonical_edges separately."""
     from ray.data.aggregate import Min, Sum
 
-    partials = (triples_ds.map_batches(graph_partials_batch,
-                                       batch_format="pyarrow")
-                .materialize())
+    from .dedup import adaptive_coalesce
 
-    edge_merged = (partials.repartition(16)
+    # one adaptive coalesce (width ∝ partial rows, VERDICT r1 #8) shared by
+    # both shuffle consumers
+    partials = adaptive_coalesce(
+        triples_ds.map_batches(graph_partials_batch,
+                               batch_format="pyarrow").materialize())
+
+    edge_merged = (partials
                    .groupby(["subj", "pred", "obj_norm"])
                    .aggregate(Min("min_obj", alias_name="min_obj"),
                               Sum("weight", alias_name="weight")))
@@ -196,7 +204,7 @@ def graph_from_triples(triples_ds):
 
     edges = edge_merged.map_batches(to_edges, batch_format="pyarrow")
 
-    ent_merged = (partials.repartition(16)
+    ent_merged = (partials
                   .groupby(["pred", "obj_norm"])
                   .aggregate(Min("min_obj", alias_name="min_obj"),
                              Sum("weight", alias_name="n_mentions")))

@@ -133,12 +133,8 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
-def train_centroids(emb_ds, *, n_clusters=16, sample=2048, iters=10, seed=42,
-                    vec_col="embedding") -> np.ndarray:
-    """Spherical k-means on a driver-side sample (the IVF coarse quantizer).
-    Deterministic for a pinned seed; at 100 TB the sample is still a LIMIT
-    over the first blocks — training cost is independent of corpus size."""
-    rows = emb_ds.limit(sample).to_pandas()
+def _train_centroids_from_sample(rows, *, n_clusters=16, iters=10, seed=42,
+                                 vec_col="embedding") -> np.ndarray:
     x = _unit(_to_matrix(rows[vec_col]))
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
@@ -152,6 +148,17 @@ def train_centroids(emb_ds, *, n_clusters=16, sample=2048, iters=10, seed=42,
     return cent
 
 
+def train_centroids(emb_ds, *, n_clusters=16, sample=2048, iters=10, seed=42,
+                    vec_col="embedding") -> np.ndarray:
+    """Spherical k-means on a driver-side sample (the IVF coarse quantizer).
+    Deterministic for a pinned seed; at 100 TB the sample is still a LIMIT
+    over the first blocks — training cost is independent of corpus size."""
+    rows = emb_ds.limit(sample).to_pandas()
+    return _train_centroids_from_sample(rows, n_clusters=n_clusters,
+                                        iters=iters, seed=seed,
+                                        vec_col=vec_col)
+
+
 def ivf_topk(emb_ds, query_ids: list[int], k: int = 10, *, n_clusters=16,
              n_probe=4, sample=2048, iters=10, seed=42,
              vec_col="embedding", id_col="vec_id"):
@@ -160,17 +167,26 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 10, *, n_clusters=16,
     map_batches; each query probes only its ``n_probe`` nearest clusters.
     One streaming pass over the corpus; shuffle volume O(n_queries × k ×
     n_batches).  Recall vs brute force is pinned by tests/test_similarity.py."""
-    cent = train_centroids(emb_ds, n_clusters=n_clusters, sample=sample,
-                           iters=iters, seed=seed, vec_col=vec_col)
-
     qset = set(query_ids)
 
-    def pick_queries(b: pa.Table) -> pa.Table:
-        mask = [i in qset for i in b[id_col].to_pylist()]
-        return b.filter(pa.array(mask))
+    # ONE driver-side sample serves both quantizer training and query-vector
+    # lookup when it contains the query ids (the common case: ids come from
+    # the same table) — dropping the extra full pick_queries pass over the
+    # corpus (ADVICE r1).
+    sample_rows = emb_ds.limit(sample).to_pandas()
+    cent = _train_centroids_from_sample(sample_rows, n_clusters=n_clusters,
+                                        iters=iters, seed=seed,
+                                        vec_col=vec_col)
+    in_sample = sample_rows[sample_rows[id_col].isin(qset)]
+    if len(in_sample) == len(qset):
+        qtab = in_sample.sort_values(id_col)
+    else:  # query ids beyond the sample: one filtered scan
+        def pick_queries(b: pa.Table) -> pa.Table:
+            mask = [i in qset for i in b[id_col].to_pylist()]
+            return b.filter(pa.array(mask))
 
-    qtab = (emb_ds.map_batches(pick_queries, batch_format="pyarrow")
-            .to_pandas().sort_values(id_col))
+        qtab = (emb_ds.map_batches(pick_queries, batch_format="pyarrow")
+                .to_pandas().sort_values(id_col))
     qunit = _unit(_to_matrix(qtab[vec_col]))
     qids = qtab[id_col].to_numpy()
     # n_probe nearest centroids per query
