@@ -36,9 +36,16 @@ def corpus_rows() -> int:
 
 
 def ensure_corpus(n_rows: int) -> str:
-    """Generate the bench corpus once per (sf, size); reused across runs and
-    parallelism levels so both scaling runs read identical input."""
-    out = f"/tmp/bench_corpus_{n_rows}"
+    """Generate the bench corpus once per (sf, size, template-set); reused
+    across runs and parallelism levels so both scaling runs read identical
+    input.  The template hash in the cache key invalidates stale corpora
+    when the template set changes."""
+    import hashlib
+
+    from amharic_ecommerce_data_extractor_ray.sources.corpus import TEMPLATES
+
+    tkey = hashlib.sha256("\x00".join(TEMPLATES).encode()).hexdigest()[:8]
+    out = f"/tmp/bench_corpus_{n_rows}_{tkey}"
     if not os.path.exists(os.path.join(out, "_DONE")):
         from amharic_ecommerce_data_extractor_ray.sources.corpus import make_corpus
 

@@ -33,7 +33,7 @@ def test_build_kg_manifest(ray_session, tmp_path):
 
     out = str(tmp_path / "kg")
     m = build_kg("/root/testdata/sf0.001", out)
-    assert m["datasets"]["triples"]["rows"] == 1120
+    assert m["datasets"]["triples"]["rows"] == 1482
     assert not m["datasets"]["triples"]["skipped"]
     # triples partitioned by predicate for resumable, pruned reads
     parts = os.listdir(os.path.join(out, "triples"))
