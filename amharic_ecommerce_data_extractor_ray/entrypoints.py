@@ -272,6 +272,27 @@ def q_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+def q_token_topk(sf_dir: str):
+    """Heavy-hitter vocabulary: global top-100 tokens by frequency."""
+    import ray.data as rd
+
+    from .stages.corpus_stats import token_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return token_topk(docs, k=100)
+
+
+def q_sessionize(sf_dir: str):
+    """Behavioral-log sessionization: 30-min-gap sessions per user."""
+    import ray.data as rd
+
+    from .stages.corpus_stats import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    return sessionize(ev)
+
+
 # --------------------------------------------------------------------- dedup
 
 def q_curate(sf_dir: str):
@@ -401,6 +422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_fingerprint,
+        "token_topk": q_token_topk,
+        "sessionize": q_sessionize,
         # dedup suite
         "dedup_exact": q_dedup_exact,
         "curate_documents": q_curate,
@@ -475,6 +498,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": oracles.ngram_jaccard_sql(),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),
         "multimodal_frames": oracles.multimodal_frames_sql(),
+        "token_topk": oracles.token_topk_sql(100),
+        "sessionize": oracles.sessionize_sql(30),
         "dedup_minhash": oracles.minhash_sql(),
         "dedup_simhash": oracles.simhash_sql(),
         "similarity_lsh": oracles.lsh_topk_sql(SIM_QUERY_IDS, SIM_K),
