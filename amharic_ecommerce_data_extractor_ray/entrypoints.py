@@ -282,6 +282,28 @@ def q_token_topk(sf_dir: str):
     return token_topk(docs, k=100)
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic shard-stable 10% sample (hash threshold, no shuffle)."""
+    import ray.data as rd
+
+    from .stages.corpus_stats import hash_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "source"])
+    return hash_sample(docs, key_col="doc_id", rate_pct=10)
+
+
+def q_tfidf(sf_dir: str):
+    """Per-document top-3 TF-IDF terms (df pass + broadcast idf)."""
+    import ray.data as rd
+
+    from .stages.corpus_stats import tfidf_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return tfidf_topk(docs, k=3)
+
+
 def q_sessionize(sf_dir: str):
     """Behavioral-log sessionization: 30-min-gap sessions per user."""
     import ray.data as rd
@@ -424,6 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_fingerprint,
         "token_topk": q_token_topk,
         "sessionize": q_sessionize,
+        "hash_sample": q_hash_sample,
+        "tfidf_topk": q_tfidf,
         # dedup suite
         "dedup_exact": q_dedup_exact,
         "curate_documents": q_curate,
@@ -500,6 +524,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": oracles.multimodal_frames_sql(),
         "token_topk": oracles.token_topk_sql(100),
         "sessionize": oracles.sessionize_sql(30),
+        "hash_sample": oracles.hash_sample_sql(10),
+        "tfidf_topk": oracles.tfidf_topk_sql(3),
         "dedup_minhash": oracles.minhash_sql(),
         "dedup_simhash": oracles.simhash_sql(),
         "similarity_lsh": oracles.lsh_topk_sql(SIM_QUERY_IDS, SIM_K),

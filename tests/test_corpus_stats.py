@@ -24,6 +24,42 @@ def test_token_topk_tiebreak(ray_session):
     assert list(out["token"]) == ["x", "y", "z"]
 
 
+def test_hash_sample_deterministic_and_shard_stable(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import hash_sample
+
+    rows = [{"doc_id": i} for i in range(1000)]
+    a = set(hash_sample(rd.from_items(rows), key_col="doc_id",
+                        rate_pct=10).to_pandas()["doc_id"])
+    # different partitioning → identical membership (shard-stable)
+    b = set(hash_sample(rd.from_items(rows).repartition(7), key_col="doc_id",
+                        rate_pct=10).to_pandas()["doc_id"])
+    assert a == b
+    assert 50 < len(a) < 150  # ~10%
+
+
+def test_tfidf_topk(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import tfidf_topk
+
+    rows = [
+        {"doc_id": 0, "text": "apple banana apple"},
+        {"doc_id": 1, "text": "banana cherry"},
+        {"doc_id": 2, "text": "cherry cherry date"},
+        {"doc_id": 3, "text": ""},
+    ]
+    out = tfidf_topk(rd.from_items(rows), k=2).to_pandas()
+    d0 = out[out["doc_id"] == 0].sort_values("score", ascending=False)
+    # apple: tf 2/3, df 1 → idf ln(4); banana: tf 1/3, df 2 → ln(2)
+    assert list(d0["term"]) == ["apple", "banana"]
+    assert abs(d0.iloc[0]["score"] - round(2 / 3 * math.log(4), 6)) < 1e-9
+    assert 3 not in set(out["doc_id"])  # empty doc dropped
+
+
 def test_sessionize(ray_session):
     import ray.data as rd
 
