@@ -304,6 +304,45 @@ def q_tfidf(sf_dir: str):
     return tfidf_topk(docs, k=3)
 
 
+def q_asof_clicks(sf_dir: str):
+    """As-of join (custom operator — Ray Data has no native as-of): each
+    purchase event gets the user's latest click at or before it.  Oracle is
+    DuckDB's native ASOF LEFT JOIN — a fully independent implementation."""
+    import ray.data as rd
+
+    from .stages.joins import asof_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+
+    def only(kind):
+        def fn(b: pa.Table) -> pa.Table:
+            return (b.filter(pc.equal(b["event_type"], kind))
+                    .drop_columns(["event_type"]))
+        return fn
+
+    purchases = ev.map_batches(only("purchase"), batch_format="pyarrow")
+    clicks = ev.map_batches(only("click"), batch_format="pyarrow")
+    joined = asof_join(purchases, clicks, by="user_id", on="ts",
+                       right_cols=["ts", "event_id"])
+
+    def fmt(df):
+        import pandas as pd
+
+        click_ts = pd.to_datetime(df["ts_r"]).dt.strftime(
+            "%Y-%m-%d %H:%M:%S.%f")
+        out = pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "ts": pd.to_datetime(df["ts"]).dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            "click_ts": click_ts.where(click_ts.notna(), None),
+            "click_id": pd.to_numeric(df["event_id_r"]),
+        })
+        return out
+
+    return joined.map_batches(fmt, batch_format="pandas")
+
+
 def q_sessionize(sf_dir: str):
     """Behavioral-log sessionization: 30-min-gap sessions per user."""
     import ray.data as rd
@@ -448,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "hash_sample": q_hash_sample,
         "tfidf_topk": q_tfidf,
+        "asof_clicks": q_asof_clicks,
         # dedup suite
         "dedup_exact": q_dedup_exact,
         "curate_documents": q_curate,
@@ -526,6 +566,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oracles.sessionize_sql(30),
         "hash_sample": oracles.hash_sample_sql(10),
         "tfidf_topk": oracles.tfidf_topk_sql(3),
+        "asof_clicks": oracles.asof_clicks_sql(),
         "dedup_minhash": oracles.minhash_sql(),
         "dedup_simhash": oracles.simhash_sql(),
         "similarity_lsh": oracles.lsh_topk_sql(SIM_QUERY_IDS, SIM_K),

@@ -1,0 +1,104 @@
+"""Custom join operators Ray Data lacks natively (brief: "when the reference
+has an operator Ray Data lacks — as-of join, range join — implement it as a
+composition of map_batches + groupby().map_groups + sort if semantics
+allow").
+
+``asof_join``: for each left row, attach the right row of the same ``by``
+key with the greatest ``on`` value ≤ the left row's ``on`` (backward as-of —
+the event-attribution / point-in-time-lookup join).
+
+Partitioning assumption (documented per the brief): both sides
+hash-co-locate on ``by`` via ONE tagged-union groupby — each group holds one
+key's rows from both sides, and a group must fit a worker (true whenever a
+single key's history does, the same assumption every per-key window op
+makes).  Within a group the match is a vectorized ``np.searchsorted`` over
+the sorted right timestamps — no per-row Python scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SIDE = "_asof_side"
+
+
+def asof_join(left_ds, right_ds, *, by: str, on: str,
+              right_cols: list[str], suffix: str = "_r"):
+    """Backward as-of join of two Datasets.
+
+    Output: every left row + ``right_cols`` of its matched right row (null
+    when the key has no right row at or before the left ``on``).  Rows with
+    identical ``on`` values per key are disambiguated by sorting right rows
+    on every carried column (deterministic across runs and partitionings).
+    """
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_names = list(left_schema.names)
+    keep_right = [on] + [c for c in right_cols if c != on]
+    right_renamed = {c: c + suffix for c in keep_right}
+
+    # one explicit union schema (typed null padding — a plain null-type pad
+    # breaks the union's schema merge)
+    types: dict[str, pa.DataType] = {}
+    lt = dict(zip(left_schema.names, left_schema.types))
+    rt = dict(zip(right_schema.names, right_schema.types))
+    for c in left_names:
+        types[c] = lt[c]
+    for c in keep_right:
+        types[right_renamed[c]] = rt[c]
+    all_cols = list(left_names) + list(right_renamed.values()) + [_SIDE]
+    types[_SIDE] = pa.int8()
+
+    def to_union(side: int, mapping: dict[str, str]):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            cols = {}
+            for c in all_cols:
+                if c == _SIDE:
+                    cols[c] = pa.array([side] * n, pa.int8())
+                elif c in mapping:
+                    cols[c] = pc_cast(b[mapping[c]], types[c])
+                else:
+                    cols[c] = pa.nulls(n, types[c])
+            return pa.table(cols)
+        return fn
+
+    import pyarrow.compute as _pc
+
+    def pc_cast(col, typ):
+        return col if col.type == typ else _pc.cast(col, typ)
+
+    left_map = {c: c for c in left_names}
+    # the right side also fills the `by` column (shared key)
+    right_map = {by: by, **{right_renamed[c]: c for c in keep_right}}
+
+    left_tagged = left_ds.map_batches(to_union(1, left_map),
+                                      batch_format="pyarrow")
+    right_tagged = right_ds.map_batches(to_union(0, right_map),
+                                        batch_format="pyarrow")
+
+    on_r = on + suffix
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g[_SIDE] == 1]
+        right = g[g[_SIDE] == 0]
+        out = left[list(left_names)].copy()
+        if right.empty:
+            for c in right_renamed.values():
+                out[c] = None
+            return out
+        right = right.sort_values(list(right_renamed.values()))
+        r_on = right[on_r].to_numpy()
+        idx = np.searchsorted(r_on, left[on].to_numpy(), side="right") - 1
+        matched = idx >= 0
+        for c in right_renamed.values():
+            vals = right[c].to_numpy()
+            col = np.where(matched, vals[np.clip(idx, 0, None)], None)
+            out[c] = col
+        return out
+
+    return (left_tagged.union(right_tagged)
+            .groupby(by)
+            .map_groups(merge, batch_format="pandas"))
