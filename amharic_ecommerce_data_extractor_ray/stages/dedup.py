@@ -185,7 +185,11 @@ def minhash_lsh_pairs(docs_ds, *, text_col="text", id_col="doc_id",
     a_par, b_par = _minhash_params(num_perm, seed)
     rows_per_band = num_perm // bands
 
-    def to_bands(batch: pa.Table) -> pa.Table:
+    def sig_rows_batch(batch: pa.Table) -> pa.Table:
+        """ONE row per doc: (doc_id, sig bytes, per-band bucket keys) — the
+        signature is stored exactly once; band exploding happens downstream
+        from this table (cheap) so the 512-byte sig never multiplies by the
+        band count in the object store."""
         texts = batch[text_col].to_pylist()
         ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
         n = len(texts)
@@ -197,13 +201,24 @@ def minhash_lsh_pairs(docs_ds, *, text_col="text", id_col="doc_id",
         bh = chunks[:, :, 0].copy()
         for r in range(1, rows_per_band):
             bh = bh * np.uint64(0x100000001B3) + chunks[:, :, r]
-        sig_bytes = [s.tobytes() for s in sigs]
+        return pa.table({
+            id_col: pa.array(ids),
+            "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+            "band_hashes": pa.array(
+                bh.view(np.int64).tolist(), pa.list_(pa.int64())),
+        })
+
+    def explode_keys(b: pa.Table) -> pa.Table:
+        """(band_id, band_hash, doc_id) only — 20 bytes/row, no sig."""
+        n = b.num_rows
+        bhs = np.asarray([v for row in b["band_hashes"].to_pylist()
+                          for v in row], dtype=np.int64)
+        ids = np.repeat(np.asarray(b[id_col].to_pylist(), dtype=np.int64),
+                        bands)
         return pa.table({
             "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
-            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
-            id_col: pa.array(np.repeat(ids, bands)),
-            "sig": pa.array([sb for sb in sig_bytes for _ in range(bands)],
-                            pa.binary()),
+            "band_hash": pa.array(bhs),
+            id_col: pa.array(ids),
         })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -231,25 +246,21 @@ def minhash_lsh_pairs(docs_ds, *, text_col="text", id_col="doc_id",
     import ray
     from ray.data.aggregate import Count, Max
 
-    # materialize: band_rows feeds TWO consumers (occupancy counts, then the
-    # hot-bucket pair search) — without it the shingle+minhash map runs twice;
-    # and ending the map plan before the shuffles avoids the operator-
-    # reservation starvation documented in stages/scorecard.py.
-    # no adaptive_coalesce here: measured at sf0.1, the extra barrier costs
-    # more than the narrower Sorts save (7.5s vs 4.3s), and at scale band_rows
-    # is large enough that its natural width is already right
-    band_rows = docs_ds.map_batches(to_bands,
-                                    batch_format="pyarrow").materialize()
+    # materialize ONE row per doc (sig stored once — not once per band);
+    # both shuffle consumers below derive from this table with cheap maps.
+    # Ending the map plan here also avoids the operator-reservation
+    # starvation documented in stages/scorecard.py.  No adaptive_coalesce:
+    # measured at sf0.1, the extra barrier costs more than narrower Sorts
+    # save, and at scale the natural width is already right.
+    sig_rows = docs_ds.map_batches(sig_rows_batch,
+                                   batch_format="pyarrow").materialize()
 
     # Hot-bucket prefilter: count bucket occupancy with a NATIVE aggregate
-    # over (band_id, band_hash) only — at scale almost every bucket is a
-    # singleton, and running per-group Python over singletons dominates cost.
-    # The collided-bucket set is proportional to the number of near-dup pairs
-    # (small), so broadcasting it is sound.
-    # no repartition before the groupby: band rows are NOT pre-combined
-    # partials, so a fixed-width coalesce is an extra all-to-all that saves
-    # nothing (VERDICT r1 #5/#8)
-    counts = (band_rows.select_columns(["band_id", "band_hash"])
+    # over (band_id, band_hash, doc_id) key rows only — at scale almost every
+    # bucket is a singleton, and running per-group Python over singletons
+    # dominates cost.  The collided-bucket set is proportional to the number
+    # of near-dup pairs (small), so broadcasting it is sound.
+    counts = (sig_rows.map_batches(explode_keys, batch_format="pyarrow")
               .groupby(["band_id", "band_hash"])
               .aggregate(Count(alias_name="n")))
     hot_df = (counts
@@ -267,16 +278,29 @@ def minhash_lsh_pairs(docs_ds, *, text_col="text", id_col="doc_id",
             "jaccard_est": pa.array([], pa.float64())}))
     hot_ref = ray.put(hot)
 
-    def keep_hot(b: pa.Table) -> pa.Table:
+    def explode_hot_with_sig(b: pa.Table) -> pa.Table:
+        """Re-explode ONLY hot (band, bucket) rows, attaching the sig — the
+        pair-search shuffle ships signatures solely for collided buckets."""
         hs = ray.get(hot_ref)
-        mask = [
-            (bi, bh) in hs
-            for bi, bh in zip(b["band_id"].to_pylist(),
-                              b["band_hash"].to_pylist())
-        ]
-        return b.filter(pa.array(mask))
+        ids = b[id_col].to_pylist()
+        sigs_b = b["sig"].to_pylist()
+        bhs = b["band_hashes"].to_pylist()
+        out_band, out_bhash, out_id, out_sig = [], [], [], []
+        for i, sig, row in zip(ids, sigs_b, bhs):
+            for bidx, bh in enumerate(row):
+                if (bidx, bh) in hs:
+                    out_band.append(bidx)
+                    out_bhash.append(bh)
+                    out_id.append(i)
+                    out_sig.append(sig)
+        return pa.table({
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_bhash, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "sig": pa.array(out_sig, pa.binary()),
+        })
 
-    pairs = (band_rows.map_batches(keep_hot, batch_format="pyarrow")
+    pairs = (sig_rows.map_batches(explode_hot_with_sig, batch_format="pyarrow")
              .groupby(["band_id", "band_hash"])
              .map_groups(bucket_pairs, batch_format="pandas"))
     # a pair can collide in several bands — native dedup (est is identical
