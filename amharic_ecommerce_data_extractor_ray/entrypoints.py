@@ -304,6 +304,13 @@ def q_tfidf(sf_dir: str):
     return tfidf_topk(docs, k=3)
 
 
+def q_pii_scrub(sf_dir: str):
+    """Training-data hygiene: email/phone redaction over the corpus."""
+    ds = kg.corpus_ds(sf_dir).map_batches(textstats.pii_scrub_batch,
+                                          batch_format="pyarrow")
+    return ds.select_columns(["message_id", "scrubbed"])
+
+
 def q_asof_clicks(sf_dir: str):
     """As-of join (custom operator — Ray Data has no native as-of): each
     purchase event gets the user's latest click at or before it.  Oracle is
@@ -488,6 +495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": q_hash_sample,
         "tfidf_topk": q_tfidf,
         "asof_clicks": q_asof_clicks,
+        "pii_scrub": q_pii_scrub,
+        "rel_quantiles": relational.value_quantiles,
         # dedup suite
         "dedup_exact": q_dedup_exact,
         "curate_documents": q_curate,
@@ -567,6 +576,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample": oracles.hash_sample_sql(10),
         "tfidf_topk": oracles.tfidf_topk_sql(3),
         "asof_clicks": oracles.asof_clicks_sql(),
+        "pii_scrub": oracles.pii_scrub_sql(),
+        "rel_quantiles": oracles.value_quantiles_sql(),
         "dedup_minhash": oracles.minhash_sql(),
         "dedup_simhash": oracles.simhash_sql(),
         "similarity_lsh": oracles.lsh_topk_sql(SIM_QUERY_IDS, SIM_K),

@@ -338,6 +338,28 @@ def sliding_event_windows(sf_dir: str, *, window_hours: int = 3):
     return out.map_batches(round_cols, batch_format="pyarrow")
 
 
+def value_quantiles(sf_dir: str, *, qs=(0.5, 0.95)):
+    """Exact per-group quantiles (linear interpolation, numpy/DuckDB
+    quantile_cont semantics): groupby(event_type) co-locates each type's
+    values; per-group numpy quantile.  Partitioning assumption: one type's
+    values fit a worker — when they don't, stages/skew.approx_quantile_* is
+    the sketch-based scale path."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def per_type(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g["value"].to_numpy()
+        row = {"event_type": g["event_type"].iloc[0]}
+        for q in qs:
+            row[f"p{int(q * 100)}"] = round(float(np.quantile(vals, q)), 6)
+        return pd.DataFrame([row])
+
+    return ds.groupby("event_type").map_groups(per_type,
+                                               batch_format="pandas")
+
+
 def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
                       num_partitions: int = 16):
     """TPC-H Q3 shape: customer ⋈ orders ⋈ lineitem, revenue per order, top

@@ -69,6 +69,24 @@ def quality_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
             .append_column("q_stopwords", pa.array(n_stop, pa.int64())))
 
 
+_EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_PHONE_RE = re.compile(r"\+?\d[\d ]{8,}\d")
+
+
+def pii_scrub_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
+    """PII redaction pass (training-data hygiene): emails → <EMAIL>, long
+    digit runs (phone-shaped) → <PHONE>.  RE2-compatible patterns so the
+    DuckDB oracle applies the identical regexes."""
+    texts = batch[text_col].to_pylist()
+    out = []
+    for t in texts:
+        t = t or ""
+        t = _EMAIL_RE.sub("<EMAIL>", t)
+        t = _PHONE_RE.sub("<PHONE>", t)
+        out.append(t)
+    return batch.append_column("scrubbed", pa.array(out, pa.string()))
+
+
 _FP_MOD = (1 << 61) - 1
 _FP_BASE = 257
 

@@ -24,6 +24,33 @@ def test_token_topk_tiebreak(ray_session):
     assert list(out["token"]) == ["x", "y", "z"]
 
 
+def test_pii_scrub():
+    import pyarrow as pa
+
+    from amharic_ecommerce_data_extractor_ray.stages.textstats import pii_scrub_batch
+
+    b = pa.table({"content": [
+        "contact me at john.doe+x@mail.example.com today",
+        "call +251 911 223 344 or 0911223344",
+        "no pii here", None,
+    ]})
+    out = pii_scrub_batch(b)["scrubbed"].to_pylist()
+    assert out[0] == "contact me at <EMAIL> today"
+    assert "<PHONE>" in out[1] and "0911223344" not in out[1]
+    assert out[2] == "no pii here"
+    assert out[3] == ""
+
+
+def test_value_quantiles(ray_session):
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import value_quantiles
+
+    out = value_quantiles("/root/testdata/sf0.001").to_pandas()
+    assert set(out.columns) == {"event_type", "p50", "p95"}
+    assert (out["p95"] >= out["p50"]).all()
+
+
 def test_hash_sample_deterministic_and_shard_stable(ray_session):
     import ray.data as rd
 
