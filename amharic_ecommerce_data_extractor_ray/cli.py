@@ -9,6 +9,8 @@ Stages:
   scorecard     — vendor scorecard only
   pseudo_label  — labeling loop → CoNLL
   evaluate      — NER eval harness over a CoNLL corpus
+  curate        — quality filter → exact dedup → kept-docs manifest
+  train_prep    — CoNLL → trainer-ready train/eval Parquet (A2 prep)
   all           — make_corpus → build_kg
 
 Owns its Ray session (guarded init) — library code never calls ray.init().
@@ -39,7 +41,8 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="amharic_ecommerce_data_extractor_ray")
     ap.add_argument("--stage", required=True,
                     choices=["make_corpus", "build_kg", "build_triples_sharded",
-                             "scorecard", "pseudo_label", "evaluate", "all"])
+                             "scorecard", "pseudo_label", "evaluate", "curate",
+                             "train_prep", "all"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001",
                     help="input tables directory (documents.parquet seed)")
     ap.add_argument("--corpus-dir", default="/tmp/aede_corpus")
@@ -106,6 +109,28 @@ def main(argv: list[str] | None = None) -> int:
             n = pseudo_label_to_conll(corpus_ds(args.sf_dir),
                                       f"{args.out_dir}/pseudo_labeled.conll")
             print(json.dumps({"stage": "pseudo_label", "sentences": n}))
+        if args.stage == "curate":
+            # training-data curation: quality filter → exact dedup → manifest
+            from .pipelines.curate import curate_documents
+            from .state.checkpoint import checkpointed_write
+
+            kept = curate_documents(args.sf_dir)
+            res = checkpointed_write(kept, f"{args.out_dir}/curated")
+            print(json.dumps({"stage": "curate", **res}))
+        if args.stage == "train_prep":
+            # NER fine-tuning data prep over a CoNLL corpus → train/eval
+            # Parquet (input_ids + -100-masked labels, trainer-ready)
+            from .pipelines.trainprep import prepare_training_data
+            from .sources.conll import conll_to_dataset
+
+            conll = args.conll or ("/root/reference/data/labeled/"
+                                   "01_labeled_telegram_product_price_location.txt")
+            train, test, vocab = prepare_training_data(conll_to_dataset(conll))
+            train.write_parquet(f"{args.out_dir}/train_prep/train")
+            test.write_parquet(f"{args.out_dir}/train_prep/eval")
+            print(json.dumps({"stage": "train_prep", "labels": vocab,
+                              "n_train": train.count(),
+                              "n_eval": test.count()}))
         if args.stage == "evaluate":
             from .pipelines.evalharness import evaluate_file
 
