@@ -208,16 +208,21 @@ def q_corpus_summary(sf_dir: str):
     built in, shuffle moves one partial row per vendor per block)."""
     from ray.data.aggregate import Count, Mean, Sum
 
-    from .functions.normalize import preprocess_amharic_text
+    from .functions.normalize_vec import normalize_array_post_nfc
+    from .stages.enrich import _nfc
 
     def flags(b: pa.Table) -> pa.Table:
-        texts = b["content"].to_pylist()
-        empty = [1 if preprocess_amharic_text(t) == "" else 0 for t in texts]
+        # empty-after-normalize via the Arrow re2 kernel chain (bit-identical
+        # to the scalar normalize, pinned by the differential fuzz) — no
+        # per-row Python normalize
+        norm = normalize_array_post_nfc(
+            pa.array(_nfc(b["content"].to_pylist()), pa.string()))
+        empty = pc.cast(pc.equal(norm, ""), pa.int64())
         is_en = pc.cast(pc.equal(b["lang"], "en"), pa.int64())
         return pa.table({
             "repo": b["repo"],
             "views": b["views"],
-            "is_empty": pa.array(empty, pa.int64()),
+            "is_empty": empty,
             "is_en": is_en,
         })
 

@@ -268,7 +268,10 @@ def minhash_lsh_pairs(docs_ds, *, text_col="text", id_col="doc_id",
                   pc.greater_equal(b["n"], 2)),
                   batch_format="pyarrow")
               .to_pandas())
-    hot = set(zip(hot_df["band_id"], hot_df["band_hash"]))
+    # an empty Ray->pandas result can drop its columns entirely — guard
+    # before the column access
+    hot = (set() if hot_df.empty
+           else set(zip(hot_df["band_id"], hot_df["band_hash"])))
     if not hot:
         import ray.data as rd
 
@@ -372,7 +375,7 @@ def simhash_dedup(docs_ds, *, text_col="text", id_col="doc_id",
     hot_df = (counts.map_batches(
         lambda b: b.filter(pc.greater_equal(b["n"], 2)),
         batch_format="pyarrow").to_pandas())
-    hot = set(hot_df["block"])
+    hot = set() if hot_df.empty else set(hot_df["block"])
     if not hot:
         import ray.data as rd
 

@@ -63,6 +63,29 @@ def test_ngram_jaccard_blocks(docs):
     assert (3, 4) not in pairs
 
 
+def test_dedup_ops_on_degenerate_inputs(ray_session):
+    """Single-doc and all-empty-text corpora must not crash and must emit
+    zero pairs (block-boundary / empty-signature edge cases)."""
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import (exact_dedup_groups,
+                                                 minhash_lsh_pairs,
+                                                 simhash_dedup)
+
+    single = rd.from_items([{"doc_id": 0, "text": "only one document here"}])
+    assert minhash_lsh_pairs(single).count() == 0
+    assert simhash_dedup(single).count() == 0
+    assert exact_dedup_groups(single).count() == 1
+
+    empties = rd.from_items([{"doc_id": i, "text": ""} for i in range(4)])
+    # four empty docs are exact dups of each other: minhash sees identical
+    # (all-max) signatures → all pairs; exact dedup keeps doc 0
+    out = exact_dedup_groups(empties).to_pandas()
+    assert len(out) == 1 and out["keep_id"].iloc[0] == 0
+    mh = minhash_lsh_pairs(empties).to_pandas()
+    assert len(mh) == 6 and (mh["jaccard_est"] == 1.0).all()
+
+
 def test_embedding_cosine_pairs(ray_session):
     import ray.data as rd
 
