@@ -70,9 +70,12 @@ def canonical_entities(triples_ds):
     # (one row per distinct entity per block) and live in the object store.
     from .dedup import adaptive_coalesce
 
+    # prune to the three needed columns BEFORE the combiner — projection
+    # pushes into the Parquet read; sha256/price columns never leave storage
     partials = adaptive_coalesce(
-        triples_ds.map_batches(entity_partials_batch,
-                               batch_format="pyarrow").materialize())
+        triples_ds.select_columns(["pred", "obj", "obj_norm"])
+        .map_batches(entity_partials_batch,
+                     batch_format="pyarrow").materialize())
     merged = partials.groupby(["pred", "obj_norm"]).aggregate(
         Min("min_obj", alias_name="min_obj"),
         Sum("n_mentions", alias_name="n_mentions"))
@@ -119,8 +122,9 @@ def canonical_edges(triples_ds):
 
     # materialize() before the shuffle — same rationale as canonical_entities
     partials = adaptive_coalesce(
-        triples_ds.map_batches(edge_partials_batch,
-                               batch_format="pyarrow").materialize())
+        triples_ds.select_columns(["subj", "pred", "obj_norm"])
+        .map_batches(edge_partials_batch,
+                     batch_format="pyarrow").materialize())
     merged = partials.groupby(["subj", "pred", "obj_norm"]).aggregate(
         Sum("weight", alias_name="weight"))
 
@@ -181,8 +185,9 @@ def graph_from_triples(triples_ds):
     # one adaptive coalesce (width ∝ partial rows, VERDICT r1 #8) shared by
     # both shuffle consumers
     partials = adaptive_coalesce(
-        triples_ds.map_batches(graph_partials_batch,
-                               batch_format="pyarrow").materialize())
+        triples_ds.select_columns(["subj", "pred", "obj", "obj_norm"])
+        .map_batches(graph_partials_batch,
+                     batch_format="pyarrow").materialize())
 
     edge_merged = (partials
                    .groupby(["subj", "pred", "obj_norm"])
