@@ -277,6 +277,19 @@ def q_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+def q_compact(sf_dir: str):
+    """Parquet compaction round-trip: documents → re-layout under /tmp →
+    re-read; the oracle checks byte-preservation of every row."""
+    import tempfile
+
+    from .sources.readers import compact_parquet
+
+    out = tempfile.mkdtemp(prefix="compact_docs_")
+    ds = compact_parquet(f"{sf_dir}/documents.parquet", out,
+                         target_rows_per_file=2000)
+    return ds.select_columns(["doc_id", "text", "lang", "source"])
+
+
 def q_token_topk(sf_dir: str):
     """Heavy-hitter vocabulary: global top-100 tokens by frequency."""
     import ray.data as rd
@@ -497,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_fingerprint,
         "token_topk": q_token_topk,
         "sessionize": q_sessionize,
+        "compact_documents": q_compact,
         "hash_sample": q_hash_sample,
         "tfidf_topk": q_tfidf,
         "asof_clicks": q_asof_clicks,
@@ -577,6 +591,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),
         "multimodal_frames": oracles.multimodal_frames_sql(),
         "token_topk": oracles.token_topk_sql(100),
+        "compact_documents":
+            "SELECT doc_id, text, lang, source FROM documents",
         "sessionize": oracles.sessionize_sql(30),
         "hash_sample": oracles.hash_sample_sql(10),
         "tfidf_topk": oracles.tfidf_topk_sql(3),

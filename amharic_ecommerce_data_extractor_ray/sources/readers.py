@@ -87,6 +87,23 @@ def read_any(path: str):
     return get_reader(ext)(path)
 
 
+def compact_parquet(in_path: str, out_dir: str, *,
+                    target_rows_per_file: int = 1_000_000):
+    """Parquet compaction — the small-files maintenance pass every petabyte
+    table needs: read → repartition to ceil(rows / target) blocks → write.
+    Content is byte-preserved (oracle-checked by the ``compact_documents``
+    query); only the file layout changes.  Returns the output Dataset."""
+    import math
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(in_path)
+    n = ds.count()
+    width = max(1, math.ceil(n / target_rows_per_file))
+    ds.repartition(width).write_parquet(out_dir)
+    return rd.read_parquet(out_dir)
+
+
 def coerce_schema_batch(batch, *, text_cols=("repo", "path", "commit", "lang",
                                              "content"),
                         int_cols=("views",), date_cols=("message_date",),

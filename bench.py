@@ -55,6 +55,28 @@ def ensure_corpus(n_rows: int) -> str:
     return out
 
 
+def host_canary() -> float:
+    """Fixed single-core microbench (fused triples kernel over 8,192
+    identical rows) — this shared host's effective CPU speed swings 15-40%
+    across hours with the guest idle, so every wall-clock result carries
+    this stamp.  Compare two bench runs only when their canaries agree
+    within ~10% (see BASELINE.md)."""
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_ray.sources.corpus import corpus_batch
+    from amharic_ecommerce_data_extractor_ray.stages.enrich import fused_triples_batch
+
+    sel = corpus_batch(np.arange(8192)).select(
+        ["message_id", "repo", "content"])
+    fused_triples_batch(sel)  # warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        fused_triples_batch(sel)
+        best = min(best, time.time() - t0)
+    return round(8192 / best, 1)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -136,6 +158,7 @@ def run_bench() -> dict:
             "unit": "sec", "queries": timings, "sf": SF_DIR,
             "num_cpus": NUM_CPUS, "kg_rows": n_rows,
             "kg_rows_per_sec": round(n_rows / timings["kg_triples"], 1),
+            "host_canary_msgs_per_sec": host_canary(),
         }
         ray.shutdown()
         return result
@@ -183,6 +206,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "kg_rows": n_rows,
         "kg_rows_per_sec": round(n_rows / timings["kg_triples"], 1),
+        "host_canary_msgs_per_sec": host_canary(),
         "n_vendors": len(sc),
         "n_nodes": n_nodes,
         "n_edges": n_edges,

@@ -105,3 +105,22 @@ def test_seeded_split_deterministic(ray_session):
     b_ids = sorted(r["sentence_id"] for r in b_test.take_all())
     assert len(a_ids) == 20
     assert a_ids == b_ids  # same seed → same split
+
+
+def test_compact_parquet_round_trip(ray_session):
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from amharic_ecommerce_data_extractor_ray.sources.readers import compact_parquet
+
+    out = tempfile.mkdtemp()
+    ds = compact_parquet("/root/testdata/sf0.001/documents.parquet", out,
+                         target_rows_per_file=100)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 5  # 500 rows / 100 per file
+    got = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = (pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
