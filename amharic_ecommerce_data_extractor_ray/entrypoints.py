@@ -277,6 +277,38 @@ def q_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+def q_salted_topk(sf_dir: str):
+    """Salted two-phase top-k (explicit skew handling, north rule): top-3
+    orders by totalprice per o_orderpriority — the priority key has only 5
+    values over 15K+ orders, exactly the hot-key shape salting spreads.
+    Phase 1 runs per (key, salt) shard, phase 2 merges the tiny partials."""
+    import ray.data as rd
+
+    from .stages.skew import salted_groupby, topk_phase1, topk_phase2
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderpriority", "o_orderkey",
+                                      "o_totalprice"])
+
+    def phase1(g):
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(3)
+        return g.drop(columns=["_salt"])
+
+    def phase2(g):
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(3)
+
+    out = salted_groupby(orders, "o_orderpriority", phase1, phase2,
+                         n_salts=8)
+
+    def round_price(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("o_totalprice"),
+                            "o_totalprice", pc.round(b["o_totalprice"], 2))
+
+    return out.map_batches(round_price, batch_format="pyarrow")
+
+
 def q_compact(sf_dir: str):
     """Parquet compaction round-trip: documents → re-layout under /tmp →
     re-read; the oracle checks byte-preservation of every row."""
@@ -511,6 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": q_token_topk,
         "sessionize": q_sessionize,
         "compact_documents": q_compact,
+        "rel_salted_topk": q_salted_topk,
         "hash_sample": q_hash_sample,
         "tfidf_topk": q_tfidf,
         "asof_clicks": q_asof_clicks,
@@ -593,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
         "token_topk": oracles.token_topk_sql(100),
         "compact_documents":
             "SELECT doc_id, text, lang, source FROM documents",
+        "rel_salted_topk": oracles.salted_topk_sql(3),
         "sessionize": oracles.sessionize_sql(30),
         "hash_sample": oracles.hash_sample_sql(10),
         "tfidf_topk": oracles.tfidf_topk_sql(3),
