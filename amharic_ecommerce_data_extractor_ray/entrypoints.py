@@ -277,6 +277,43 @@ def q_fingerprint(sf_dir: str):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+class _EmbedStage:
+    """Actor-pool embedding generation: embedder state (feature cache)
+    builds once per actor; per-batch mean-pooled doc vectors, exploded to
+    (doc_id, dim_idx, value) rows for exact oracle comparison."""
+
+    def __init__(self):
+        from .functions.np_model import HashEmbedder
+
+        self.embedder = HashEmbedder()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        out_id, out_dim, out_val = [], [], []
+        for did, t in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            v = self.embedder.embed(t or "")
+            if v is None:
+                continue
+            for j, x in enumerate(v):
+                out_id.append(did)
+                out_dim.append(j)
+                out_val.append(round(float(x), 6))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "dim_idx": pa.array(out_dim, pa.int64()),
+            "value": pa.array(out_val, pa.float64()),
+        })
+
+
+def q_embed_documents(sf_dir: str):
+    """Embedding-generation stage (actor pool) over documents."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(_EmbedStage, batch_format="pyarrow",
+                            batch_size=512, concurrency=2)
+
+
 def q_salted_topk(sf_dir: str):
     """Salted two-phase top-k (explicit skew handling, north rule): top-3
     orders by totalprice per o_orderpriority — the priority key has only 5
@@ -543,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": q_token_topk,
         "sessionize": q_sessionize,
         "compact_documents": q_compact,
+        "embed_documents": q_embed_documents,
         "rel_salted_topk": q_salted_topk,
         "hash_sample": q_hash_sample,
         "tfidf_topk": q_tfidf,
@@ -627,6 +665,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_documents":
             "SELECT doc_id, text, lang, source FROM documents",
         "rel_salted_topk": oracles.salted_topk_sql(3),
+        "embed_documents": oracles.embed_documents_sql(32),
         "sessionize": oracles.sessionize_sql(30),
         "hash_sample": oracles.hash_sample_sql(10),
         "tfidf_topk": oracles.tfidf_topk_sql(3),

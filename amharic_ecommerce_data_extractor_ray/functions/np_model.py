@@ -36,6 +36,34 @@ def subword_split(token: str) -> list[str]:
             for i in range(0, len(token), MAX_PIECE_CHARS)]
 
 
+class HashEmbedder:
+    """Deterministic document embedder (the embedding-GENERATION stage an
+    embed→ANN pipeline needs): per-token hashed byte features, mean-pooled
+    over the document.  Stands in for a sentence-transformer behind the same
+    actor-pool contract; byte-exact SQL mirror exists (md5 hex arithmetic)."""
+
+    def __init__(self, *, dim: int = 32):
+        assert dim <= 32
+        self.dim = dim
+        self._cache: dict[str, np.ndarray] = {}
+
+    def token_vec(self, tok: str) -> np.ndarray:
+        v = self._cache.get(tok)
+        if v is None:
+            d = (hashlib.md5(tok.encode("utf-8")).digest()
+                 + hashlib.md5((tok + "\x01").encode("utf-8")).digest())
+            v = np.frombuffer(d[:self.dim], dtype=np.uint8) / 255.0
+            if len(self._cache) < 65536:
+                self._cache[tok] = v
+        return v
+
+    def embed(self, text: str) -> np.ndarray | None:
+        toks = (text or "").split()
+        if not toks:
+            return None
+        return np.mean([self.token_vec(t) for t in toks], axis=0)
+
+
 class NumpyTokenClassifier:
     """Tiny linear token classifier over hashed character features.
 
