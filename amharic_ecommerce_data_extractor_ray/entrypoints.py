@@ -582,6 +582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_documents": q_compact,
         "embed_documents": q_embed_documents,
         "rel_salted_topk": q_salted_topk,
+        "rel_pivot": relational.orders_pivot,
+        "rel_running_totals": relational.running_totals,
         "hash_sample": q_hash_sample,
         "tfidf_topk": q_tfidf,
         "asof_clicks": q_asof_clicks,
@@ -665,6 +667,8 @@ def oracle_sql() -> dict[str, str]:
         "compact_documents":
             "SELECT doc_id, text, lang, source FROM documents",
         "rel_salted_topk": oracles.salted_topk_sql(3),
+        "rel_pivot": oracles.orders_pivot_sql(),
+        "rel_running_totals": oracles.running_totals_sql(50),
         "embed_documents": oracles.embed_documents_sql(32),
         "sessionize": oracles.sessionize_sql(30),
         "hash_sample": oracles.hash_sample_sql(10),

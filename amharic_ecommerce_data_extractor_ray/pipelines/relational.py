@@ -338,6 +338,62 @@ def sliding_event_windows(sf_dir: str, *, window_hours: int = 3):
     return out.map_batches(round_cols, batch_format="pyarrow")
 
 
+def orders_pivot(sf_dir: str):
+    """Pivot / wide aggregation: order counts by priority (rows) × status
+    (columns).  Combiner-first: per-batch (priority, status) counts, native
+    Sum merge, then the tiny merged table pivots driver-side."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderstatus"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = (df.groupby(["o_orderpriority", "o_orderstatus"])
+             .size().rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    merged = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["o_orderpriority", "o_orderstatus"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    wide = (merged.pivot_table(index="o_orderpriority",
+                               columns="o_orderstatus", values="n",
+                               fill_value=0, aggfunc="sum")
+            .reset_index())
+    # fixed output schema (F/O/P are the TPC-H order statuses) so the pivot
+    # is schema-stable even when a status is absent at some scale
+    for status in ("F", "O", "P"):
+        wide[f"n_{status}"] = (wide[status] if status in wide else 0)
+    out = wide[["o_orderpriority", "n_F", "n_O", "n_P"]].copy()
+    for c in ("n_F", "n_O", "n_P"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def running_totals(sf_dir: str, *, n_customers: int = 50):
+    """Per-key ordered cumulative aggregate (the prefix-scan family):
+    running order-value total per customer ordered by (date, orderkey).
+    groupby(custkey) co-locates a customer's history; per-group pandas sort +
+    cumsum.  Restricted to custkey < n_customers to keep the gate output
+    small — the operator itself streams over all keys."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderkey", "o_orderdate",
+                                  "o_totalprice"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.less(b["o_custkey"], n_customers)),
+        batch_format="pyarrow")
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"]).reset_index(drop=True)
+        g["running_total"] = g["o_totalprice"].cumsum().round(2)
+        g["o_totalprice"] = g["o_totalprice"].round(2)
+        g["o_orderdate"] = g["o_orderdate"].astype(str).str[:10]
+        return g
+
+    return ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas")
+
+
 def value_quantiles(sf_dir: str, *, qs=(0.5, 0.95)):
     """Exact per-group quantiles (linear interpolation, numpy/DuckDB
     quantile_cont semantics): groupby(event_type) co-locates each type's
