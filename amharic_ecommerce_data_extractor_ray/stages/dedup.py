@@ -397,15 +397,27 @@ def simhash_dedup(docs_ds, *, text_col="text", id_col="doc_id",
 # ------------------------------------------------------------ n-gram jaccard
 
 def ngram_jaccard_pairs(docs_ds, *, text_col="text", id_col="doc_id",
-                        block_cols=("lang", "source"), n=3, threshold=0.2):
+                        block_cols=("lang", "source"), n=3, threshold=0.2,
+                        max_block_rows=20_000):
     """Exact n-gram Jaccard within blocks (partitioning assumption: near-dups
-    share the block key; at 100 TB the block is the co-location unit)."""
+    share the block key; at 100 TB the block is the co-location unit).
+
+    All-pairs WITHIN a block is quadratic — ``max_block_rows`` guards against
+    a silent blow-up on a hot block: an oversized block raises with guidance
+    to use ``minhash_lsh_pairs`` (sub-quadratic) instead of burning a worker
+    for hours.  Choose block keys so blocks stay under the cap."""
 
     def project(b: pa.Table) -> pa.Table:
         cols = {c: b[c] for c in (id_col, text_col, *block_cols)}
         return pa.table(cols)
 
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_block_rows:
+            key = tuple(g.iloc[0][c] for c in block_cols)
+            raise ValueError(
+                f"ngram_jaccard_pairs: block {key} has {len(g)} rows "
+                f"(> max_block_rows={max_block_rows}); all-pairs would be "
+                f"quadratic — use finer block keys or minhash_lsh_pairs")
         rows = sorted(zip(g[id_col].tolist(), g[text_col].tolist()))
         grams = [frozenset(" ".join((t or "").split()[i:i + n])
                            for i in range(max(0, len((t or "").split()) - n + 1)))
@@ -432,11 +444,22 @@ def ngram_jaccard_pairs(docs_ds, *, text_col="text", id_col="doc_id",
 # ---------------------------------------------------- embedding cosine dedup
 
 def embedding_cosine_pairs(emb_ds, *, vec_col="embedding", id_col="vec_id",
-                           block_col="label", threshold=0.99):
+                           block_col="label", threshold=0.99,
+                           max_block_rows=50_000):
     """Embedding near-dup: cosine ≥ threshold within blocks (label buckets —
-    the IVF-style partitioning assumption).  Vectorized: per-group matmul."""
+    the IVF-style partitioning assumption).  Vectorized: per-group matmul.
+    ``max_block_rows`` guards the quadratic within-block matmul (a 50K block
+    is a 2.5B-cell cosine matrix ≈ 20 GB) — oversized blocks raise with
+    guidance to use a finer quantizer / more clusters."""
 
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_block_rows:
+            raise ValueError(
+                f"embedding_cosine_pairs: block "
+                f"{g.iloc[0][block_col]!r} has {len(g)} rows (> "
+                f"max_block_rows={max_block_rows}); the within-block cosine "
+                f"matrix would not fit a worker — use a finer block key "
+                f"(more clusters) or LSH bucketing")
         g = g.sort_values(id_col)
         ids = g[id_col].to_numpy()
         mat = np.asarray([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
