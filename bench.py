@@ -80,6 +80,8 @@ def host_canary() -> float:
 def run_bench() -> dict:
     import ray
 
+    canary_pre = host_canary()
+
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -180,6 +182,7 @@ def run_bench() -> dict:
             "num_cpus": NUM_CPUS, "kg_rows": n_rows,
             "kg_rows_per_sec": round(n_rows / timings["kg_triples"], 1),
             "host_canary_msgs_per_sec": host_canary(),
+            "host_canary_pre": canary_pre,
         }
         ray.shutdown()
         return result
@@ -228,6 +231,7 @@ def run_bench() -> dict:
         "kg_rows": n_rows,
         "kg_rows_per_sec": round(n_rows / timings["kg_triples"], 1),
         "host_canary_msgs_per_sec": host_canary(),
+        "host_canary_pre": canary_pre,
         "n_vendors": len(sc),
         "n_nodes": n_nodes,
         "n_edges": n_edges,
