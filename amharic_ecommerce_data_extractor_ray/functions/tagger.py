@@ -99,19 +99,37 @@ def _numeric(tok: str) -> bool:
 
 
 class HeuristicTagger:
-    """Deterministic rule-based BIO tagger (engine default; no weights)."""
+    """Deterministic rule-based BIO tagger (engine default; no weights).
+
+    Per-token PREDICATES (lower(), numeric regex, location-keyword search)
+    are pure functions of the token and memoized across calls — token
+    distributions are Zipfian, so on real corpora most lookups hit the cache
+    and the regex scans run once per distinct token per worker."""
+
+    def __init__(self):
+        self._preds: dict[str, tuple[str, bool, bool]] = {}
+
+    def _pred(self, tok: str) -> tuple[str, bool, bool]:
+        """(lower, is_numeric, is_location_like) with bounded memoization."""
+        p = self._preds.get(tok)
+        if p is None:
+            p = (tok.lower(), _numeric(tok), _is_location_like(tok))
+            if len(self._preds) < 262_144:
+                self._preds[tok] = p
+        return p
 
     def tag(self, tokens: list[str]) -> list[tuple[str, str]]:
         out: list[tuple[str, str]] = []
         n = len(tokens)
-        lows = [t.lower() for t in tokens]
+        preds = [self._pred(t) for t in tokens]
+        lows = [p[0] for p in preds]
         i = 0
         while i < n:
             tok = tokens[i]
             low = lows[i]
 
             # price: "<number> ብር" pair
-            if _numeric(tok) and i + 1 < n and lows[i + 1] == "ብር":
+            if preds[i][1] and i + 1 < n and lows[i + 1] == "ብር":
                 out.append((tok, "B-PRICE"))
                 out.append((tokens[i + 1], "I-PRICE"))
                 i += 2
@@ -139,7 +157,7 @@ class HeuristicTagger:
             if low in PRICE_TRIGGERS:
                 out.append((tok, "B-PRICE"))
                 i += 1
-                if i < n and _numeric(tokens[i]):
+                if i < n and preds[i][1]:
                     out.append((tokens[i], "I-PRICE"))
                     i += 1
                     if i < n and lows[i] == "ብር":
@@ -148,11 +166,11 @@ class HeuristicTagger:
                 continue
 
             # location: greedy phrase while tokens look location-like
-            if _is_location_like(tok):
+            if preds[i][2]:
                 j = i
                 while j < n and (
-                    _is_location_like(tokens[j])
-                    or _numeric(tokens[j])
+                    preds[j][2]
+                    or preds[j][1]
                     or lows[j] in LOCATION_CONTEXT
                 ):
                     j += 1
@@ -168,7 +186,7 @@ class HeuristicTagger:
                     nxt = lows[j]
                     if (
                         _is_product_word(nxt)
-                        or _numeric(tokens[j])
+                        or preds[j][1]
                         or nxt in PRODUCT_DESCRIPTORS
                     ):
                         j += 1
