@@ -44,6 +44,10 @@ ATOMS = st.sampled_from([
     "@Vendor1", "#ቅናሽ", "#new_item", "https://t.me/x", "www.a.com",
     "😊", "🔥", "½", "É",                                               # strip
     "500ብር", "10x45", "0911234567", "+2519",
+    # round-2 template vocabulary (long-post forms)
+    "air", "fryer", "HEPA", "1.8L", "ማሳጅ", "መደርደሪያ", "፲፻", "፪፻፶",
+    "ዋጋ:-", "price-", "ቤተ/ክርስቲያን", "መዳህኒዓለም", "0944 55 66 77",
+    "rack", "ብር።", "ብር፤", "ታሜ", "ህንፃ",
     " ", "  ", "\t", "\n", "",
 ])
 TEXTS = st.lists(ATOMS, min_size=0, max_size=12).map(" ".join)
