@@ -101,3 +101,27 @@ def test_sharded_resume_after_crash_byte_identical(ray_session, tmp_path):
     assert not done[2]["skipped"] and not done[3]["skipped"]
     assert m["n_shards"] == 4
     assert output_digest(crash_out) == (ref_digest, ref_rows)
+
+
+def test_full_build_deterministic_across_runs(ray_session, tmp_path):
+    """Two independent full KG builds over the same input must produce
+    IDENTICAL logical content (row-level, order-insensitive) for every
+    dataset — the determinism the per-partition lineage/resume story rests
+    on."""
+    import pandas as pd
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import build_kg
+
+    def content_hashes(out_dir):
+        hashes = {}
+        for name in ("triples", "nodes", "edges"):
+            df = pd.read_parquet(f"{out_dir}/{name}")
+            df = df[sorted(df.columns)].astype(str)
+            df = df.sort_values(list(df.columns)).reset_index(drop=True)
+            hashes[name] = pd.util.hash_pandas_object(df, index=False).sum()
+        return hashes
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    build_kg("/root/testdata/sf0.001", a)
+    build_kg("/root/testdata/sf0.001", b)
+    assert content_hashes(a) == content_hashes(b)
