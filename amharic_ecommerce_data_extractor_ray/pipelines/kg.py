@@ -73,6 +73,11 @@ def kg_edges(sf_dir: str):
     return canonical_edges(triples_ds(sf_dir))
 
 
+ENTITY_COLS = ["message_id", "repo", "views", "message_date",
+               "content_sha256", "products", "prices", "locations",
+               "contact_info", "all_numerical_prices"]
+
+
 def build_kg(sf_dir: str, out_dir: str) -> dict:
     """Materialize the knowledge graph: partitioned Parquet triples/nodes/edges
     + vendor scorecard, with a per-run manifest (lineage + metrics).
@@ -84,8 +89,18 @@ def build_kg(sf_dir: str, out_dir: str) -> dict:
     the scorecard read the stored boundaries.  Resumability is provided by
     state.checkpoint.checkpointed_write (skip-if-manifest-complete).
     """
-    from ..state.checkpoint import (_input_fingerprint, checkpointed_write,
-                                    write_manifest)
+    from ..state.checkpoint import _input_fingerprint
+
+    return build_kg_from_corpus(lambda: corpus_ds(sf_dir), out_dir,
+                                fingerprint=_input_fingerprint(sf_dir),
+                                input_label=sf_dir)
+
+
+def build_kg_from_corpus(corpus_factory, out_dir: str, *,
+                         fingerprint: str, input_label: str = "") -> dict:
+    """build_kg over an arbitrary corpus Dataset factory (called once per
+    consuming stage) — the entry point incremental maintenance shares."""
+    from ..state.checkpoint import checkpointed_write, write_manifest
 
     import ray.data as rd
 
@@ -94,14 +109,14 @@ def build_kg(sf_dir: str, out_dir: str) -> dict:
     from ..stages.scorecard import (finalize_scorecard, merge_partials_group,
                                     scorecard_partials_batch)
 
-    fp = _input_fingerprint(sf_dir)
+    fp = fingerprint
+    sf_dir = input_label
     stats = {}
 
-    ENTITY_COLS = ["message_id", "repo", "views", "message_date",
-                   "content_sha256", "products", "prices", "locations",
-                   "contact_info", "all_numerical_prices"]
     stats["messages"] = checkpointed_write(
-        messages_with_entities(sf_dir).select_columns(ENTITY_COLS),
+        corpus_factory().map_batches(
+            fused_entities_batch, batch_format="pyarrow",
+            batch_size=DEFAULT_BATCH).select_columns(ENTITY_COLS),
         f"{out_dir}/messages", fingerprint=fp)
 
     def stored_messages():
@@ -119,7 +134,7 @@ def build_kg(sf_dir: str, out_dir: str) -> dict:
     entity_nodes, edges = graph_from_triples(
         rd.read_parquet(f"{out_dir}/triples"))
     stats["nodes"] = checkpointed_write(
-        v_nodes(corpus_ds(sf_dir)).union(entity_nodes),
+        v_nodes(corpus_factory()).union(entity_nodes),
         f"{out_dir}/nodes", fingerprint=fp)
     stats["edges"] = checkpointed_write(
         edges, f"{out_dir}/edges", partition_on="pred", fingerprint=fp)
