@@ -11,6 +11,7 @@ Stages:
   evaluate      — NER eval harness over a CoNLL corpus
   curate        — quality filter → exact dedup → kept-docs manifest
   train_prep    — CoNLL → trainer-ready train/eval Parquet (A2 prep)
+  incremental   — append a delta corpus to an existing build (tag delta only)
   all           — make_corpus → build_kg
 
 Owns its Ray session (guarded init) — library code never calls ray.init().
@@ -42,7 +43,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stage", required=True,
                     choices=["make_corpus", "build_kg", "build_triples_sharded",
                              "scorecard", "pseudo_label", "evaluate", "curate",
-                             "train_prep", "all"])
+                             "train_prep", "incremental", "all"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001",
                     help="input tables directory (documents.parquet seed)")
     ap.add_argument("--corpus-dir", default="/tmp/aede_corpus")
@@ -109,6 +110,18 @@ def main(argv: list[str] | None = None) -> int:
             n = pseudo_label_to_conll(corpus_ds(args.sf_dir),
                                       f"{args.out_dir}/pseudo_labeled.conll")
             print(json.dumps({"stage": "pseudo_label", "sentences": n}))
+        if args.stage == "incremental":
+            # daily-delta KG maintenance: append a delta corpus (Parquet dir
+            # of corpus-schema rows, --corpus-dir) to an existing build
+            # (--out-dir); only the delta is tagged
+            import ray.data as rd
+
+            from .pipelines.incremental import incremental_update
+
+            delta = rd.read_parquet(args.corpus_dir)
+            stats = incremental_update(args.out_dir, delta,
+                                       delta_name=f"cli_{args.shards}")
+            print(json.dumps({"stage": "incremental", **stats}))
         if args.stage == "curate":
             # training-data curation: quality filter → exact dedup → manifest
             from .pipelines.curate import curate_documents
