@@ -21,6 +21,27 @@ def _canon(path, cols=None):
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def test_two_sequential_deltas_compose(ray_session, tmp_path):
+    """incremental(d1) then incremental(d2) == build of the whole corpus."""
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.incremental import incremental_update
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import build_kg_from_corpus
+
+    full_dir = str(tmp_path / "full2")
+    inc_dir = str(tmp_path / "inc2")
+    build_kg_from_corpus(lambda: _corpus(0, 400), full_dir, fingerprint="f")
+    build_kg_from_corpus(lambda: _corpus(0, 200), inc_dir, fingerprint="b")
+    incremental_update(inc_dir, _corpus(200, 300), delta_name="d1")
+    incremental_update(inc_dir, _corpus(300, 400), delta_name="d2")
+    for name in ("nodes", "edges"):
+        pd.testing.assert_frame_equal(_canon(f"{inc_dir}/{name}"),
+                                      _canon(f"{full_dir}/{name}"))
+    n_inc = (rd.read_parquet(f"{inc_dir}/triples")
+             .union(rd.read_parquet(f"{inc_dir}/triples_deltas")).count())
+    assert n_inc == rd.read_parquet(f"{full_dir}/triples").count()
+
+
 def test_incremental_equals_full_rebuild(ray_session, tmp_path):
     from amharic_ecommerce_data_extractor_ray.pipelines.incremental import incremental_update
     from amharic_ecommerce_data_extractor_ray.pipelines.kg import build_kg_from_corpus
