@@ -437,6 +437,17 @@ def q_asof_clicks(sf_dir: str):
     return joined.map_batches(fmt, batch_format="pandas")
 
 
+def q_token_topk_sketch(sf_dir: str):
+    """Bounded-memory heavy-hitter sketch; exact (== the SQL oracle) while
+    per-batch vocabulary stays under the capacity, approximate beyond."""
+    import ray.data as rd
+
+    from .stages.corpus_stats import space_saving_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return space_saving_topk(docs, k=100, capacity=4096)
+
+
 def q_sessionize(sf_dir: str):
     """Behavioral-log sessionization: 30-min-gap sessions per user."""
     import ray.data as rd
@@ -578,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_fingerprint,
         "token_topk": q_token_topk,
+        "token_topk_sketch": q_token_topk_sketch,
         "sessionize": q_sessionize,
         "compact_documents": q_compact,
         "embed_documents": q_embed_documents,
@@ -664,6 +676,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),
         "multimodal_frames": oracles.multimodal_frames_sql(),
         "token_topk": oracles.token_topk_sql(100),
+        "token_topk_sketch": oracles.token_topk_sql(100),
         "compact_documents":
             "SELECT doc_id, text, lang, source FROM documents",
         "rel_salted_topk": oracles.salted_topk_sql(3),

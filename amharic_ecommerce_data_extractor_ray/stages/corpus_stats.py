@@ -40,6 +40,36 @@ def token_topk(docs_ds, *, k: int = 100, text_col: str = "text"):
     return agg.sort(["n", "token"], descending=[True, False]).limit(k)
 
 
+def space_saving_topk(docs_ds, *, k: int = 100, capacity: int = 4096,
+                      text_col: str = "text"):
+    """Bounded-memory heavy hitters (space-saving / Misra-Gries family,
+    Metwally et al. 2005): each batch emits at most ``capacity`` (token,
+    count) partials — per-batch tail mass is dropped, so merged counts are
+    LOWER BOUNDS and the result is approximate when a batch's distinct-token
+    count exceeds ``capacity``.  With ``capacity`` ≥ per-batch vocabulary the
+    output is exact (the oracle checks that regime).  This is the shuffle
+    bound ``token_topk`` lacks: partial size is O(capacity) per block
+    regardless of vocabulary size."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in b[text_col].to_pylist():
+            counts.update((t or "").split())
+        top = counts.most_common(capacity)
+        top.sort()
+        return pa.table({
+            "token": pa.array([t for t, _ in top], pa.string()),
+            "n": pa.array([c for _, c in top], pa.int64()),
+        })
+
+    agg = (docs_ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("token").aggregate(Sum("n", alias_name="n")))
+    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 def hash_sample(ds, *, key_col: str, rate_pct: int = 10):
     """Deterministic sampling: keep rows where a stable hash of the key
     lands under ``rate_pct`` % — reproducible across runs and cluster sizes,

@@ -87,6 +87,26 @@ def test_tfidf_topk(ray_session):
     assert 3 not in set(out["doc_id"])  # empty doc dropped
 
 
+def test_space_saving_topk_capacity_regimes(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import (space_saving_topk,
+                                                        token_topk)
+
+    rows = [{"text": " ".join(f"tok{j}" for j in range(i % 7 + 1))}
+            for i in range(200)]
+    ds = lambda: rd.from_items(rows)
+    exact = token_topk(ds(), k=5).to_pandas()
+    # capacity above the vocabulary → sketch is exact
+    sk = space_saving_topk(ds(), k=5, capacity=100).to_pandas()
+    assert sk.equals(exact)
+    # tiny capacity → counts become lower bounds but the TOP item survives
+    lo = space_saving_topk(ds(), k=5, capacity=2).to_pandas()
+    assert lo.iloc[0]["token"] == exact.iloc[0]["token"]
+    assert (lo["n"] <= exact.set_index("token").loc[lo["token"]]["n"]
+            .to_numpy()).all()
+
+
 def test_sessionize(ray_session):
     import ray.data as rd
 
