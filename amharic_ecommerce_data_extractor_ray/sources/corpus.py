@@ -111,7 +111,7 @@ TEMPLATES: list[str] = [
     "High quality stainless steel cookware ስብስብ 12 pcs — ድስት፣ መጥበሻ እና ማንኪያ ከነ ማቅረቢያ። German standard ነው፣ induction stove ላይ ይሰራል። የቀድሞ ዋጋ 9,500 ብር፤ የአሁኑ ዋጋ 7,200 ብር ብቻ!!! ውስን እቃ ነው፣ ቶሎ ይደውሉ 0922 33 44 55። አድራሻችን ለቡ መዳህኒዓለም ቤተ/ክርስቲያን ጎን፣ ሲቲ ሞል ቁ.1። እሁድም እንከፍታለን።",
     "አዲስ ገቢ!!! Portable rechargeable hair curler እና ፀጉር ማድረቂያ ስብስብ። ለጉዞ ምቹ፣ ቀላል እና ፈጣን። ሙቀት መቆጣጠሪያ አለው። ዋጋ ፪ ሺህ ፭፻ ብር። እንዲሁም mini massager ማሳጅ ማሽን 1,100 ብር። ሁለቱን አብረው ሲገዙ 3,300 ብር ብቻ። መገናኛ ታሜ ጋስ ህንፃ ፎቅ 1 ቢሮ ቁ.2 እንገኛለን። ስልክ፡ 0933445566። #ListingSale #ቅናሽ 💇‍♀️✨",
     "Dear customers, ለበዓል ልዩ ዝግጅት! ይህ luxury bathroom set — towel, soap dispenser, tooth brush holder እና mirror — ከፍተኛ ጥራት ያለው silicon እና ceramic ነው። ዋጋ: 2,999 ብር። በተጨማሪ electric kettle 1.8L በ 950 ብር፣ water filter በ 4,100 ብር። ሁሉም እቃዎች ዋስትና አላቸው። አድራሻ፡ ቦሌ መዳህኒዓለም አካባቢ፣ ስሪ ኤም ሲቲ ሞል ምድር ቤት። ይደውሉ፡ +251944556677 ወይም ይጎብኙን www.example-shop.com 🛁",
-    "ለልጆች የተዘጋጀ ልዩ ስብስብ! Educational toy abacus፣ play mat እና ህፃን ልብስ cotton ስብስብ። ለ 1-5 ዓመት ልጆች ተስማሚ። ጥራቱ የተረጋገጠ፣ ከ non-toxic ቁሳቁስ የተሰራ። Abacus ዋጋ 450 ብር፣ play mat 1,200 ብር፣ ልብስ ስብስብ 1,150 ብር። ሶስቱንም አብረው ሲወስዱ 2,500 ብር ብቻ!!! ዴሊቨሪ አለን። መገናኛ ሞል ፎቅ 3 ቢሮ ቁጥር 12። ስልክ 0955 66 77 88። ቶሎ ይምጡ፣ እቃው ውስን ነው።።። 👶�toys",
+    "ለልጆች የተዘጋጀ ልዩ ስብስብ! Educational toy abacus፣ play mat እና ህፃን ልብስ cotton ስብስብ። ለ 1-5 ዓመት ልጆች ተስማሚ። ጥራቱ የተረጋገጠ፣ ከ non-toxic ቁሳቁስ የተሰራ። Abacus ዋጋ 450 ብር፣ play mat 1,200 ብር፣ ልብስ ስብስብ 1,150 ብር። ሶስቱንም አብረው ሲወስዱ 2,500 ብር ብቻ!!! ዴሊቨሪ አለን። መገናኛ ሞል ፎቅ 3 ቢሮ ቁጥር 12። ስልክ 0955 66 77 88። ቶሎ ይምጡ፣ እቃው ውስን ነው።።። 👶🧸toys",
     "ውድ ደንበኞቻችን፣ አዲስ ዕቃ ገብቶልናል! Smart watch ከ fitness tracker ጋር — የልብ ምት መለኪያ፣ እርምጃ ቆጣሪ እና notification ማሳያ አለው። ከ iPhone እና Android ጋር ይሰራል። ዋጋው ፫ ሺህ ፱፻ ብር ነው። እንዲሁም wireless earbuds በ 1,800 ብር እና power bank 20000mAh በ 1,450 ብር። ሁሉም ኦርጅናል ናቸው። አድራሻ፡ መገናኛ ዛም ሞል ቁ.2። ለማዘዝ @SmartAddis ይጻፉ ወይም 0911 99 88 77 ይደውሉ። Free delivery ከ 3,000 ብር በላይ ለሚገዙ! ⌚📱",
 ]
 

@@ -27,6 +27,7 @@ import datetime as dt
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 METRIC_WEIGHTS = {
     "avg_views_per_post": 0.4,
@@ -49,53 +50,87 @@ _PARTIAL_SCHEMA = pa.schema([
 ])
 
 
-def scorecard_partials_batch(batch: pa.Table) -> pa.Table:
-    """One partial-aggregate row per vendor per batch (exact, mergeable)."""
-    repos = batch["repo"].to_pylist()
-    views = batch["views"].to_pylist()
-    dates = batch["message_date"].to_pylist()
-    mids = batch["message_id"].to_pylist()
-    products = batch["products"].to_pylist()
-    prices = batch["all_numerical_prices"].to_pylist()
+def _list_first_and_sums(arr) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """list<T> column → (first element or null per row, per-row sum,
+    per-row count).  Pure Arrow/numpy: offsets arithmetic, no row loop.
+    Physical offsets index into ``arr.values`` even for sliced arrays."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = arr.offsets.to_numpy().astype(np.int64)
+    lengths = offs[1:] - offs[:-1]
+    valid = lengths > 0
+    first = arr.values.take(pa.array(offs[:-1], mask=~valid))
+    if pa.types.is_floating(arr.type.value_type):
+        vals = np.asarray(arr.values)
+        csum = np.concatenate([[0.0], np.cumsum(vals)])
+        row_sums = csum[offs[1:]] - csum[offs[:-1]]
+    else:
+        row_sums = np.zeros(len(lengths))
+    return first, row_sums, lengths
 
-    acc: dict[str, dict] = {}
-    for repo, v, d, mid, prods, prs in zip(repos, views, dates, mids, products, prices):
-        a = acc.get(repo)
-        if a is None:
-            a = acc[repo] = {
-                "n": 0, "sv": 0, "mind": d, "maxd": d,
-                "sp": 0.0, "np": 0,
-                "bv": None, "bmid": None, "bprod": None, "bprice": None,
-            }
-        a["n"] += 1
-        a["sv"] += v
-        if d < a["mind"]:
-            a["mind"] = d
-        if d > a["maxd"]:
-            a["maxd"] = d
-        for p in prs:
-            a["sp"] += p
-            a["np"] += 1
-        # argmax by (views desc, message_id asc)
-        if a["bv"] is None or v > a["bv"] or (v == a["bv"] and mid < a["bmid"]):
-            a["bv"], a["bmid"] = v, mid
-            a["bprod"] = prods[0] if prods else None
-            a["bprice"] = prs[0] if prs else None
 
-    keys = sorted(acc)
+def _partials_from_columns(t: pa.Table) -> pa.Table:
+    """Core partial-aggregate: a row-level table with columns (repo, views,
+    message_date, message_id, row_sum_price, row_n_price, first_product,
+    first_price) → one partial row per vendor, via Arrow C++ hash
+    ``group_by`` plus a sort-based argmax — the same per-row-dict-loop →
+    Arrow transformation that bought 32× in canonicalize (commit f254ea2)."""
+    if t.num_rows == 0:
+        return _PARTIAL_SCHEMA.empty_table()
+    grouped = pa.TableGroupBy(t, "repo", use_threads=False).aggregate([
+        ("views", "count", pc.CountOptions(mode="all")), ("views", "sum"),
+        ("message_date", "min"), ("message_date", "max"),
+        ("row_sum_price", "sum"), ("row_n_price", "sum"),
+    ]).sort_by("repo")
+    # argmax by (views desc, message_id asc): lexicographic sort, then the
+    # first row of each contiguous repo run is that vendor's best post.
+    order = pc.sort_indices(t, sort_keys=[
+        ("repo", "ascending"), ("views", "descending"),
+        ("message_id", "ascending")]).to_numpy()
+    codes_arr = pc.dictionary_encode(t["repo"])
+    if isinstance(codes_arr, pa.ChunkedArray):
+        codes_arr = codes_arr.combine_chunks()
+    codes = codes_arr.indices.to_numpy(zero_copy_only=False)
+    _, first_pos = np.unique(codes[order], return_index=True)
+    best = (t.select(["repo", "views", "message_id",
+                      "first_product", "first_price"])
+            .take(pa.array(order[first_pos]))
+            .sort_by("repo"))
     return pa.table({
-        "repo": keys,
-        "n_posts": [acc[k]["n"] for k in keys],
-        "sum_views": [acc[k]["sv"] for k in keys],
-        "min_date": [acc[k]["mind"] for k in keys],
-        "max_date": [acc[k]["maxd"] for k in keys],
-        "sum_price": [acc[k]["sp"] for k in keys],
-        "n_price": [acc[k]["np"] for k in keys],
-        "best_views": [acc[k]["bv"] for k in keys],
-        "best_mid": [acc[k]["bmid"] for k in keys],
-        "best_product": [acc[k]["bprod"] for k in keys],
-        "best_price": [acc[k]["bprice"] for k in keys],
+        "repo": grouped["repo"],
+        "n_posts": grouped["views_count"],
+        "sum_views": grouped["views_sum"],
+        "min_date": grouped["message_date_min"],
+        "max_date": grouped["message_date_max"],
+        "sum_price": grouped["row_sum_price_sum"],
+        "n_price": grouped["row_n_price_sum"],
+        "best_views": best["views"],
+        "best_mid": best["message_id"],
+        "best_product": best["first_product"],
+        "best_price": best["first_price"],
     }, schema=_PARTIAL_SCHEMA)
+
+
+def scorecard_partials_batch(batch: pa.Table) -> pa.Table:
+    """One partial-aggregate row per vendor per batch (exact, mergeable).
+
+    Vectorized: list-column firsts/sums from offset arithmetic, everything
+    else Arrow hash group_by (differential-tested against the retired row
+    loop in tests/test_scorecard.py)."""
+    first_prod, _, _ = _list_first_and_sums(batch["products"])
+    first_price, row_sums, row_counts = _list_first_and_sums(
+        batch["all_numerical_prices"])
+    t = pa.table({
+        "repo": batch["repo"],
+        "views": batch["views"],
+        "message_date": batch["message_date"],
+        "message_id": batch["message_id"],
+        "row_sum_price": pa.array(row_sums, pa.float64()),
+        "row_n_price": pa.array(row_counts.astype(np.int64), pa.int64()),
+        "first_product": first_prod,
+        "first_price": first_price,
+    })
+    return _partials_from_columns(t)
 
 
 def fused_scorecard_partials_batch(batch: pa.Table) -> pa.Table:
@@ -103,63 +138,46 @@ def fused_scorecard_partials_batch(batch: pa.Table) -> pa.Table:
     intermediate entity list columns (same fusion rationale as
     enrich.fused_triples_batch: the avoided Arrow list-column allocation is
     what scales).  Output ≡ ``fused_entities_batch → scorecard_partials_batch``
-    (differential test in tests/test_scorecard.py)."""
+    (differential test in tests/test_scorecard.py).
+
+    The unavoidable Python part — the rule tagger — emits flat per-row scalars
+    (first product / first price / per-row price sum+count); all aggregation
+    then runs through the shared Arrow hash-group_by partial kernel."""
     from ..functions.prices import extract_numerical_price, is_nan
     from ..functions.tagger import decode_entities
     from ..stages.enrich import _tag_rows
 
-    repos = batch["repo"].to_pylist()
-    views = batch["views"].to_pylist()
-    dates = batch["message_date"].to_pylist()
-    mids = batch["message_id"].to_pylist()
+    n = batch.num_rows
     tagged = _tag_rows(batch["content"].to_pylist())
 
-    acc: dict[str, dict] = {}
-    for repo, v, d, mid, pairs in zip(repos, views, dates, mids, tagged):
-        prods: list[str] = []
-        prices: list[float] = []
+    first_prod: list[str | None] = [None] * n
+    first_price: list[float | None] = [None] * n
+    row_sum = np.zeros(n)
+    row_n = np.zeros(n, np.int64)
+    for i, pairs in enumerate(tagged):
         for etype, surface in decode_entities(pairs):
             if etype == "PRODUCT":
-                prods.append(surface)
+                if first_prod[i] is None:
+                    first_prod[i] = surface
             elif etype == "PRICE":
                 val = extract_numerical_price([surface])
                 if not is_nan(val):
-                    prices.append(val)
-        a = acc.get(repo)
-        if a is None:
-            a = acc[repo] = {
-                "n": 0, "sv": 0, "mind": d, "maxd": d,
-                "sp": 0.0, "np": 0,
-                "bv": None, "bmid": None, "bprod": None, "bprice": None,
-            }
-        a["n"] += 1
-        a["sv"] += v
-        if d < a["mind"]:
-            a["mind"] = d
-        if d > a["maxd"]:
-            a["maxd"] = d
-        for p in prices:
-            a["sp"] += p
-            a["np"] += 1
-        if a["bv"] is None or v > a["bv"] or (v == a["bv"] and mid < a["bmid"]):
-            a["bv"], a["bmid"] = v, mid
-            a["bprod"] = prods[0] if prods else None
-            a["bprice"] = prices[0] if prices else None
+                    if first_price[i] is None:
+                        first_price[i] = val
+                    row_sum[i] += val
+                    row_n[i] += 1
 
-    keys = sorted(acc)
-    return pa.table({
-        "repo": keys,
-        "n_posts": [acc[k]["n"] for k in keys],
-        "sum_views": [acc[k]["sv"] for k in keys],
-        "min_date": [acc[k]["mind"] for k in keys],
-        "max_date": [acc[k]["maxd"] for k in keys],
-        "sum_price": [acc[k]["sp"] for k in keys],
-        "n_price": [acc[k]["np"] for k in keys],
-        "best_views": [acc[k]["bv"] for k in keys],
-        "best_mid": [acc[k]["bmid"] for k in keys],
-        "best_product": [acc[k]["bprod"] for k in keys],
-        "best_price": [acc[k]["bprice"] for k in keys],
-    }, schema=_PARTIAL_SCHEMA)
+    t = pa.table({
+        "repo": batch["repo"],
+        "views": batch["views"],
+        "message_date": batch["message_date"],
+        "message_id": batch["message_id"],
+        "row_sum_price": pa.array(row_sum, pa.float64()),
+        "row_n_price": pa.array(row_n, pa.int64()),
+        "first_product": pa.array(first_prod, pa.string()),
+        "first_price": pa.array(first_price, pa.float64()),
+    })
+    return _partials_from_columns(t)
 
 
 def merge_partials_group(g: pd.DataFrame) -> pd.DataFrame:

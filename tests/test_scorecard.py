@@ -89,6 +89,88 @@ def test_single_post_vendor_ppw_is_seven():
     assert out.iloc[0]["date_range_days"] == 1
 
 
+def _rowloop_partials_reference(batch: pa.Table) -> pa.Table:
+    """The retired per-row dict-loop partial kernel (pre-round-3), kept here
+    verbatim as the differential reference for the Arrow group_by kernel."""
+    from amharic_ecommerce_data_extractor_ray.stages.scorecard import _PARTIAL_SCHEMA
+    repos = batch["repo"].to_pylist()
+    views = batch["views"].to_pylist()
+    dates = batch["message_date"].to_pylist()
+    mids = batch["message_id"].to_pylist()
+    products = batch["products"].to_pylist()
+    prices = batch["all_numerical_prices"].to_pylist()
+    acc = {}
+    for repo, v, d, mid, prods, prs in zip(repos, views, dates, mids,
+                                           products, prices):
+        a = acc.get(repo)
+        if a is None:
+            a = acc[repo] = {"n": 0, "sv": 0, "mind": d, "maxd": d,
+                             "sp": 0.0, "np": 0, "bv": None, "bmid": None,
+                             "bprod": None, "bprice": None}
+        a["n"] += 1
+        a["sv"] += v
+        if d < a["mind"]:
+            a["mind"] = d
+        if d > a["maxd"]:
+            a["maxd"] = d
+        for p in prs:
+            a["sp"] += p
+            a["np"] += 1
+        if a["bv"] is None or v > a["bv"] or (v == a["bv"] and mid < a["bmid"]):
+            a["bv"], a["bmid"] = v, mid
+            a["bprod"] = prods[0] if prods else None
+            a["bprice"] = prs[0] if prs else None
+    keys = sorted(acc)
+    return pa.table({
+        "repo": keys,
+        "n_posts": [acc[k]["n"] for k in keys],
+        "sum_views": [acc[k]["sv"] for k in keys],
+        "min_date": [acc[k]["mind"] for k in keys],
+        "max_date": [acc[k]["maxd"] for k in keys],
+        "sum_price": [acc[k]["sp"] for k in keys],
+        "n_price": [acc[k]["np"] for k in keys],
+        "best_views": [acc[k]["bv"] for k in keys],
+        "best_mid": [acc[k]["bmid"] for k in keys],
+        "best_product": [acc[k]["bprod"] for k in keys],
+        "best_price": [acc[k]["bprice"] for k in keys],
+    }, schema=_PARTIAL_SCHEMA)
+
+
+def test_arrow_partials_match_rowloop(ray_session):
+    """Differential: vectorized Arrow group_by partial kernel ≡ the retired
+    row-loop kernel on real corpus entities (sum_price approx — float
+    accumulation order differs, everything else exact)."""
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+    from amharic_ecommerce_data_extractor_ray.stages.enrich import fused_entities_batch
+
+    tbl = fused_entities_batch(
+        pa.table(kg.corpus_ds("/root/testdata/sf0.001")
+                 .take_batch(400, batch_format="pyarrow")))
+    new = scorecard_partials_batch(tbl).to_pandas()
+    ref = _rowloop_partials_reference(tbl).to_pandas()
+    assert list(new.columns) == list(ref.columns)
+    assert len(new) == len(ref)
+    for col in new.columns:
+        if col == "sum_price":
+            assert new[col].to_numpy() == pytest.approx(ref[col].to_numpy())
+        else:
+            pd.testing.assert_series_equal(new[col], ref[col], check_names=False)
+
+
+def test_partials_empty_batch():
+    from amharic_ecommerce_data_extractor_ray.stages.scorecard import _PARTIAL_SCHEMA
+    empty = pa.table({
+        "repo": pa.array([], pa.string()),
+        "views": pa.array([], pa.int64()),
+        "message_date": pa.array([], pa.date32()),
+        "message_id": pa.array([], pa.int64()),
+        "products": pa.array([], pa.list_(pa.string())),
+        "all_numerical_prices": pa.array([], pa.list_(pa.float64())),
+    })
+    out = scorecard_partials_batch(empty)
+    assert out.num_rows == 0 and out.schema == _PARTIAL_SCHEMA
+
+
 def test_fused_scorecard_partials_match_staged(ray_session):
     import pyarrow as pa
 
