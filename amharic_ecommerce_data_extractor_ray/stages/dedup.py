@@ -172,7 +172,7 @@ def _minhash_sigs(texts: list[str], a: np.ndarray, b: np.ndarray,
 
 def minhash_lsh_pairs(docs_ds, *, text_col="text", id_col="doc_id",
                       num_perm=64, bands=16, shingle_k=3, threshold=0.5,
-                      seed=42):
+                      seed=42, max_bucket_rows=4096):
     """Near-duplicate pairs via MinHash + LSH banding.
 
     map_batches: shingle → minhash signature → explode to
@@ -180,6 +180,15 @@ def minhash_lsh_pairs(docs_ds, *, text_col="text", id_col="doc_id",
     buckets candidates; pairs verified by estimated Jaccard (signature
     agreement) ≥ threshold.  Output: (id_a, id_b, jaccard_est) with id_a <
     id_b, deduplicated across bands via a final groupby.
+
+    Degenerate-bucket guard: a bucket larger than ``max_bucket_rows`` (e.g.
+    one document duplicated 10⁶×, putting every copy in the same (band, hash)
+    bucket) switches from all-pairs to REPRESENTATIVE pairing — every member
+    is compared against the bucket's lowest id only, emitting ≤ n-1 pairs
+    instead of ~n²/2.  All-pairs output over such a bucket would itself be
+    quadratic (5·10¹¹ rows for the 10⁶ case), so no engine can emit it;
+    downstream union-find / keep-lowest-id clustering yields the same
+    connected components from the star as from the clique.
     """
     assert shingle_k <= len(_SHINGLE_MIX), "shingle_k > supported mix width"
     a_par, b_par = _minhash_params(num_perm, seed)
@@ -221,27 +230,39 @@ def minhash_lsh_pairs(docs_ds, *, text_col="text", id_col="doc_id",
             id_col: pa.array(ids),
         })
 
+    _EMPTY_PAIRS = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "jaccard_est": pd.Series(dtype="float64")})
+
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64"),
-                                 "jaccard_est": pd.Series(dtype="float64")})
-        rows = sorted(zip(g[id_col].tolist(), g["sig"].tolist()))
-        out = []
-        for x in range(len(rows)):
-            ia, sa = rows[x]
-            va = np.frombuffer(sa, dtype=np.uint64)
-            for y in range(x + 1, len(rows)):
-                ib, sb = rows[y]
-                if ia == ib:
-                    continue
-                vb = np.frombuffer(sb, dtype=np.uint64)
-                est = float((va == vb).mean())
-                if est >= threshold:
-                    out.append({"id_a": ia, "id_b": ib, "jaccard_est": est})
-        return pd.DataFrame(out) if out else pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "jaccard_est": pd.Series(dtype="float64")})
+        m = len(g)
+        if m < 2:
+            return _EMPTY_PAIRS.copy()
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sig_mat = np.frombuffer(b"".join(g["sig"]),
+                                dtype=np.uint64).reshape(m, -1)
+        if m > max_bucket_rows:
+            # degenerate hot bucket — linear representative (star) pairing
+            est = (sig_mat[1:] == sig_mat[0]).mean(axis=1)
+            keep = (est >= threshold) & (ids[1:] != ids[0])
+            return pd.DataFrame({
+                "id_a": np.full(int(keep.sum()), ids[0], dtype=np.int64),
+                "id_b": ids[1:][keep].astype(np.int64),
+                "jaccard_est": est[keep]})
+        out_a, out_b, out_e = [], [], []
+        for x in range(m - 1):
+            est = (sig_mat[x + 1:] == sig_mat[x]).mean(axis=1)
+            keep = (est >= threshold) & (ids[x + 1:] != ids[x])
+            if keep.any():
+                out_a.append(np.full(int(keep.sum()), ids[x], dtype=np.int64))
+                out_b.append(ids[x + 1:][keep].astype(np.int64))
+                out_e.append(est[keep])
+        if not out_a:
+            return _EMPTY_PAIRS.copy()
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "jaccard_est": np.concatenate(out_e)})
 
     import ray
     from ray.data.aggregate import Count, Max
@@ -335,11 +356,23 @@ def simhash_batch(texts: list[str], nbits: int = 64) -> list[int]:
     return out
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy<2 has no bit_count)."""
+    return np.unpackbits(np.ascontiguousarray(x).view(np.uint8)) \
+        .reshape(len(x), 64).sum(axis=1)
+
+
 def simhash_dedup(docs_ds, *, text_col="text", id_col="doc_id",
-                  hamming_threshold=3, prefix_bits=16):
+                  hamming_threshold=3, prefix_bits=16, max_block_rows=4096):
     """SimHash near-dup: 64-bit signature per doc; block on the top
     ``prefix_bits`` bits (cheap LSH for small hamming distance), verify
-    hamming ≤ threshold within blocks.  Output (id_a, id_b, hamming)."""
+    hamming ≤ threshold within blocks.  Output (id_a, id_b, hamming).
+
+    Blocks larger than ``max_block_rows`` switch from all-pairs to linear
+    representative (star) pairing — same rationale as minhash_lsh_pairs:
+    the all-pairs OUTPUT over a degenerate block (one doc duplicated 10⁶×)
+    is itself quadratic, and union-find downstream recovers the same
+    connected components from the star."""
 
     def sig_batch(b: pa.Table) -> pa.Table:
         sigs = simhash_batch(b[text_col].to_pylist())
@@ -350,18 +383,39 @@ def simhash_dedup(docs_ds, *, text_col="text", id_col="doc_id",
             "block": pa.array(block, pa.int64()),
         })
 
+    _EMPTY = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "hamming": pd.Series(dtype="int64")})
+
     def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(zip(g[id_col].tolist(), g["simhash"].tolist()))
-        out = []
-        for x in range(len(rows)):
-            for y in range(x + 1, len(rows)):
-                ham = bin((rows[x][1] ^ rows[y][1]) & ((1 << 64) - 1)).count("1")
-                if ham <= hamming_threshold and rows[x][0] != rows[y][0]:
-                    out.append({"id_a": rows[x][0], "id_b": rows[y][0],
-                                "hamming": ham})
-        return pd.DataFrame(out) if out else pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "hamming": pd.Series(dtype="int64")})
+        m = len(g)
+        if m < 2:
+            return _EMPTY.copy()
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        # int64 xor == uint64 xor bit-for-bit; the +2^63 storage shift on
+        # both operands cancels under xor
+        sigs = g["simhash"].to_numpy().view(np.uint64)
+        if m > max_block_rows:
+            ham = _popcount64(sigs[1:] ^ sigs[0])
+            keep = (ham <= hamming_threshold) & (ids[1:] != ids[0])
+            return pd.DataFrame({
+                "id_a": np.full(int(keep.sum()), ids[0], dtype=np.int64),
+                "id_b": ids[1:][keep].astype(np.int64),
+                "hamming": ham[keep].astype(np.int64)})
+        out_a, out_b, out_h = [], [], []
+        for x in range(m - 1):
+            ham = _popcount64(sigs[x + 1:] ^ sigs[x])
+            keep = (ham <= hamming_threshold) & (ids[x + 1:] != ids[x])
+            if keep.any():
+                out_a.append(np.full(int(keep.sum()), ids[x], dtype=np.int64))
+                out_b.append(ids[x + 1:][keep].astype(np.int64))
+                out_h.append(ham[keep].astype(np.int64))
+        if not out_a:
+            return _EMPTY.copy()
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
 
     import ray
     from ray.data.aggregate import Count
