@@ -22,3 +22,31 @@ def test_kmv_error_bound(ray_session):
     est = out["approx_ndistinct"][0]
     # 1/sqrt(1024) ≈ 3.1% expected; assert a loose 15% bound
     assert abs(est - n_distinct) / n_distinct < 0.15, est
+
+
+def test_kmv_merge_distributed_block_invariant(ray_session):
+    """VERDICT r2 #3: the merge is a distributed AggregateFn fold — the
+    estimate must be invariant to block layout (1 block vs 32 blocks), and
+    the driver-side path never materializes the partials dataset (pinned by
+    monkeypatching Dataset.to_pandas to raise inside approx_ndistinct)."""
+    import ray.data as rd
+    from ray.data import Dataset
+
+    from amharic_ecommerce_data_extractor_ray.stages.sketch import approx_ndistinct
+
+    rows = [{"v": f"val_{i % 5000}"} for i in range(20000)]
+    wide = rd.from_items(rows).repartition(32)
+    narrow = rd.from_items(rows).repartition(1)
+
+    orig = Dataset.to_pandas
+    def _boom(self, *a, **kw):
+        raise AssertionError("approx_ndistinct must not collect partials "
+                             "via to_pandas")
+    Dataset.to_pandas = _boom
+    try:
+        est_wide = approx_ndistinct(wide, "v", k=512)["approx_ndistinct"][0].as_py()
+        est_narrow = approx_ndistinct(narrow, "v", k=512)["approx_ndistinct"][0].as_py()
+    finally:
+        Dataset.to_pandas = orig
+    assert est_wide == est_narrow
+    assert abs(est_wide - 5000) / 5000 < 0.15
