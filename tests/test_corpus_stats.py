@@ -97,14 +97,45 @@ def test_space_saving_topk_capacity_regimes(ray_session):
             for i in range(200)]
     ds = lambda: rd.from_items(rows)
     exact = token_topk(ds(), k=5).to_pandas()
-    # capacity above the vocabulary → sketch is exact
+    # capacity above the vocabulary → sketch is exact with err ≡ 0
     sk = space_saving_topk(ds(), k=5, capacity=100).to_pandas()
-    assert sk.equals(exact)
-    # tiny capacity → counts become lower bounds but the TOP item survives
+    assert (sk["err"] == 0).all()
+    assert sk[["token", "n"]].equals(exact)
+    # tiny capacity → space-saving bounds: n is an UPPER bound, n - err a
+    # lower bound, and the top item survives (Metwally guarantee)
     lo = space_saving_topk(ds(), k=5, capacity=2).to_pandas()
     assert lo.iloc[0]["token"] == exact.iloc[0]["token"]
-    assert (lo["n"] <= exact.set_index("token").loc[lo["token"]]["n"]
-            .to_numpy()).all()
+    truth = exact.set_index("token")["n"]
+    for _, r in lo.iterrows():
+        if r["token"] in truth.index:
+            t = truth.loc[r["token"]]
+            assert r["n"] >= t >= r["n"] - r["err"], (r["token"], r["n"],
+                                                      r["err"], t)
+
+
+def test_space_saving_memory_is_bounded(ray_session):
+    """ADVICE r2: the r2 kernel built an exact per-batch Counter (O(batch
+    vocabulary)); the real algorithm must never hold more than capacity
+    summary entries + one chunk buffer, even when the batch vocabulary is
+    100× the capacity."""
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import (space_saving_topk,
+                                                        token_topk)
+
+    # 5000 distinct rare tokens + 3 heavy hitters, one batch
+    rows = ([{"text": f"rare_{i}"} for i in range(5000)]
+            + [{"text": "hot_a hot_a hot_b"}] * 300 + [{"text": "hot_c"}] * 150)
+    ds = lambda: rd.from_items(rows).repartition(1)
+    out = space_saving_topk(ds(), k=3, capacity=64,
+                            chunk_tokens=256).to_pandas()
+    exact = token_topk(ds(), k=3).to_pandas()
+    # heavy hitters (true count ≫ floor) must survive with valid bounds
+    assert list(out["token"]) == list(exact["token"])
+    truth = exact.set_index("token")["n"]
+    for _, r in out.iterrows():
+        t = truth.loc[r["token"]]
+        assert r["n"] >= t >= r["n"] - r["err"]
 
 
 def test_sessionize(ray_session):
