@@ -83,29 +83,50 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = 10, *,
 
 
 def lsh_topk(emb_ds, query_ids: list[int], k: int = 10, *, n_planes: int = 8,
-             seed: int = 42, vec_col="embedding", id_col="vec_id"):
+             n_tables: int = 1, seed: int = 42, vec_col="embedding",
+             id_col="vec_id"):
     """Approximate top-k: random-hyperplane LSH bucket per vector; each query
     searches only its own bucket (candidates), exact cosine within.  The
     bucket column is the co-location key — at scale this replaces the full
-    scan with a partition-pruned read."""
+    scan with a partition-pruned read.
+
+    ``n_tables`` > 1 (VERDICT r2 #8): L independent plane sets, candidates =
+    union over tables — a single table's recall falls off a cliff for queries
+    near a hyperplane (any one of the ``n_planes`` sign bits flips an entire
+    bucket); with L tables a true neighbor is missed only if it lands in a
+    different bucket in EVERY table (miss rate ≈ (1-p)^L).  Cost: each
+    vector participates in L bucket groups (L× candidate shuffle volume).
+    Candidates are deduplicated per (query, neighbor) before final ranking;
+    n_tables=1 reproduces the r2 single-table behavior bit-for-bit."""
     first = emb_ds.take(1)[0]
     dim = len(first[vec_col])
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    planes = rng.standard_normal((n_tables, n_planes, dim))
     qset = set(query_ids)
+    pw = (1 << np.arange(n_planes))
 
     def add_bucket(b: pa.Table) -> pa.Table:
+        """One output row per (vector, table): (table_id, bucket, id, vec)."""
         mat = _to_matrix(b[vec_col].to_pylist())
-        signs = (mat @ planes.T) > 0
-        bucket = signs @ (1 << np.arange(n_planes))
-        return b.append_column("bucket", pa.array(bucket.astype("int64")))
+        pieces = []
+        for t in range(n_tables):
+            bucket = ((mat @ planes[t].T) > 0) @ pw
+            pieces.append(pa.table({
+                id_col: b[id_col],
+                vec_col: b[vec_col],
+                "table_id": pa.array(np.full(b.num_rows, t, dtype=np.int64)),
+                "bucket": pa.array(bucket.astype("int64")),
+            }))
+        return pa.concat_tables(pieces)
+
+    _EMPTY = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                           "neighbor_id": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
 
     def bucket_search(g: pd.DataFrame) -> pd.DataFrame:
         qrows = g[g[id_col].isin(qset)]
         if qrows.empty:
-            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                                 "neighbor_id": pd.Series(dtype="int64"),
-                                 "cosine": pd.Series(dtype="float64")})
+            return _EMPTY.copy()
         mat = _to_matrix(g[vec_col])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
@@ -120,11 +141,31 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 10, *, n_planes: int = 8,
             for idx in order:
                 out.append({"query_id": int(qr[id_col]),
                             "neighbor_id": int(ids[idx]),
-                            "cosine": round(float(cos[idx]), 6)})
+                            "cosine": float(cos[idx])})
         return pd.DataFrame(out)
 
-    return (emb_ds.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("bucket").map_groups(bucket_search, batch_format="pandas"))
+    def round_cos(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        i = b.schema.get_field_index("cosine")
+        return b.set_column(i, "cosine", pc.round(b["cosine"], 6))
+
+    per_bucket = (emb_ds.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby(["table_id", "bucket"])
+                  .map_groups(bucket_search, batch_format="pandas"))
+    if n_tables == 1:
+        return per_bucket.map_batches(round_cos, batch_format="pyarrow")
+
+    def merge_query(g: pd.DataFrame) -> pd.DataFrame:
+        # union of candidates across tables: same (query, neighbor) appears
+        # in up to L tables with identical raw cosine — dedupe, re-rank on
+        # the raw value (matches the SQL oracle's ranking), top-k
+        g = g.drop_duplicates(["query_id", "neighbor_id"])
+        return (g.sort_values(["cosine", "neighbor_id"],
+                              ascending=[False, True]).head(k))
+
+    return (per_bucket.groupby("query_id")
+            .map_groups(merge_query, batch_format="pandas")
+            .map_batches(round_cos, batch_format="pyarrow"))
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -148,12 +189,53 @@ def _train_centroids_from_sample(rows, *, n_clusters=16, iters=10, seed=42,
     return cent
 
 
+def bottomk_hash_sample(ds, *, key_col: str, sample: int,
+                        extra_keep: set | None = None):
+    """Deterministic UNBIASED sample: the ``sample`` rows whose stable
+    64-bit key hash is smallest (a bottom-k sketch over the whole corpus).
+
+    VERDICT r2 #5: ``limit(sample)`` reads only the FIRST blocks, so a corpus
+    sorted or partitioned by label trains the quantizer on one shard's
+    distribution.  Bottom-k by ``md5_number_lower(key)`` is invariant to row
+    order, partitioning and cluster size, needs no prior ``count()``, and
+    reduces per batch (each block emits ≤ ``sample`` candidate rows) — the
+    driver receives exactly ``sample`` rows via a distributed sort + limit.
+
+    Rows in ``extra_keep`` (by key) are carried through flagged ``_keep``
+    regardless of hash — lets one corpus scan serve both quantizer training
+    and query-vector lookup.  Output keeps source columns plus ``_hkey``
+    (order-preserving int64 image of the hash) and ``_keep``."""
+    from .dedup import _stable_u64
+
+    extra = extra_keep or set()
+    _SIGN = np.uint64(1 << 63)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        h = np.fromiter((_stable_u64(str(i)) for i in keys),
+                        np.uint64, b.num_rows)
+        order = np.argsort(h, kind="stable")[:sample]
+        keep = np.zeros(b.num_rows, dtype=bool)
+        keep[order] = True
+        extra_mask = np.fromiter((i in extra for i in keys),
+                                 bool, b.num_rows)
+        sel = np.flatnonzero(keep | extra_mask)
+        t = b.take(pa.array(sel))
+        return (t.append_column("_hkey", pa.array(
+                    (h[sel] ^ _SIGN).view(np.int64)))
+                .append_column("_keep", pa.array(extra_mask[sel])))
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
 def train_centroids(emb_ds, *, n_clusters=16, sample=2048, iters=10, seed=42,
-                    vec_col="embedding") -> np.ndarray:
-    """Spherical k-means on a driver-side sample (the IVF coarse quantizer).
-    Deterministic for a pinned seed; at 100 TB the sample is still a LIMIT
-    over the first blocks — training cost is independent of corpus size."""
-    rows = emb_ds.limit(sample).to_pandas()
+                    vec_col="embedding", id_col="vec_id") -> np.ndarray:
+    """Spherical k-means on an unbiased deterministic sample (the IVF coarse
+    quantizer): bottom-``sample`` rows by stable id hash, ordered by hash —
+    invariant to partitioning (VERDICT r2 #5), deterministic for a pinned
+    seed, training cost independent of corpus size."""
+    rows = (bottomk_hash_sample(emb_ds, key_col=id_col, sample=sample)
+            .sort("_hkey").limit(sample).to_pandas())
     return _train_centroids_from_sample(rows, n_clusters=n_clusters,
                                         iters=iters, seed=seed,
                                         vec_col=vec_col)
@@ -169,24 +251,20 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 10, *, n_clusters=16,
     n_batches).  Recall vs brute force is pinned by tests/test_similarity.py."""
     qset = set(query_ids)
 
-    # ONE driver-side sample serves both quantizer training and query-vector
-    # lookup when it contains the query ids (the common case: ids come from
-    # the same table) — dropping the extra full pick_queries pass over the
-    # corpus (ADVICE r1).
-    sample_rows = emb_ds.limit(sample).to_pandas()
+    # ONE corpus scan serves both quantizer training and query-vector lookup
+    # (ADVICE r1): the bottom-k pass also carries query rows flagged _keep.
+    # Sampling is bottom-k by stable id hash — unbiased under adversarial
+    # partitioning (VERDICT r2 #5) — and the candidate pool is tiny
+    # (≤ sample + |queries| rows per block), so materializing it is safe.
+    cand = bottomk_hash_sample(emb_ds, key_col=id_col, sample=sample,
+                               extra_keep=qset).materialize()
+    sample_rows = (cand.sort("_hkey").limit(sample).to_pandas())
     cent = _train_centroids_from_sample(sample_rows, n_clusters=n_clusters,
                                         iters=iters, seed=seed,
                                         vec_col=vec_col)
-    in_sample = sample_rows[sample_rows[id_col].isin(qset)]
-    if len(in_sample) == len(qset):
-        qtab = in_sample.sort_values(id_col)
-    else:  # query ids beyond the sample: one filtered scan
-        def pick_queries(b: pa.Table) -> pa.Table:
-            mask = [i in qset for i in b[id_col].to_pylist()]
-            return b.filter(pa.array(mask))
-
-        qtab = (emb_ds.map_batches(pick_queries, batch_format="pyarrow")
-                .to_pandas().sort_values(id_col))
+    qtab = (cand.map_batches(lambda b: b.filter(b["_keep"]),
+                             batch_format="pyarrow")
+            .to_pandas().sort_values(id_col))
     qunit = _unit(_to_matrix(qtab[vec_col]))
     qids = qtab[id_col].to_numpy()
     # n_probe nearest centroids per query
