@@ -295,6 +295,38 @@ def revenue_by_brand(sf_dir: str):
     return pdf.sort_values("p_brand").reset_index(drop=True)
 
 
+def make_window_explode_kernel(window_hours: int):
+    """Vectorized replicate-then-tumble explode (VERDICT r2 #4: the r2 kernel
+    was a per-row Python loop with a ``strftime`` per emitted row — the hot
+    ×window_hours multiplier of the sliding-window pipeline).  One
+    ``floor_temporal`` + per-OFFSET duration subtract + strftime over whole
+    columns; the only Python loop is over the ``window_hours`` offsets."""
+    import datetime as dt
+
+    def explode_windows(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        val = pc.cast(b["value"], pa.float64())
+        # strftime only over the DISTINCT hours (bounded by the time range,
+        # not the row count), then a take per row — strftime is the dominant
+        # cost at full-column width
+        uniq = pc.unique(hour.combine_chunks() if isinstance(
+            hour, pa.ChunkedArray) else hour)
+        idx = pc.index_in(hour, value_set=uniq)
+        pieces = []
+        for off in range(window_hours):
+            labels = pc.strftime(
+                pc.subtract(uniq, pa.scalar(dt.timedelta(hours=off))),
+                format="%Y-%m-%d %H:00:00")
+            pieces.append(pa.table({
+                "event_type": b["event_type"],
+                "window_start": pc.take(labels, idx),
+                "value": val,
+            }))
+        return pa.concat_tables(pieces)
+
+    return explode_windows
+
+
 def sliding_event_windows(sf_dir: str, *, window_hours: int = 3):
     """SLIDING window aggregate (window = ``window_hours``, slide = 1h): each
     event is flat-mapped into every window that covers it (one row per
@@ -302,29 +334,10 @@ def sliding_event_windows(sf_dir: str, *, window_hours: int = 3):
     reduction of a sliding window to a keyed groupby), then aggregated with
     native algebraic aggregates.  Shuffle volume = window_hours × |events|
     partials, pre-combined per batch."""
-    import datetime as dt
-
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["event_type", "ts", "value"])
 
-    def explode_windows(b: pa.Table) -> pa.Table:
-        types = b["event_type"].to_pylist()
-        tss = b["ts"].to_pylist()
-        vals = b["value"].to_pylist()
-        out_t, out_w, out_v = [], [], []
-        for et, ts, v in zip(types, tss, vals):
-            hour = ts.replace(minute=0, second=0, microsecond=0)
-            # windows [hour - (w-1)h, hour] each cover this event
-            for off in range(window_hours):
-                start = hour - dt.timedelta(hours=off)
-                out_t.append(et)
-                out_w.append(start.strftime("%Y-%m-%d %H:00:00"))
-                out_v.append(v)
-        return pa.table({
-            "event_type": pa.array(out_t, pa.string()),
-            "window_start": pa.array(out_w, pa.string()),
-            "value": pa.array(out_v, pa.float64()),
-        })
+    explode_windows = make_window_explode_kernel(window_hours)
 
     out = (ds.map_batches(explode_windows, batch_format="pyarrow")
            .groupby(["event_type", "window_start"])
