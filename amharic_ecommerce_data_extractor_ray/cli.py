@@ -53,6 +53,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--conll", default=None, help="CoNLL path for evaluate")
     ap.add_argument("--shards", type=int, default=16,
                     help="partition count for build_triples_sharded")
+    ap.add_argument("--delta-name", default=None,
+                    help="unique name for this incremental delta (default: "
+                         "the input dir's content fingerprint — ADVICE r2: "
+                         "a fixed name would re-append into the same dirs "
+                         "and double-count)")
     args = ap.parse_args(argv)
 
     _ensure_ray(args.num_cpus)
@@ -117,10 +122,13 @@ def main(argv: list[str] | None = None) -> int:
             import ray.data as rd
 
             from .pipelines.incremental import incremental_update
+            from .state.checkpoint import _input_fingerprint
 
+            fp = _input_fingerprint(args.corpus_dir)
             delta = rd.read_parquet(args.corpus_dir)
             stats = incremental_update(args.out_dir, delta,
-                                       delta_name=f"cli_{args.shards}")
+                                       delta_name=args.delta_name or fp,
+                                       fingerprint=fp)
             print(json.dumps({"stage": "incremental", **stats}))
         if args.stage == "curate":
             # training-data curation: quality filter → exact dedup → manifest

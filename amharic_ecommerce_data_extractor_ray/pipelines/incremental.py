@@ -95,50 +95,146 @@ def _merged_edges(prev_edges_ds, delta_triples_ds):
     return merged.map_batches(to_edges, batch_format="pyarrow")
 
 
-def incremental_update(prev_out: str, delta_corpus, *,
-                       delta_name: str = "d1") -> dict:
-    """Append ``delta_corpus`` (a corpus-schema Dataset) to the build at
-    ``prev_out``.  Tags ONLY the delta; merges the aggregate views."""
+def _read_sub_manifest(path: str) -> dict | None:
+    import json
+    import os
+
+    mp = os.path.join(path, "_MANIFEST.json")
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        return json.load(f)
+
+
+def _rewrite_aggregate(ds, out_dir: str, *, fingerprint: str,
+                       applied_deltas: list[str],
+                       partition_on: str | None = None) -> int:
+    """Atomically replace an aggregate view (nodes/edges) and stamp a
+    delta-aware ``_MANIFEST.json`` recording which deltas it contains —
+    ADVICE r2: the r2 rewrite destroyed the checkpoint manifest and dropped
+    the ``pred`` hive partitioning, so a later ``build_kg`` resume silently
+    rebuilt nodes/edges from the base triples only."""
+    import json
     import os
     import shutil
 
+    import pyarrow.parquet as pq
+
+    tmp = out_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if partition_on is not None:
+        ds.write_parquet(tmp, partition_cols=[partition_on])
+    else:
+        ds.write_parquet(tmp)
+    rows = 0
+    for root, _dirs, files in os.walk(tmp):
+        rows += sum(pq.ParquetFile(os.path.join(root, fn)).metadata.num_rows
+                    for fn in files if fn.endswith(".parquet"))
+    with open(os.path.join(tmp, "_MANIFEST.json"), "w") as f:
+        json.dump({"rows": rows, "fingerprint": fingerprint,
+                   "partition_on": partition_on,
+                   "applied_deltas": applied_deltas}, f)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(tmp, out_dir)
+    return rows
+
+
+def applied_deltas(prev_out: str) -> list[str]:
+    """Delta names already merged into the nodes aggregate (empty for a
+    fresh ``build_kg`` output)."""
+    m = _read_sub_manifest(f"{prev_out}/nodes") or {}
+    return list(m.get("applied_deltas", []))
+
+
+def incremental_update(prev_out: str, delta_corpus, *,
+                       delta_name: str = "d1",
+                       fingerprint: str | None = None) -> dict:
+    """Append ``delta_corpus`` (a corpus-schema Dataset) to the build at
+    ``prev_out``.  Tags ONLY the delta; merges the aggregate views.
+
+    Crash-safe and idempotent (ADVICE r2): every delta dataset is staged via
+    ``checkpointed_write`` (tmp + atomic rename + fingerprinted manifest);
+    the nodes/edges rewrites record ``applied_deltas`` in their manifests, so
+    a rerun after a crash skips completed phases and never double-applies a
+    delta — and a NAME COLLISION (same ``delta_name``, different data) fails
+    fast instead of silently double-counting.
+
+    ``fingerprint`` identifies the delta's content (e.g.
+    ``_input_fingerprint(corpus_dir)``); required to make reruns skip-able —
+    when None, an existing delta dir of the same name always raises."""
     import ray.data as rd
 
+    from ..state.checkpoint import checkpointed_write
     from ..stages.canonicalize import vendor_nodes
     from ..stages.enrich import (fused_entities_batch,
                                  triples_from_entities_batch)
     from ..stages.scorecard import (finalize_scorecard, merge_partials_group,
                                     scorecard_partials_batch)
 
-    stats = {}
+    stats: dict = {}
+    delta_msg_dir = f"{prev_out}/messages/delta_{delta_name}"
+    delta_tri_dir = f"{prev_out}/triples_deltas/{delta_name}"
+
+    # fail fast on delta-name reuse with different (or unverifiable) content
+    for d in (delta_msg_dir, delta_tri_dir):
+        m = _read_sub_manifest(d)
+        if m is not None and (fingerprint is None
+                              or m.get("fingerprint") != fingerprint):
+            raise ValueError(
+                f"incremental_update: {d} already exists from a previous "
+                f"delta (fingerprint {m.get('fingerprint')!r} vs "
+                f"{fingerprint!r}) — delta names must be unique per day's "
+                f"data; pass a fresh delta_name (ADVICE r2: reusing the dir "
+                f"would double-count the old delta into the aggregates)")
+
+    already = applied_deltas(prev_out)
+    if delta_name in already:
+        if fingerprint is not None and (_read_sub_manifest(delta_msg_dir)
+                                        or {}).get("fingerprint") == fingerprint:
+            # fully applied earlier — idempotent no-op
+            return {"delta_messages": (_read_sub_manifest(delta_msg_dir)
+                                       or {}).get("rows", 0),
+                    "skipped": True}
+        raise ValueError(
+            f"incremental_update: delta {delta_name!r} is already merged "
+            f"into {prev_out}/nodes but its content cannot be verified — "
+            f"refusing to re-apply")
 
     # 1. delta message boundary (the ONLY tagging pass) — appended as a new
-    #    partition directory; previous message shards untouched
-    delta_msg_dir = f"{prev_out}/messages/delta_{delta_name}"
-    (delta_corpus.map_batches(fused_entities_batch, batch_format="pyarrow",
-                              batch_size=DEFAULT_BATCH)
-     .select_columns(ENTITY_COLS)
-     .write_parquet(delta_msg_dir))
-    stats["delta_messages"] = rd.read_parquet(delta_msg_dir).count()
+    #    partition directory; previous message shards untouched.  Atomic +
+    #    fingerprint-skipped via checkpointed_write.
+    res = checkpointed_write(
+        delta_corpus.map_batches(fused_entities_batch, batch_format="pyarrow",
+                                 batch_size=DEFAULT_BATCH)
+        .select_columns(ENTITY_COLS),
+        delta_msg_dir, fingerprint=fingerprint)
+    stats["delta_messages"] = res["rows"]
 
     # 2. delta triples — appended alongside the previous triples partitions
-    delta_tri_dir = f"{prev_out}/triples_deltas/{delta_name}"
-    delta_triples = rd.read_parquet(delta_msg_dir).map_batches(
-        triples_from_entities_batch, batch_format="pyarrow",
-        batch_size=DEFAULT_BATCH)
-    delta_triples.write_parquet(delta_tri_dir)
-    stats["delta_triples"] = rd.read_parquet(delta_tri_dir).count()
+    res = checkpointed_write(
+        rd.read_parquet(delta_msg_dir).map_batches(
+            triples_from_entities_batch, batch_format="pyarrow",
+            batch_size=DEFAULT_BATCH),
+        delta_tri_dir, fingerprint=fingerprint)
+    stats["delta_triples"] = res["rows"]
     delta_triples_stored = rd.read_parquet(delta_tri_dir)
 
-    # 3. merge aggregate views (vocabulary-sized rewrites)
+    # 3. merge aggregate views (vocabulary-sized rewrites).  The delta-aware
+    #    fingerprint chains base + applied delta names, so build_kg can never
+    #    mistake a merged aggregate for its own resumable output.
     prev_nodes = rd.read_parquet(f"{prev_out}/nodes")
     prev_edges = rd.read_parquet(f"{prev_out}/edges")
+    new_applied = already + [delta_name]
+    agg_fp = "+".join(["incremental"] + new_applied)
 
     # vendor nodes: distinct union of previous vendor nodes + delta vendors
+    # (from the STORED delta boundary — the raw delta is never re-read)
     prev_vendors = prev_nodes.map_batches(
         lambda b: b.filter(pc.equal(b["node_type"], "vendor")),
         batch_format="pyarrow")
-    new_vendors = vendor_nodes(delta_corpus)
+    new_vendors = vendor_nodes(
+        rd.read_parquet(delta_msg_dir).select_columns(["repo"]))
     vendors = (prev_vendors.union(new_vendors)
                .groupby("label")
                .map_groups(lambda g: g.head(1), batch_format="pandas"))
@@ -161,16 +257,16 @@ def incremental_update(prev_out: str, delta_corpus, *,
         _merged_entity_nodes(prev_nodes, delta_triples_stored)).materialize()
     edges = _merged_edges(prev_edges, delta_triples_stored).materialize()
 
-    for name, ds in (("nodes", nodes), ("edges", edges)):
-        tmp = f"{prev_out}/{name}.tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        ds.write_parquet(tmp)
-        shutil.rmtree(f"{prev_out}/{name}")
-        os.rename(tmp, f"{prev_out}/{name}")
-        stats[name] = ds.count()
+    stats["nodes"] = _rewrite_aggregate(nodes, f"{prev_out}/nodes",
+                                        fingerprint=agg_fp,
+                                        applied_deltas=new_applied)
+    stats["edges"] = _rewrite_aggregate(edges, f"{prev_out}/edges",
+                                        fingerprint=agg_fp,
+                                        applied_deltas=new_applied,
+                                        partition_on="pred")
 
     # 4. scorecard from ALL stored message boundaries (content-free, small;
-    #    no re-tagging)
+    #    no re-tagging) — a pure derivation, so re-running it is idempotent
     merged = (rd.read_parquet(f"{prev_out}/messages")
               .map_batches(scorecard_partials_batch, batch_format="pyarrow")
               .materialize()

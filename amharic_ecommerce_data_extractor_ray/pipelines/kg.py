@@ -102,7 +102,22 @@ def build_kg_from_corpus(corpus_factory, out_dir: str, *,
     consuming stage) — the entry point incremental maintenance shares."""
     from ..state.checkpoint import checkpointed_write, write_manifest
 
+    import glob
+    import os
+
     import ray.data as rd
+
+    # refuse to resume over an output that has incremental deltas merged in:
+    # the base-input fingerprints still match for messages/triples (their
+    # manifests are intact), but nodes/edges would be rebuilt from the BASE
+    # triples only, silently discarding every merged delta (ADVICE r2)
+    if (glob.glob(f"{out_dir}/messages/delta_*")
+            or os.path.exists(f"{out_dir}/triples_deltas")):
+        raise ValueError(
+            f"build_kg: {out_dir} has incremental deltas applied "
+            f"(messages/delta_* / triples_deltas present) — a full rebuild "
+            f"here would silently drop them from nodes/edges; use a fresh "
+            f"out_dir, or keep maintaining this one with incremental_update")
 
     from ..stages.canonicalize import vendor_nodes as v_nodes
     from ..stages.enrich import triples_from_entities_batch
@@ -133,8 +148,11 @@ def build_kg_from_corpus(corpus_factory, out_dir: str, *,
 
     entity_nodes, edges = graph_from_triples(
         rd.read_parquet(f"{out_dir}/triples"))
+    # vendor nodes from the STORED messages boundary (column-pruned `repo`
+    # scan) — not a second pass over the raw corpus (VERDICT r2 #7); the
+    # boundary has one row per message, so the distinct-repo set is identical
     stats["nodes"] = checkpointed_write(
-        v_nodes(corpus_factory()).union(entity_nodes),
+        v_nodes(stored_messages().select_columns(["repo"])).union(entity_nodes),
         f"{out_dir}/nodes", fingerprint=fp)
     stats["edges"] = checkpointed_write(
         edges, f"{out_dir}/edges", partition_on="pred", fingerprint=fp)

@@ -77,3 +77,97 @@ def test_incremental_equals_full_rebuild(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         _canon(f"{inc_dir}/scorecard/scorecard.parquet"),
         _canon(f"{full_dir}/scorecard/scorecard.parquet"))
+
+
+def test_delta_name_collision_fails_fast(ray_session, tmp_path):
+    """ADVICE r2: reusing a delta_name for different data must raise, not
+    silently double-count the old delta into the aggregates."""
+    import pytest
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.incremental import incremental_update
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import build_kg_from_corpus
+
+    out = str(tmp_path / "kg")
+    build_kg_from_corpus(lambda: _corpus(0, 200), out, fingerprint="b")
+    incremental_update(out, _corpus(200, 300), delta_name="day1",
+                       fingerprint="fp_day1")
+    # same name, different content fingerprint → refuse
+    with pytest.raises(ValueError, match="delta names must be unique"):
+        incremental_update(out, _corpus(300, 400), delta_name="day1",
+                           fingerprint="fp_day2")
+    # same name, NO fingerprint (unverifiable) → refuse
+    with pytest.raises(ValueError):
+        incremental_update(out, _corpus(300, 400), delta_name="day1")
+
+
+def test_incremental_reapply_is_idempotent(ray_session, tmp_path):
+    """Re-running a fully-applied delta (same name + fingerprint) is a
+    no-op — aggregates unchanged, no double-count."""
+    from amharic_ecommerce_data_extractor_ray.pipelines.incremental import incremental_update
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import build_kg_from_corpus
+
+    out = str(tmp_path / "kg")
+    build_kg_from_corpus(lambda: _corpus(0, 200), out, fingerprint="b")
+    incremental_update(out, _corpus(200, 300), delta_name="day1",
+                       fingerprint="fp1")
+    before = {n: _canon(f"{out}/{n}") for n in ("nodes", "edges")}
+    stats = incremental_update(out, _corpus(200, 300), delta_name="day1",
+                               fingerprint="fp1")
+    assert stats.get("skipped") is True
+    for n in ("nodes", "edges"):
+        pd.testing.assert_frame_equal(_canon(f"{out}/{n}"), before[n])
+
+
+def test_incremental_crash_resume_no_double_apply(ray_session, tmp_path):
+    """A crash between the delta write and the aggregate rewrite must be
+    recoverable by re-running the same call — the delta phases skip via
+    their manifests and the merge applies exactly once."""
+    import pytest
+
+    import amharic_ecommerce_data_extractor_ray.pipelines.incremental as inc
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import build_kg_from_corpus
+
+    full = str(tmp_path / "full")
+    out = str(tmp_path / "kg")
+    build_kg_from_corpus(lambda: _corpus(0, 300), full, fingerprint="f")
+    build_kg_from_corpus(lambda: _corpus(0, 200), out, fingerprint="b")
+
+    real = inc._rewrite_aggregate
+    calls = {"n": 0}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before aggregate rewrite")
+
+    inc._rewrite_aggregate = boom
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            inc.incremental_update(out, _corpus(200, 300), delta_name="d1",
+                                   fingerprint="fp1")
+    finally:
+        inc._rewrite_aggregate = real
+    assert calls["n"] == 1
+
+    # rerun: delta message/triples phases skip (manifests), merge completes
+    stats = inc.incremental_update(out, _corpus(200, 300), delta_name="d1",
+                                   fingerprint="fp1")
+    assert stats["delta_messages"] == 100
+    for n in ("nodes", "edges"):
+        pd.testing.assert_frame_equal(_canon(f"{out}/{n}"),
+                                      _canon(f"{full}/{n}"))
+
+
+def test_build_kg_refuses_over_incremental_output(ray_session, tmp_path):
+    """ADVICE r2: a full rebuild over an out_dir with merged deltas would
+    silently discard them from nodes/edges — it must refuse instead."""
+    import pytest
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.incremental import incremental_update
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import build_kg_from_corpus
+
+    out = str(tmp_path / "kg")
+    build_kg_from_corpus(lambda: _corpus(0, 200), out, fingerprint="b")
+    incremental_update(out, _corpus(200, 300), delta_name="day1",
+                       fingerprint="fp1")
+    with pytest.raises(ValueError, match="incremental deltas"):
+        build_kg_from_corpus(lambda: _corpus(0, 300), out, fingerprint="x")
