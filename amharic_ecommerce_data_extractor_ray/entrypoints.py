@@ -24,6 +24,10 @@ from .stages.enrich import enrich_batch
 
 SIM_QUERY_IDS = list(range(10))
 SIM_K = 10
+# multi-table LSH (round 3): 8 independent 4-plane tables, union of
+# candidates — measured mean recall 0.71 vs 0.24 single-table at sf0.001
+SIM_LSH_TABLES = 8
+SIM_LSH_PLANES = 4
 EMB_DEDUP_THRESHOLD = 0.4
 
 
@@ -539,7 +543,20 @@ def q_similarity_lsh(sf_dir: str):
     import ray.data as rd
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.lsh_topk(emb, SIM_QUERY_IDS, k=SIM_K)
+    return similarity.lsh_topk(emb, SIM_QUERY_IDS, k=SIM_K,
+                               n_planes=SIM_LSH_PLANES,
+                               n_tables=SIM_LSH_TABLES)
+
+
+# ----------------------------------------------------------- interpretability
+
+def q_interpret_occlusion(sf_dir: str):
+    """A3: occlusion token attribution over the numpy NER model (SHAP/LIME
+    family, library-free; reference model_evaluator.py:228-626).  Model
+    scoring — rows-only check, no SQL oracle."""
+    from .stages.interpret import token_attribution
+
+    return token_attribution(kg.corpus_ds(sf_dir), limit=40)
 
 
 # ---------------------------------------------------------------- multimodal
@@ -616,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "interpret_occlusion": q_interpret_occlusion,
         # relational operator coverage
         "rel_filter_project": relational.filter_project_revenue,
         "rel_pricing_summary": relational.pricing_summary,
@@ -676,7 +694,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),
         "multimodal_frames": oracles.multimodal_frames_sql(),
         "token_topk": oracles.token_topk_sql(100),
-        "token_topk_sketch": oracles.token_topk_sql(100),
+        "token_topk_sketch": oracles.token_topk_sketch_sql(100),
         "compact_documents":
             "SELECT doc_id, text, lang, source FROM documents",
         "rel_salted_topk": oracles.salted_topk_sql(3),
@@ -691,6 +709,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_quantiles": oracles.value_quantiles_sql(),
         "dedup_minhash": oracles.minhash_sql(),
         "dedup_simhash": oracles.simhash_sql(),
-        "similarity_lsh": oracles.lsh_topk_sql(SIM_QUERY_IDS, SIM_K),
+        "similarity_lsh": oracles.lsh_topk_sql(SIM_QUERY_IDS, SIM_K,
+                                               n_planes=SIM_LSH_PLANES,
+                                               n_tables=SIM_LSH_TABLES),
         "similarity_ivf": oracles.ivf_topk_sql(SIM_QUERY_IDS, SIM_K),
     }
