@@ -500,6 +500,17 @@ def q_dedup_minhash(sf_dir: str):
     return dedup.minhash_lsh_pairs(docs)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup CLUSTERS: MinHash pair list -> connected components via
+    distributed min-label propagation; cluster_id = component min doc_id
+    (the canonical survivor)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dedup.connected_components(dedup.minhash_lsh_pairs(docs))
+
+
 def q_dedup_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -623,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": q_curate,
         "approx_ndistinct": q_approx_ndistinct,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "dedup_embedding": q_dedup_embedding,
@@ -708,6 +720,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oracles.pii_scrub_sql(),
         "rel_quantiles": oracles.value_quantiles_sql(),
         "dedup_minhash": oracles.minhash_sql(),
+        "dedup_clusters": oracles.clusters_sql(oracles.minhash_sql()),
         "dedup_simhash": oracles.simhash_sql(),
         "similarity_lsh": oracles.lsh_topk_sql(SIM_QUERY_IDS, SIM_K,
                                                n_planes=SIM_LSH_PLANES,

@@ -530,3 +530,158 @@ def embedding_cosine_pairs(emb_ds, *, vec_col="embedding", id_col="vec_id",
 
     return emb_ds.groupby(block_col).map_groups(block_pairs,
                                                 batch_format="pandas")
+
+
+# ---------------------------------------------------- cluster the pair lists
+
+def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
+                         out_id_col="doc_id", max_iters=50,
+                         num_partitions=16):
+    """Distributed connected components over a near-dup PAIR list —
+    completes the dedup story: pairs → cluster id → canonical survivor
+    (= the cluster id itself, the component's minimum doc id).
+
+    BSP min-label propagation (the map-reduce CC family of Rastogi et al.,
+    "Finding connected components in map-reduce in logarithmic rounds",
+    ICDE 2013): label(v) starts at v; each round every edge forwards its
+    source's current label to its target and a groupby-min folds the
+    proposals.  Labels never increase, so the global label SUM is a monotone
+    convergence witness — fixpoint exactly when the sum stops decreasing (no
+    per-vertex old-vs-new comparison join needed; partial sums are exact
+    Python ints, immune to int64 overflow at any scale).  POINTER JUMPING:
+    each round the edge set is augmented with the current (v, label(v))
+    pairs in both orientations, so labels also hop across the label graph —
+    convergence in O(log diameter) rounds instead of O(diameter) (the
+    logarithmic-rounds property of Rastogi et al.'s hash-to-min).  Near-dup
+    components are band-collision near-cliques, so 2-3 rounds are typical
+    even without the jumping; long chains (transitive near-dup drift) are
+    where it pays.
+
+    The per-round label attachment is a REDUCE-SIDE HASH JOIN expressed as
+    ``groupby(part).map_groups``: edges and labels are tagged, co-shuffled
+    by a multiplicative hash of the vertex key into ``num_partitions``
+    buckets, and merged vectorized (one pandas merge per bucket, not per
+    vertex).  ``Dataset.join`` is deliberately NOT used here: Ray 2.49's
+    hash-shuffle join finalizes an empty partition to a ZERO-COLUMN table,
+    and pyarrow then rejects the key field — with a vocabulary-sized label
+    table some of the partitions go empty after the first couple of rounds.
+
+    Scale shape: two shuffles per round (bucket co-location + groupby-min),
+    both over the pair GRAPH only, which is vocabulary-sized relative to
+    the corpus (only docs with ≥ 1 near-dup candidate appear).  Each
+    round's labels are materialized so iteration N+1 does not re-execute
+    rounds 1..N.  Output: one row (out_id_col, cluster_id) per vertex
+    appearing in ``pairs_ds``, cluster_id = min doc id of the component.
+
+    Reference anchor: the reference engine has no clustering step (its
+    dedup notebooks stop at pair lists); this is part of the LLM-pipeline
+    extension surface (SURVEY §2 dedup family).
+    """
+    from ray.data.aggregate import Min
+
+    _KNUTH = np.uint64(2654435761)
+
+    def _part(col: np.ndarray) -> np.ndarray:
+        return ((col.astype(np.uint64) * _KNUTH) >> np.uint64(16)) \
+            % np.uint64(num_partitions)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        a = b[id_a].combine_chunks() if isinstance(
+            b[id_a], pa.ChunkedArray) else b[id_a]
+        bb = b[id_b].combine_chunks() if isinstance(
+            b[id_b], pa.ChunkedArray) else b[id_b]
+        # both orientations + self-loops: the self-loop keeps a vertex's own
+        # label in every groupby-min fold, so labels are never lost
+        src = pa.concat_arrays([a.cast(pa.int64()), bb.cast(pa.int64()),
+                                a.cast(pa.int64())])
+        dst = pa.concat_arrays([bb.cast(pa.int64()), a.cast(pa.int64()),
+                                a.cast(pa.int64())])
+        part = _part(np.asarray(src, dtype=np.int64))
+        return pa.table({"part": pa.array(part.astype(np.int64)),
+                         "src": src, "dst": dst})
+
+    edges = (pairs_ds.select_columns([id_a, id_b])
+             .map_batches(to_edges, batch_format="pyarrow")
+             .materialize())
+
+    def exact_sum(labels_ds) -> int:
+        """Exact (arbitrary-precision) sum of labels: per-block Python-int
+        partials shipped as strings, totalled on the driver — one tiny row
+        per block, no int64 wraparound."""
+        parts = labels_ds.map_batches(
+            lambda b: pa.table({"s": pa.array(
+                [str(int(pc.sum(b["label"]).as_py() or 0))], pa.string())}),
+            batch_format="pyarrow").to_pandas()
+        return sum(int(x) for x in parts["s"])
+
+    # round 0: label(v) = min(v, min neighbor) (self-loops supply v)
+    labels = (edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+              .materialize())
+    prev_sum = exact_sum(labels)
+
+    def tag_labels(b: pa.Table) -> pa.Table:
+        part = _part(np.asarray(b["src"], dtype=np.int64))
+        return pa.table({"part": pa.array(part.astype(np.int64)),
+                         "src": b["src"],
+                         "dst": pa.nulls(b.num_rows, pa.int64()),
+                         "label": b["label"]})
+
+    def pad_edges(b: pa.Table) -> pa.Table:
+        return b.append_column("label", pa.nulls(b.num_rows, pa.int64()))
+
+    def label_edges(b: pa.Table) -> pa.Table:
+        """Pointer-jumping edges: (v, label(v)) both orientations.  label(v)
+        is in v's component by induction, so augmenting with these edges
+        never merges distinct components — it only shortcuts paths."""
+        src = pa.concat_arrays([pa.concat_arrays(
+            b["src"].chunks) if isinstance(b["src"], pa.ChunkedArray)
+            else b["src"], pa.concat_arrays(b["label"].chunks) if isinstance(
+            b["label"], pa.ChunkedArray) else b["label"]])
+        dst = pa.concat_arrays([pa.concat_arrays(
+            b["label"].chunks) if isinstance(b["label"], pa.ChunkedArray)
+            else b["label"], pa.concat_arrays(b["src"].chunks) if isinstance(
+            b["src"], pa.ChunkedArray) else b["src"]])
+        part = _part(np.asarray(src, dtype=np.int64))
+        return pa.table({"part": pa.array(part.astype(np.int64)),
+                         "src": src, "dst": dst,
+                         "label": pa.nulls(len(src), pa.int64())})
+
+    def attach(t: pa.Table) -> pa.Table:
+        """One bucket: vectorized merge of the bucket's label rows onto its
+        edge rows by src; emits (src=dst, label) proposals.  Arrow in/out so
+        the downstream union with the Arrow-blocked labels type-matches."""
+        g = t.to_pandas()
+        lab = g[g["dst"].isna()][["src", "label"]]
+        ed = g[g["label"].isna()][["src", "dst"]]
+        m = ed.merge(lab, on="src", how="inner")
+        return pa.table({
+            "src": pa.array(m["dst"].to_numpy(dtype="int64"), pa.int64()),
+            "label": pa.array(m["label"].to_numpy(dtype="int64"), pa.int64()),
+        })
+
+    for _ in range(max_iters):
+        tagged = (edges.map_batches(pad_edges, batch_format="pyarrow")
+                  .union(labels.map_batches(label_edges,
+                                            batch_format="pyarrow"))
+                  .union(labels.map_batches(tag_labels,
+                                            batch_format="pyarrow")))
+        proposals = tagged.groupby("part").map_groups(
+            attach, batch_format="pyarrow")
+        labels = (proposals.union(labels)
+                  .groupby("src").aggregate(Min("label", alias_name="label"))
+                  .materialize())
+        # Ray's hash aggregate emits ~one block per input block, and the
+        # union doubles the input width every round — without this coalesce
+        # the label table explodes to 2^rounds blocks and per-block task
+        # overhead dominates
+        if labels.num_blocks() > 2 * num_partitions:
+            labels = labels.repartition(num_partitions).materialize()
+        cur_sum = exact_sum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({out_id_col: b["src"], "cluster_id": b["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")

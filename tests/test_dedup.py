@@ -143,3 +143,61 @@ def test_embedding_cosine_pairs(ray_session):
     out = embedding_cosine_pairs(rd.from_items(rows), threshold=0.99).to_pandas()
     pairs = set(zip(out["id_a"], out["id_b"]))
     assert pairs == {(0, 1)}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Distributed min-label propagation vs a driver-side union-find on a
+    random 400-edge graph (many components, chains, stars, self-loops)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import (
+        connected_components)
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 300, 400)
+    off = rng.integers(0, 10, 400)  # local edges -> chains, not one blob
+    pairs = pd.DataFrame({"id_a": a, "id_b": np.minimum(a + off, 299)})
+
+    parent = list(range(300))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(pairs.id_a, pairs.id_b):
+        parent[find(int(u))] = find(int(v))
+    verts = sorted(set(pairs.id_a) | set(pairs.id_b))
+    # canonical label = min member of the component
+    comp_min = {}
+    for v in verts:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    expected = {v: comp_min[find(v)] for v in verts}
+
+    out = (connected_components(rd.from_pandas(pairs), num_partitions=8)
+           .to_pandas())
+    got = dict(zip(out.doc_id, out.cluster_id))
+    assert got == expected
+
+
+def test_connected_components_from_minhash_pairs(ray_session):
+    """End-to-end: minhash pair list -> clusters; every pair's two ids share
+    a cluster and every cluster_id is its own component minimum."""
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import (
+        connected_components, minhash_lsh_pairs)
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(docs).materialize()
+    out = connected_components(pairs).to_pandas()
+    lab = dict(zip(out.doc_id, out.cluster_id))
+    for row in pairs.take_all():
+        assert lab[row["id_a"]] == lab[row["id_b"]]
+    assert set(out.cluster_id) <= set(out.doc_id)
+    assert all(lab[c] == c for c in set(out.cluster_id))
