@@ -511,6 +511,26 @@ def q_dedup_clusters(sf_dir: str):
     return dedup.connected_components(dedup.minhash_lsh_pairs(docs))
 
 
+def q_dedup_survivors(sf_dir: str):
+    """Dedup APPLY step — the piece that turns pair lists into a smaller
+    corpus: MinHash pairs -> connected components -> LOSERS (doc_id !=
+    cluster_id) -> distributed ANTI join back against the full document
+    table.  Only loser KEYS are shuffled; document payloads stream through
+    the anti join untouched."""
+    import ray.data as rd
+
+    from .stages.joins import hash_anti_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "source"])
+    clusters = dedup.connected_components(
+        dedup.minhash_lsh_pairs(docs.select_columns(["doc_id", "text"])))
+    losers = clusters.map_batches(
+        lambda b: b.filter(pc.not_equal(b["doc_id"], b["cluster_id"])),
+        batch_format="pyarrow")
+    return hash_anti_join(docs, losers, on="doc_id")
+
+
 def q_dedup_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -635,6 +655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_ndistinct": q_approx_ndistinct,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_survivors": q_dedup_survivors,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "dedup_embedding": q_dedup_embedding,
@@ -721,6 +742,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_quantiles": oracles.value_quantiles_sql(),
         "dedup_minhash": oracles.minhash_sql(),
         "dedup_clusters": oracles.clusters_sql(oracles.minhash_sql()),
+        "dedup_survivors":
+            oracles.dedup_survivors_sql(oracles.minhash_sql()),
         "dedup_simhash": oracles.simhash_sql(),
         "similarity_lsh": oracles.lsh_topk_sql(SIM_QUERY_IDS, SIM_K,
                                                n_planes=SIM_LSH_PLANES,

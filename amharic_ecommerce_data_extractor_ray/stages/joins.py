@@ -102,3 +102,73 @@ def asof_join(left_ds, right_ds, *, by: str, on: str,
     return (left_tagged.union(right_tagged)
             .groupby(by)
             .map_groups(merge, batch_format="pandas"))
+
+
+def hash_anti_join(left_ds, right_ds, *, on: str, num_partitions: int = 16):
+    """Distributed ANTI join: left rows whose ``on`` key does NOT appear in
+    ``right_ds`` — the apply step of deduplication (documents minus cluster
+    losers) and of any blocklist filter.
+
+    Ray Data has no native anti join, and its hash-shuffle inner join
+    finalizes empty partitions to zero-column tables pyarrow rejects (see
+    dedup.connected_components), so this is the same reduce-side pattern:
+    both sides are tagged and co-shuffled by a multiplicative hash BUCKET of
+    the key into ``num_partitions`` groups (not one group per key — a group
+    per key would make millions of tiny pandas groups), then each bucket
+    filters its left rows against its right-key set vectorized (one
+    ``pc.is_in`` per bucket).
+
+    Partitioning assumption: one bucket's rows (|left|/P + |right keys|/P)
+    fit a worker; raise ``num_partitions`` for bigger tables.  The right
+    side is only ever represented by its key column — payload columns are
+    never shuffled.
+    """
+    import pyarrow.compute as pc
+
+    left_schema = left_ds.schema()
+    left_names = list(left_schema.names)
+    base = getattr(left_schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        left_types = {n: base.field(n).type for n in base.names}
+    else:  # pandas-blocked input: numpy dtypes → arrow types
+        left_types = {
+            n: (pa.string() if t in (str, object)
+                else pa.from_numpy_dtype(np.dtype(t)))
+            for n, t in zip(left_schema.names, left_schema.types)}
+    _MARK = "_anti_side"
+    _KNUTH = np.uint64(2654435761)
+
+    def _part(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+        col = np.asarray(
+            arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr,
+            dtype=np.int64)
+        p = ((col.astype(np.uint64) * _KNUTH) >> np.uint64(16)) \
+            % np.uint64(num_partitions)
+        return pa.array(p.astype(np.int64))
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {n: b[n] for n in left_names}
+        cols["_part"] = _part(b[on])
+        cols[_MARK] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {n: (b[on] if n == on
+                    else pa.nulls(b.num_rows, left_types[n]))
+                for n in left_names}
+        cols["_part"] = _part(b[on])
+        cols[_MARK] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def bucket_filter(t: pa.Table) -> pa.Table:
+        right_keys = t.filter(pc.equal(t[_MARK], 1))[on]
+        left = t.filter(pc.equal(t[_MARK], 0))
+        keep = pc.invert(pc.is_in(left[on],
+                                  value_set=right_keys.combine_chunks()))
+        return left.filter(keep).select(left_names)
+
+    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+              .union(right_ds.select_columns([on])
+                     .map_batches(tag_right, batch_format="pyarrow")))
+    return tagged.groupby("_part").map_groups(bucket_filter,
+                                              batch_format="pyarrow")

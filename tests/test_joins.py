@@ -50,3 +50,64 @@ def test_asof_join_survives_repartition(ray_session):
     m = out.set_index("lid")
     assert int(m.loc[42, "rid_r"]) == 1000 + 37
     assert pd.isna(m.loc[3, "rid_r"])  # first event per user: no prior right
+
+
+def test_hash_anti_join_semantics(ray_session):
+    """Left rows whose key appears in right are dropped; payload intact."""
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.joins import (
+        hash_anti_join)
+
+    left = rd.from_items([
+        {"doc_id": i, "text": f"t{i}", "w": float(i)} for i in range(50)
+    ]).repartition(5)
+    right = rd.from_items([
+        {"doc_id": i, "junk": "payload never shuffled"}
+        for i in range(0, 50, 3)] + [
+        {"doc_id": 999, "junk": "key absent from left"}]).repartition(3)
+    out = hash_anti_join(left, right, on="doc_id",
+                         num_partitions=4).to_pandas()
+    expect = sorted(i for i in range(50) if i % 3 != 0)
+    assert sorted(out["doc_id"]) == expect
+    assert sorted(out.columns) == ["doc_id", "text", "w"]
+    row = out.set_index("doc_id").loc[7]
+    assert row["text"] == "t7" and row["w"] == 7.0
+
+
+def test_hash_anti_join_empty_right(ray_session):
+    """An empty right side keeps every left row."""
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.joins import (
+        hash_anti_join)
+
+    left = rd.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(10)])
+    right = rd.from_items([{"doc_id": 1}]).filter(lambda r: False)
+    out = hash_anti_join(left, right, on="doc_id").to_pandas()
+    assert sorted(out["doc_id"]) == list(range(10))
+
+
+def test_dedup_survivors_matches_driver_style_oracle(ray_session):
+    """End-to-end apply step vs the DuckDB recursive-CTE recompute."""
+    import duckdb
+
+    sf_dir = "/root/testdata/sf0.001"
+
+    from amharic_ecommerce_data_extractor_ray import oracles
+    from amharic_ecommerce_data_extractor_ray.entrypoints import (
+        q_dedup_survivors)
+
+    got = (q_dedup_survivors(sf_dir).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = (con.execute(oracles.dedup_survivors_sql(oracles.minhash_sql()))
+            .df().sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == len(want) and len(got) > 0
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["text"]) == list(want["text"])
+    # it actually dropped something at sf0.001 (25 minhash pairs exist)
+    ndocs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert len(got) < ndocs
