@@ -681,6 +681,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_shipping_priority": relational.shipping_priority,
         "rel_suppliers_by_region": relational.suppliers_by_region,
         "rel_revenue_by_brand": relational.revenue_by_brand,
+        "rel_lag_lead": relational.lag_lead_events,
+        "rel_range_join": relational.price_band_join,
+        "rel_rollup": relational.orders_rollup,
+        # KG graph analytics
+        "kg_degrees": kg.kg_degrees,
+        "kg_cooccurrence": kg.kg_cooccurrence,
     }
 
 
@@ -749,4 +755,9 @@ def oracle_sql() -> dict[str, str]:
                                                n_planes=SIM_LSH_PLANES,
                                                n_tables=SIM_LSH_TABLES),
         "similarity_ivf": oracles.ivf_topk_sql(SIM_QUERY_IDS, SIM_K),
+        "rel_lag_lead": oracles.lag_lead_sql(),
+        "rel_range_join": oracles.price_band_join_sql(),
+        "rel_rollup": oracles.orders_rollup_sql(),
+        "kg_degrees": oracles.kg_degrees_sql(),
+        "kg_cooccurrence": oracles.kg_cooccurrence_sql(),
     }

@@ -73,6 +73,112 @@ def kg_edges(sf_dir: str):
     return canonical_edges(triples_ds(sf_dir))
 
 
+def kg_degrees(sf_dir: str):
+    """Graph-analytics over the built KG: per-node degree + mention weight.
+
+    ONE scan of the (vocabulary-sized) edge table emits each edge twice —
+    once for its vendor endpoint, once for its entity endpoint — and a
+    single ``groupby(node_id)`` folds degrees with native algebraic
+    aggregates.  A node only ever appears on one side (the KG is bipartite
+    vendor→entity), so node_type rides along as a group constant.  No
+    second edge scan, no join; the shuffle payload is the edge list itself,
+    which is |vendors| × |entities|-bounded, not corpus-sized."""
+    import ray.data  # noqa: F401  (Dataset ops)
+    from ray.data.aggregate import Count, Sum
+
+    def explode_endpoints(b: pa.Table) -> pa.Table:
+        src = b["src_id"].combine_chunks() if isinstance(
+            b["src_id"], pa.ChunkedArray) else b["src_id"]
+        dst = b["dst_id"].combine_chunks() if isinstance(
+            b["dst_id"], pa.ChunkedArray) else b["dst_id"]
+        w = b["weight"].combine_chunks() if isinstance(
+            b["weight"], pa.ChunkedArray) else b["weight"]
+        n = b.num_rows
+        return pa.table({
+            "node_id": pa.concat_arrays([src, dst]),
+            "node_type": pa.concat_arrays(
+                [pa.array(["vendor"] * n, pa.string()),
+                 pa.array(["entity"] * n, pa.string())]),
+            "weight": pa.concat_arrays([w, w]),
+        })
+
+    return (kg_edges(sf_dir)
+            .map_batches(explode_endpoints, batch_format="pyarrow")
+            .groupby(["node_id", "node_type"])
+            .aggregate(Count(alias_name="degree"),
+                       Sum("weight", alias_name="total_weight")))
+
+
+def kg_cooccurrence(sf_dir: str):
+    """Entity co-mention edges: unordered pairs of DISTINCT canonical
+    mentions (pred, obj_norm) appearing in the SAME message, with the number
+    of messages that pair them — the association signal KG builders use to
+    link entities beyond the vendor→entity bipartite edges (e.g. product ⋈
+    location co-listings).
+
+    Scale shape: pair generation happens INSIDE map_batches on the fused
+    per-message entity rows (each row is a complete message, so no pairs
+    cross batch boundaries), vectorized as a pandas self-merge per batch
+    with per-batch pre-aggregation — the groupby that follows shuffles only
+    DISTINCT pair keys (vocabulary² bounded, and in practice tiny because
+    messages mention ≤ a handful of entities), never corpus-sized data.
+    Pair order is canonical: key(pred, obj_norm) = ``pred + ':' + obj_norm``
+    compared as code points (== DuckDB byte-wise UTF-8 compare)."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.tagger import PRED_BY_TYPE
+
+    ent_cols = (("products", PRED_BY_TYPE["PRODUCT"]),
+                ("prices", PRED_BY_TYPE["PRICE"]),
+                ("locations", PRED_BY_TYPE["LOC"]),
+                ("contact_info", PRED_BY_TYPE["CONTACT_INFO"]))
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        frames = []
+        for col, pred in ent_cols:
+            lc = (b[col].combine_chunks()
+                  if isinstance(b[col], pa.ChunkedArray) else b[col])
+            flat = lc.flatten()  # offset-aware, aligns with parent indices
+            if len(flat) == 0:
+                continue
+            # same obj_norm derivation as triples_from_entities_batch
+            norm = [" ".join(s.lower().split()) for s in flat.to_pylist()]
+            frames.append(pd.DataFrame({
+                "mid": np.asarray(lc.value_parent_indices()),
+                "pred": pred, "obj": norm}))
+        empty = pa.table({
+            "pred_a": pa.array([], pa.string()),
+            "obj_a": pa.array([], pa.string()),
+            "pred_b": pa.array([], pa.string()),
+            "obj_b": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64())})
+        if not frames:
+            return empty
+        m = pd.concat(frames, ignore_index=True).drop_duplicates()
+        m["key"] = m["pred"] + ":" + m["obj"]
+        j = m.merge(m, on="mid")           # within-message cross product
+        j = j[j["key_x"] < j["key_y"]]     # unordered pairs, canonical order
+        if j.empty:
+            return empty
+        g = (j.groupby(["pred_x", "obj_x", "pred_y", "obj_y"])
+             .size().reset_index(name="n"))
+        return pa.table({
+            "pred_a": pa.array(g["pred_x"], pa.string()),
+            "obj_a": pa.array(g["obj_x"], pa.string()),
+            "pred_b": pa.array(g["pred_y"], pa.string()),
+            "obj_b": pa.array(g["obj_y"], pa.string()),
+            "n": pa.array(g["n"], pa.int64())})
+
+    return (messages_with_entities(sf_dir)
+            .select_columns(["products", "prices", "locations",
+                             "contact_info"])
+            .map_batches(pair_partials, batch_format="pyarrow")
+            .groupby(["pred_a", "obj_a", "pred_b", "obj_b"])
+            .aggregate(Sum("n", alias_name="n_messages")))
+
+
 ENTITY_COLS = ["message_id", "repo", "views", "message_date",
                "content_sha256", "products", "prices", "locations",
                "contact_info", "all_numerical_prices"]

@@ -479,3 +479,121 @@ def shipping_priority(sf_dir: str, *, segment: str = "BUILDING",
     pdf = pdf.sort_values(["revenue", "l_orderkey"],
                           ascending=[False, True]).head(10)
     return pdf.reset_index(drop=True)
+
+
+def lag_lead_events(sf_dir: str):
+    """Per-key window-shift functions (LAG/LEAD + gap-to-previous) over the
+    events log — the peephole window family the tumbling/sliding aggregates
+    don't cover.  groupby(user_id).map_groups co-locates each key, the
+    within-group kernel is a vectorized pandas shift (no Python row loop);
+    shuffle payload is exactly the projected columns.  Partitioning
+    assumption: one user's history fits a worker (same contract as
+    sessionize/running_totals); deterministic order inside a group is
+    (ts, event_id) — event_id breaks timestamp ties."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["prev_value"] = g["value"].shift(1).round(6)
+        g["next_value"] = g["value"].shift(-1).round(6)
+        g["gap_s"] = (g["ts"] - g["ts"].shift(1)).dt.total_seconds().round(6)
+        g["value"] = g["value"].round(6)
+        return g
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+PRICE_BANDS = (("budget", 0.0, 2000.0), ("economy", 2000.0, 10000.0),
+               ("mid", 10000.0, 30000.0), ("premium", 30000.0, 60000.0),
+               ("luxury", 60000.0, None))
+
+
+def price_band_join(sf_dir: str):
+    """RANGE (inequality) join: lineitem prices against a small table of
+    half-open price bands — the broadcast pattern for any theta-join whose
+    small side is a set of disjoint intervals.  The band table's lower
+    edges are shipped once in the task closure (5 floats); each batch
+    resolves its band via ONE vectorized ``np.searchsorted`` instead of a
+    cross-product filter (what a shuffle theta-join would do), then
+    pre-aggregates, so the groupby only ever sees |bands| rows per block.
+    Documented assumption: intervals are disjoint + sorted; overlapping
+    bands would need the flat_map variant (emit one row per matching band).
+    """
+    import numpy as np
+
+    names = [b[0] for b in PRICE_BANDS]
+    lows = np.array([b[1] for b in PRICE_BANDS], dtype=np.float64)
+    ds = _lineitem(sf_dir, ["l_extendedprice"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lows, p, side="right") - 1
+        n = np.bincount(idx, minlength=len(names))
+        # integer cents (prices are 2-decimal by schema): partial sums are
+        # exact at any block order, so the distributed fold can't drift from
+        # a sequential oracle at the rounding boundary
+        cents = np.rint(p * 100.0).astype(np.int64)
+        s = np.zeros(len(names), dtype=np.int64)
+        np.add.at(s, idx, cents)
+        keep = n > 0
+        return pa.table({
+            "band": pa.array(np.asarray(names, dtype=object)[keep],
+                             pa.string()),
+            "n": pa.array(n[keep].astype("int64")),
+            "cents": pa.array(s[keep]),
+        })
+
+    out = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("band")
+           .aggregate(Sum("n", alias_name="n_items"),
+                      Sum("cents", alias_name="cents"))
+           .to_pandas())
+    lo_by_band = {b[0]: b[1] for b in PRICE_BANDS}
+    out["lo"] = out["band"].map(lo_by_band)
+    out["sum_price"] = out["cents"].astype("int64") / 100.0
+    out["avg_price"] = (out["sum_price"] / out["n_items"]).round(6)
+    return (out[["band", "lo", "n_items", "sum_price", "avg_price"]]
+            .sort_values("lo").reset_index(drop=True))
+
+
+def orders_rollup(sf_dir: str):
+    """ROLLUP / grouping-sets aggregate: (status, priority) → (status) →
+    grand total.  Only the FINEST grouping is distributed — its result is
+    vocabulary-sized (|status| × |priority| rows), and the coarser levels
+    are algebraic folds of those partials computed driver-side, so a rollup
+    costs exactly one shuffle regardless of how many levels it has.
+
+    Money is summed as integer CENTS (prices are 2-decimal by schema), so
+    every level's total is exact and independent of accumulation order —
+    float partial sums would drift between the engine's block order and any
+    oracle's scan order at the rounding boundary."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({"o_orderstatus": b["o_orderstatus"],
+                         "o_orderpriority": b["o_orderpriority"],
+                         "cents": cents})
+
+    fine = (ds.map_batches(to_cents, batch_format="pyarrow")
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("cents", alias_name="cents"))
+            .to_pandas())
+    by_status = (fine.groupby("o_orderstatus", as_index=False)
+                 .agg(n=("n", "sum"), cents=("cents", "sum")))
+    by_status["o_orderpriority"] = None
+    grand = pd.DataFrame([{
+        "o_orderstatus": None, "o_orderpriority": None,
+        "n": int(fine["n"].sum()), "cents": int(fine["cents"].sum())}])
+    out = pd.concat([fine, by_status, grand], ignore_index=True)
+    out["sum_price"] = out["cents"].astype("int64") / 100.0
+    out["n"] = out["n"].astype("int64")
+    return (out[["o_orderstatus", "o_orderpriority", "n", "sum_price"]]
+            .sort_values(["o_orderstatus", "o_orderpriority"],
+                         na_position="first")
+            .reset_index(drop=True))

@@ -1,0 +1,120 @@
+"""Round-3 operator family: lag/lead windows, range join, rollup, and the
+KG graph-analytics queries (degrees, co-occurrence)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lag_lead_semantics(ray_session, tmp_path):
+    ts = pd.to_datetime([
+        "2024-01-01 10:00", "2024-01-01 10:05", "2024-01-01 10:05",
+        "2024-01-01 11:00",   # user 2's only event
+    ])
+    tbl = pa.table({
+        "event_id": pa.array([2, 1, 3, 9], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array([10.0, 20.0, 30.0, 5.0]),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        lag_lead_events)
+
+    out = (lag_lead_events(str(tmp_path)).to_pandas()
+           .set_index("event_id"))
+    # user 1 order by (ts, event_id): 1 (10:05? no - 10:00 is event 2)...
+    # actual order: event 2 @10:00, event 1 @10:05, event 3 @10:05 (tie →
+    # event_id breaks it), so prev(1)=value(2)=10, prev(3)=value(1)=20
+    assert pd.isna(out.loc[2, "prev_value"])
+    assert out.loc[2, "next_value"] == 20.0
+    assert out.loc[1, "prev_value"] == 10.0
+    assert out.loc[1, "gap_s"] == 300.0
+    assert out.loc[3, "prev_value"] == 20.0
+    assert out.loc[3, "gap_s"] == 0.0          # tie on ts
+    assert pd.isna(out.loc[3, "next_value"])
+    assert pd.isna(out.loc[9, "prev_value"]) and pd.isna(out.loc[9, "next_value"])
+
+
+def test_range_join_partitions_table(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        PRICE_BANDS, price_band_join)
+
+    out = price_band_join(SF)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_extendedprice"]).to_pandas()
+    # bands partition the rows: counts sum to the table
+    assert int(out["n_items"].sum()) == len(li)
+    # each band's exact cents sum matches a direct recompute
+    lows = np.array([b[1] for b in PRICE_BANDS])
+    idx = np.searchsorted(lows, li["l_extendedprice"].to_numpy(),
+                          side="right") - 1
+    cents = np.rint(li["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+    for i, (name, _, _) in enumerate(PRICE_BANDS):
+        row = out[out["band"] == name]
+        want = int(cents[idx == i].sum())
+        if row.empty:
+            assert want == 0
+        else:
+            assert float(row["sum_price"].iloc[0]) == want / 100.0
+
+
+def test_rollup_levels_are_algebraically_consistent(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        orders_rollup)
+
+    out = orders_rollup(SF)
+    fine = out[out["o_orderpriority"].notna()]
+    by_status = out[out["o_orderstatus"].notna()
+                    & out["o_orderpriority"].isna()]
+    grand = out[out["o_orderstatus"].isna()]
+    assert len(grand) == 1
+    assert int(grand["n"].iloc[0]) == int(fine["n"].sum())
+    assert float(grand["sum_price"].iloc[0]) == float(
+        round(fine["sum_price"].sum(), 2))
+    for _, r in by_status.iterrows():
+        sub = fine[fine["o_orderstatus"] == r["o_orderstatus"]]
+        assert int(r["n"]) == int(sub["n"].sum())
+
+
+def test_kg_degrees_conserves_edges(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+
+    deg = kg.kg_degrees(SF).to_pandas()
+    n_edges = kg.kg_edges(SF).count()
+    v = deg[deg["node_type"] == "vendor"]
+    e = deg[deg["node_type"] == "entity"]
+    # every edge contributes exactly one endpoint to each side
+    assert int(v["degree"].sum()) == n_edges
+    assert int(e["degree"].sum()) == n_edges
+    assert int(v["total_weight"].sum()) == int(e["total_weight"].sum())
+    assert deg["node_id"].is_unique  # bipartite: no node on both sides
+
+
+def test_kg_cooccurrence_matches_bruteforce(ray_session):
+    """Independent recompute: pairs from the triples table, pandas-only."""
+    from itertools import combinations
+
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+
+    got = (kg.kg_cooccurrence(SF).to_pandas()
+           .sort_values(["pred_a", "obj_a", "pred_b", "obj_b"])
+           .reset_index(drop=True))
+    tri = kg.triples_ds(SF).to_pandas()
+    counts: dict[tuple, int] = {}
+    for _, g in tri.groupby("message_id"):
+        ments = sorted({(p, o) for p, o in zip(g["pred"], g["obj_norm"])},
+                       key=lambda m: f"{m[0]}:{m[1]}")
+        for a, b in combinations(ments, 2):
+            counts[a + b] = counts.get(a + b, 0) + 1
+    want = (pd.DataFrame(
+        [k + (n,) for k, n in counts.items()],
+        columns=["pred_a", "obj_a", "pred_b", "obj_b", "n_messages"])
+        .sort_values(["pred_a", "obj_a", "pred_b", "obj_b"])
+        .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"n_messages": "int64"}), want)
