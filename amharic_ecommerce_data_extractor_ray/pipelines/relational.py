@@ -557,6 +557,26 @@ def price_band_join(sf_dir: str):
             .sort_values("lo").reset_index(drop=True))
 
 
+def urgent_lineitems(sf_dir: str):
+    """Bloom-prefiltered SEMI join: lineitem rows belonging to 1-URGENT
+    orders.  The urgent orderkeys are folded into a broadcast Bloom filter
+    (distributed OR-fold build) that drops ~4/5 of lineitem BEFORE the
+    exact reduce-side semi join — the shuffle moves only candidates, and
+    the exact phase removes Bloom false positives, so the result equals a
+    plain semi join (the SQL oracle).  See stages/joins.py:bloom_semi_join
+    for the scale contract."""
+    from ..stages.joins import bloom_semi_join
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_extendedprice"])
+    urgent = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderpriority"])
+              .filter(expr="o_orderpriority == '1-URGENT'")
+              .select_columns(["o_orderkey"])
+              .map_batches(lambda b: b.rename_columns(["l_orderkey"]),
+                           batch_format="pyarrow"))
+    return bloom_semi_join(li, urgent, on="l_orderkey")
+
+
 def orders_rollup(sf_dir: str):
     """ROLLUP / grouping-sets aggregate: (status, priority) → (status) →
     grand total.  Only the FINEST grouping is distributed — its result is

@@ -107,9 +107,27 @@ def asof_join(left_ds, right_ds, *, by: str, on: str,
 def hash_anti_join(left_ds, right_ds, *, on: str, num_partitions: int = 16):
     """Distributed ANTI join: left rows whose ``on`` key does NOT appear in
     ``right_ds`` — the apply step of deduplication (documents minus cluster
-    losers) and of any blocklist filter.
+    losers) and of any blocklist filter.  See ``_hash_filter_join`` for the
+    shuffle shape and partitioning assumption."""
+    return _hash_filter_join(left_ds, right_ds, on=on,
+                             num_partitions=num_partitions,
+                             keep_matches=False)
 
-    Ray Data has no native anti join, and its hash-shuffle inner join
+
+def hash_semi_join(left_ds, right_ds, *, on: str, num_partitions: int = 16):
+    """Distributed SEMI join: left rows whose ``on`` key DOES appear in
+    ``right_ds`` (right payload never carried).  Same reduce-side bucket
+    machinery as ``hash_anti_join`` with the keep-mask inverted."""
+    return _hash_filter_join(left_ds, right_ds, on=on,
+                             num_partitions=num_partitions,
+                             keep_matches=True)
+
+
+def _hash_filter_join(left_ds, right_ds, *, on: str, num_partitions: int,
+                      keep_matches: bool):
+    """Shared reduce-side SEMI/ANTI join core.
+
+    Ray Data has no native semi/anti join, and its hash-shuffle inner join
     finalizes empty partitions to zero-column tables pyarrow rejects (see
     dedup.connected_components), so this is the same reduce-side pattern:
     both sides are tagged and co-shuffled by a multiplicative hash BUCKET of
@@ -163,8 +181,9 @@ def hash_anti_join(left_ds, right_ds, *, on: str, num_partitions: int = 16):
     def bucket_filter(t: pa.Table) -> pa.Table:
         right_keys = t.filter(pc.equal(t[_MARK], 1))[on]
         left = t.filter(pc.equal(t[_MARK], 0))
-        keep = pc.invert(pc.is_in(left[on],
-                                  value_set=right_keys.combine_chunks()))
+        keep = pc.is_in(left[on], value_set=right_keys.combine_chunks())
+        if not keep_matches:
+            keep = pc.invert(keep)
         return left.filter(keep).select(left_names)
 
     tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
@@ -172,3 +191,126 @@ def hash_anti_join(left_ds, right_ds, *, on: str, num_partitions: int = 16):
                      .map_batches(tag_right, batch_format="pyarrow")))
     return tagged.groupby("_part").map_groups(bucket_filter,
                                               batch_format="pyarrow")
+
+
+def build_bloom(ds, *, on: str, m_bits: int = 1 << 20,
+                n_hashes: int = 4) -> np.ndarray:
+    """Distributed Bloom-filter build over ``ds[on]`` (int64 keys).
+
+    Each block folds its keys into a local ``m_bits`` bit array (packed as
+    ``m_bits/64`` uint64 words) inside ``map_batches``; the global filter is
+    the bitwise-OR fold of those partials via a custom ``AggregateFn`` —
+    the same distributed-merge shape as the KMV sketch
+    (stages/sketch.py:approx_ndistinct): the driver receives exactly ONE
+    merged array (m_bits/8 bytes, e.g. 128 KiB at 2^20 bits), never
+    O(n_blocks) partials.
+
+    Hashing is vectorized double-hashing (Kirsch–Mitzenmacher): two
+    splitmix64-style mixes h1, h2 of the key give index_j = (h1 + j·h2)
+    mod m — numpy end to end, no per-row Python."""
+    from ray.data.aggregate import AggregateFn
+
+    n_words = m_bits // 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.uint64)
+        _bloom_set(words, _column_u64(b[on]), m_bits, n_hashes)
+        return pa.table({"bloom": pa.array([words.view(np.uint8).tobytes()],
+                                           pa.binary())})
+
+    def _acc(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        for raw in block["bloom"].to_pylist():
+            acc = acc | np.frombuffer(raw, dtype=np.uint64)
+        return acc
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(n_words, dtype=np.uint64),
+        merge=lambda a, b: a | b,
+        accumulate_block=_acc,
+        finalize=lambda acc: acc.view(np.uint8).tobytes(),
+        name="bloom",
+    )
+    merged = (ds.select_columns([on])
+              .map_batches(partial, batch_format="pyarrow")
+              .aggregate(agg))["bloom"]
+    return np.frombuffer(merged, dtype=np.uint64)
+
+
+def _column_u64(arr) -> np.ndarray:
+    col = np.asarray(
+        arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr,
+        dtype=np.int64)
+    return col.astype(np.uint64)
+
+
+def _bloom_hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    # splitmix64-style finalizing mixes; two independent streams
+    def mix(x: np.ndarray, c1: int, c2: int) -> np.ndarray:
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(c1)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(c2)
+        return x ^ (x >> np.uint64(31))
+
+    h1 = mix(keys + np.uint64(0x9E3779B97F4A7C15),
+             0xBF58476D1CE4E5B9, 0x94D049BB133111EB)
+    h2 = mix(keys + np.uint64(0xD1B54A32D192ED03),
+             0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53) | np.uint64(1)
+    return h1, h2
+
+
+def _bloom_set(words: np.ndarray, keys: np.ndarray, m_bits: int,
+               n_hashes: int) -> None:
+    with np.errstate(over="ignore"):
+        h1, h2 = _bloom_hashes(keys)
+        for j in range(n_hashes):
+            idx = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(words, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+
+
+def _bloom_test(words: np.ndarray, keys: np.ndarray, m_bits: int,
+                n_hashes: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        h1, h2 = _bloom_hashes(keys)
+        hit = np.ones(len(keys), dtype=bool)
+        for j in range(n_hashes):
+            idx = (h1 + np.uint64(j) * h2) % np.uint64(m_bits)
+            bit = (words[(idx >> np.uint64(6)).astype(np.int64)]
+                   >> (idx & np.uint64(63))) & np.uint64(1)
+            hit &= bit.astype(bool)
+        return hit
+
+
+def bloom_semi_join(left_ds, right_ds, *, on: str, m_bits: int = 1 << 20,
+                    n_hashes: int = 4, num_partitions: int = 16):
+    """SEMI join with a broadcast Bloom-filter prefilter — the
+    shuffle-minimization pattern for joining a huge fact table against a
+    right side that is small enough to SKETCH (a bit array) but too big to
+    broadcast as an exact key set.
+
+    Three phases, each streaming:
+      1. ``build_bloom`` folds the right keys into one ``m_bits`` filter
+         (distributed OR-fold; driver sees one 128 KiB array at 2^20 bits).
+      2. The filter is published ONCE via ``ray.put`` and every left batch
+         tests membership vectorized — rows whose key cannot be in the
+         right side (the 1−selectivity majority for a selective join) are
+         dropped BEFORE the shuffle, so the exchange moves only candidate
+         rows: at a false-positive rate p ≈ (1−e^{−kn/m})^k, shuffle volume
+         is |matches| + p·|left|, not |left|.
+      3. The surviving candidates go through the exact reduce-side
+         ``hash_semi_join``, which removes Bloom false positives — the
+         result is IDENTICAL to a plain semi join (what the SQL oracle
+         checks), the filter only changes how much data moves.
+    """
+    import ray
+
+    words_ref = ray.put(build_bloom(right_ds, on=on, m_bits=m_bits,
+                                    n_hashes=n_hashes))
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        words = ray.get(words_ref)
+        return b.filter(pa.array(_bloom_test(words, _column_u64(b[on]),
+                                             m_bits, n_hashes)))
+
+    candidates = left_ds.map_batches(prefilter, batch_format="pyarrow")
+    return hash_semi_join(candidates, right_ds, on=on,
+                          num_partitions=num_partitions)

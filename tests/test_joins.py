@@ -111,3 +111,62 @@ def test_dedup_survivors_matches_driver_style_oracle(ray_session):
     # it actually dropped something at sf0.001 (25 minhash pairs exist)
     ndocs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
     assert len(got) < ndocs
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_ray.stages.joins import (
+        _bloom_set, _bloom_test)
+
+    m_bits, k = 1 << 16, 4
+    rng = np.random.default_rng(7)
+    members = rng.choice(1 << 40, size=2000, replace=False).astype(np.uint64)
+    others = (rng.choice(1 << 40, size=20000, replace=False)
+              .astype(np.uint64))
+    others = np.setdiff1d(others, members)
+    words = np.zeros(m_bits // 64, dtype=np.uint64)
+    _bloom_set(words, members, m_bits, k)
+    assert _bloom_test(words, members, m_bits, k).all()   # no false negatives
+    fp = _bloom_test(words, others, m_bits, k).mean()
+    # (1 - e^{-kn/m})^k ≈ 0.0009 at n=2000, m=65536, k=4; allow 5x slack
+    assert fp < 0.005
+
+
+def test_hash_semi_join_and_bloom_semi_join_match_pandas(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.joins import (
+        bloom_semi_join, hash_semi_join)
+
+    rng = np.random.default_rng(11)
+    left = rd.from_items([{"k": int(v), "payload": i}
+                          for i, v in enumerate(rng.integers(0, 50, 300))])
+    right = rd.from_items([{"k": int(v)}
+                           for v in rng.integers(25, 60, 40)])
+    want = sorted(i for i, v in enumerate(
+        left.to_pandas()["k"]) if v in set(right.to_pandas()["k"]))
+    for fn in (hash_semi_join, bloom_semi_join):
+        out = fn(left, right, on="k").to_pandas()
+        assert sorted(out["payload"]) == want, fn.__name__
+
+
+def test_bloom_prefilter_actually_prunes(ray_session):
+    """The broadcast filter must drop non-candidate rows BEFORE the shuffle:
+    with a tiny right side, the candidate stream is ~|matches|, not |left|."""
+    import ray
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.joins import (
+        _bloom_test, _column_u64, build_bloom)
+
+    left = rd.from_items([{"k": i} for i in range(10_000)])
+    right = rd.from_items([{"k": i} for i in range(0, 10_000, 100)])  # 1%
+    words = build_bloom(right, on="k")
+    import pyarrow as pa
+
+    keys = _column_u64(pa.array([r["k"] for r in left.take_all()],
+                                pa.int64()))
+    kept = _bloom_test(words, keys, 1 << 20, 4).sum()
+    assert kept < 10_000 * 0.02   # ≥98% of the fact table never shuffles
