@@ -688,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KG graph analytics
         "kg_degrees": kg.kg_degrees,
         "kg_cooccurrence": kg.kg_cooccurrence,
+        "kg_pagerank": kg.kg_pagerank,
     }
 
 
@@ -762,4 +763,5 @@ def oracle_sql() -> dict[str, str]:
         "rel_rollup": oracles.orders_rollup_sql(),
         "kg_degrees": oracles.kg_degrees_sql(),
         "kg_cooccurrence": oracles.kg_cooccurrence_sql(),
+        "kg_pagerank": oracles.kg_pagerank_sql(),
     }

@@ -118,3 +118,30 @@ def test_kg_cooccurrence_matches_bruteforce(ray_session):
         .reset_index(drop=True))
     pd.testing.assert_frame_equal(
         got.astype({"n_messages": "int64"}), want)
+
+
+def test_kg_pagerank_matches_numpy_power_iteration(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+
+    got = (kg.kg_pagerank(SF).to_pandas()
+           .sort_values("node_id").reset_index(drop=True))
+    # mass conservation: no dangling nodes after symmetrization → sum == 1
+    assert abs(got["pagerank"].sum() - 1.0) < 1e-3
+    assert (got["pagerank"] > 0).all()
+
+    # independent dense recompute
+    e = kg.kg_edges(SF).to_pandas()
+    nodes = sorted(set(e["src_id"]) | set(e["dst_id"]))
+    ix = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, d, w in zip(e["src_id"], e["dst_id"], e["weight"]):
+        W[ix[s], ix[d]] += w
+        W[ix[d], ix[s]] += w
+    share = W / W.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        r = (1 - 0.85) / n + 0.85 * (share.T @ r)
+    want = pd.DataFrame({"node_id": nodes, "pagerank": np.round(r, 6)}) \
+        .sort_values("node_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
