@@ -683,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_revenue_by_brand": relational.revenue_by_brand,
         "rel_lag_lead": relational.lag_lead_events,
         "rel_bloom_semi_join": relational.urgent_lineitems,
+        "rel_skew_join": relational.events_by_segment,
         "rel_range_join": relational.price_band_join,
         "rel_rollup": relational.orders_rollup,
         # KG graph analytics
@@ -759,6 +760,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_ivf": oracles.ivf_topk_sql(SIM_QUERY_IDS, SIM_K),
         "rel_lag_lead": oracles.lag_lead_sql(),
         "rel_bloom_semi_join": oracles.bloom_semi_join_sql(),
+        "rel_skew_join": oracles.skew_join_sql(),
         "rel_range_join": oracles.price_band_join_sql(),
         "rel_rollup": oracles.orders_rollup_sql(),
         "kg_degrees": oracles.kg_degrees_sql(),

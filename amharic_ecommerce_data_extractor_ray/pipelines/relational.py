@@ -577,6 +577,28 @@ def urgent_lineitems(sf_dir: str):
     return bloom_semi_join(li, urgent, on="l_orderkey")
 
 
+def events_by_segment(sf_dir: str):
+    """Skew-aware fact ⋈ dim join: events ⋈ customer on user_id, with hot
+    users (detected by a deterministic row sample) broadcast instead of
+    shuffled — see stages/skew.py:skew_broadcast_join.  Result is the plain
+    inner join (the oracle); only the movement plan is skew-dependent."""
+    from ..stages.skew import skew_broadcast_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+
+    def round_val(b: pa.Table) -> pa.Table:
+        return b.set_column(b.schema.get_field_index("value"), "value",
+                            pc.round(b["value"], ndigits=6))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    return skew_broadcast_join(
+        ev.map_batches(round_val, batch_format="pyarrow"), cust,
+        on="user_id", right_on="c_custkey", right_cols=["c_mktsegment"],
+        row_id_col="event_id", sample_mod=5, hot_threshold=15)
+
+
 def orders_rollup(sf_dir: str):
     """ROLLUP / grouping-sets aggregate: (status, priority) → (status) →
     grand total.  Only the FINEST grouping is distributed — its result is

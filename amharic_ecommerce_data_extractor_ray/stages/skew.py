@@ -110,3 +110,101 @@ def approx_quantile_phase2(value_col: str, q: float):
         return out
 
     return fn
+
+
+def skew_broadcast_join(left_ds, right_ds, *, on: str, right_on: str,
+                        right_cols: list[str], row_id_col: str,
+                        sample_mod: int = 5, hot_threshold: int = 10,
+                        num_partitions: int = 16, seed: int = 0):
+    """Skew-aware inner join: HOT keys take a broadcast path, the cold
+    majority a normal hash-shuffle join — the standard answer when one join
+    key owns a disproportionate share of the fact table and would turn one
+    shuffle partition into the job's straggler.
+
+    1. Hot-key detection is a deterministic 1/``sample_mod`` row sample
+       (crc32 of ``row_id_col`` — per ROW, not per key, so a hot key's
+       sample count estimates its true share) → groupby(key).count() →
+       keys with sample count ≥ ``hot_threshold``.  The threshold filter
+       runs ON the dataset, so the driver only ever collects the hot list
+       (Zipf-bounded: few keys can exceed any fixed share).
+    2. The hot keys' RIGHT rows are collected (|hot| × payload — small by
+       construction) and broadcast once via ``ray.put``; hot left rows
+       probe them vectorized (index_in/take) inside map_batches — a hot
+       key never passes through the shuffle at all.
+    3. Cold rows on both sides take ``Dataset.join``.
+    The union of both paths is EXACTLY the plain inner join (the SQL
+    oracle); skew handling changes data movement, not semantics.
+    """
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    def sample(b: pa.Table) -> pa.Table:
+        keep = [zlib.crc32(f"{seed}:{v}".encode()) % sample_mod == 0
+                for v in b[row_id_col].to_pylist()]
+        return b.filter(pa.array(keep)).select([on])
+
+    hot_rows = (left_ds.map_batches(sample, batch_format="pyarrow")
+                .groupby(on).aggregate(Count(alias_name="n"))
+                .filter(expr=f"n >= {hot_threshold}")
+                .take_all())
+    hot_keys = pa.array(sorted(r[on] for r in hot_rows), pa.int64())
+    left_names = list(left_ds.schema().names)
+    right_proj = right_ds.select_columns([right_on] + right_cols)
+
+    def keep_right(want_hot: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.is_in(pc.cast(b[right_on], pa.int64()),
+                         value_set=hot_keys)
+            return b.filter(m if want_hot else pc.invert(m))
+        return fn
+
+    def keep_left(want_hot: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.is_in(pc.cast(b[on], pa.int64()), value_set=hot_keys)
+            return b.filter(m if want_hot else pc.invert(m))
+        return fn
+
+    cold_joined = (left_ds
+                   .map_batches(keep_left(False), batch_format="pyarrow")
+                   .join(right_proj.map_batches(keep_right(False),
+                                                batch_format="pyarrow"),
+                         join_type="inner", num_partitions=num_partitions,
+                         on=(on,), right_on=(right_on,))
+                   .select_columns(left_names + right_cols))
+    if len(hot_keys) == 0:
+        return cold_joined
+
+    # |hot| × payload rows — small by construction; broadcast ONCE.
+    # Assumption (dimension-table contract): right keys are UNIQUE — the
+    # vectorized index_in probe attaches the first match per key.
+    hot_tables = [t for t in (right_proj
+                              .map_batches(keep_right(True),
+                                           batch_format="pyarrow")
+                              .iter_batches(batch_format="pyarrow"))
+                  if t.num_rows]
+    if not hot_tables:
+        # no right rows for any hot key → the hot side of the inner join
+        # is empty and the cold path already holds the full result
+        return cold_joined
+    ref = ray.put(pa.concat_tables(hot_tables))
+
+    def probe_hot(b: pa.Table) -> pa.Table:
+        tbl = ray.get(ref)
+        idx = pc.index_in(pc.cast(b[on], pa.int64()),
+                          value_set=pc.cast(tbl[right_on], pa.int64())
+                          .combine_chunks())
+        matched = pc.is_valid(idx)
+        b = b.filter(matched)
+        idx = idx.filter(matched)
+        for c in right_cols:
+            b = b.append_column(c, pc.take(tbl[c].combine_chunks(), idx))
+        return b
+
+    hot_joined = (left_ds.map_batches(keep_left(True), batch_format="pyarrow")
+                  .map_batches(probe_hot, batch_format="pyarrow")
+                  .select_columns(left_names + right_cols))
+    return cold_joined.union(hot_joined)

@@ -1,6 +1,7 @@
 """Salted two-phase groupby: identical results to unsalted, hot key spread."""
 
 import pandas as pd
+import pyarrow as pa
 
 
 def _skewed_ds(rd, n=5000):
@@ -71,3 +72,64 @@ def test_salted_quantile_counts(ray_session):
     assert out["n"].sum() == 2000
     assert out.set_index("repo").loc["vendor_000", "n"] == 1200
     assert (out["views_q50"] >= 0).all()
+
+
+def test_skew_broadcast_join_matches_pandas_and_detects_hot_key(ray_session):
+    """One mega-key owns half the fact table: the broadcast path must carry
+    it, and the union of both paths must equal a plain inner join."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.skew import (
+        skew_broadcast_join)
+
+    rng = np.random.default_rng(3)
+    keys = np.where(rng.random(4000) < 0.5, 7,
+                    rng.integers(0, 200, 4000)).astype(np.int64)
+    left = rd.from_arrow(pa.table({
+        "row_id": pa.array(np.arange(4000), pa.int64()),
+        "k": pa.array(keys),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(np.arange(0, 150), pa.int64()),   # keys 150+ unmatched
+        "name": pa.array([f"n{i}" for i in range(150)], pa.string()),
+    }))
+    out = (skew_broadcast_join(left, right, on="k", right_on="rk",
+                               right_cols=["name"], row_id_col="row_id",
+                               sample_mod=5, hot_threshold=50)
+           .to_pandas().sort_values("row_id").reset_index(drop=True))
+    want = (pd.DataFrame({"row_id": np.arange(4000), "k": keys})
+            .merge(pd.DataFrame({"rk": np.arange(0, 150),
+                                 "name": [f"n{i}" for i in range(150)]}),
+                   left_on="k", right_on="rk")
+            .drop(columns=["rk"])
+            .sort_values("row_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, want)
+    # the mega-key must be in the result via the broadcast path
+    assert (out["k"] == 7).sum() > 1500
+
+
+def test_skew_broadcast_join_empty_hot_set(ray_session):
+    """Uniform keys below threshold → pure cold path, still exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.skew import (
+        skew_broadcast_join)
+
+    left = rd.from_arrow(pa.table({
+        "row_id": pa.array(np.arange(100), pa.int64()),
+        "k": pa.array(np.arange(100) % 50, pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(np.arange(50), pa.int64()),
+        "name": pa.array([f"n{i}" for i in range(50)], pa.string()),
+    }))
+    out = (skew_broadcast_join(left, right, on="k", right_on="rk",
+                               right_cols=["name"], row_id_col="row_id",
+                               hot_threshold=1000)
+           .to_pandas().sort_values("row_id").reset_index(drop=True))
+    assert len(out) == 100
+    assert (out["name"] == ("n" + (out["k"]).astype(str))).all()
