@@ -686,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_skew_join": relational.events_by_segment,
         "rel_range_join": relational.price_band_join,
         "rel_rollup": relational.orders_rollup,
+        "rel_cube": relational.orders_cube,
         # KG graph analytics
         "kg_degrees": kg.kg_degrees,
         "kg_cooccurrence": kg.kg_cooccurrence,
@@ -763,6 +764,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_skew_join": oracles.skew_join_sql(),
         "rel_range_join": oracles.price_band_join_sql(),
         "rel_rollup": oracles.orders_rollup_sql(),
+        "rel_cube": oracles.orders_cube_sql(),
         "kg_degrees": oracles.kg_degrees_sql(),
         "kg_cooccurrence": oracles.kg_cooccurrence_sql(),
         "kg_pagerank": oracles.kg_pagerank_sql(),

@@ -577,6 +577,53 @@ def urgent_lineitems(sf_dir: str):
     return bloom_semi_join(li, urgent, on="l_orderkey")
 
 
+def _orders_fine_cents(sf_dir: str) -> pd.DataFrame:
+    """The ONE distributed aggregation ROLLUP and CUBE share: per
+    (status, priority) count + exact integer-cents sum."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                             pa.scalar(100.0))), pa.int64())
+        return pa.table({"o_orderstatus": b["o_orderstatus"],
+                         "o_orderpriority": b["o_orderpriority"],
+                         "cents": cents})
+
+    return (ds.map_batches(to_cents, batch_format="pyarrow")
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Count(alias_name="n"),
+                       Sum("cents", alias_name="cents"))
+            .to_pandas())
+
+
+def orders_cube(sf_dir: str):
+    """CUBE / full grouping sets over (status, priority): the ROLLUP levels
+    plus the priority-only margin.  Identical scale shape to
+    ``orders_rollup`` — ONE distributed shuffle at the finest grouping
+    (vocabulary-sized result), every coarser level an algebraic driver-side
+    fold of those partials; integer-cents money keeps all four levels exact
+    under any accumulation order."""
+    fine = _orders_fine_cents(sf_dir)
+    by_status = (fine.groupby("o_orderstatus", as_index=False)
+                 .agg(n=("n", "sum"), cents=("cents", "sum")))
+    by_status["o_orderpriority"] = None
+    by_prio = (fine.groupby("o_orderpriority", as_index=False)
+               .agg(n=("n", "sum"), cents=("cents", "sum")))
+    by_prio["o_orderstatus"] = None
+    grand = pd.DataFrame([{
+        "o_orderstatus": None, "o_orderpriority": None,
+        "n": int(fine["n"].sum()), "cents": int(fine["cents"].sum())}])
+    out = pd.concat([fine, by_status, by_prio, grand], ignore_index=True)
+    out["sum_price"] = out["cents"].astype("int64") / 100.0
+    out["n"] = out["n"].astype("int64")
+    return (out[["o_orderstatus", "o_orderpriority", "n", "sum_price"]]
+            .sort_values(["o_orderstatus", "o_orderpriority"],
+                         na_position="first")
+            .reset_index(drop=True))
+
+
 def events_by_segment(sf_dir: str):
     """Skew-aware fact ⋈ dim join: events ⋈ customer on user_id, with hot
     users (detected by a deterministic row sample) broadcast instead of
@@ -610,22 +657,7 @@ def orders_rollup(sf_dir: str):
     every level's total is exact and independent of accumulation order —
     float partial sums would drift between the engine's block order and any
     oracle's scan order at the rounding boundary."""
-    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                         columns=["o_orderstatus", "o_orderpriority",
-                                  "o_totalprice"])
-
-    def to_cents(b: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"],
-                                             pa.scalar(100.0))), pa.int64())
-        return pa.table({"o_orderstatus": b["o_orderstatus"],
-                         "o_orderpriority": b["o_orderpriority"],
-                         "cents": cents})
-
-    fine = (ds.map_batches(to_cents, batch_format="pyarrow")
-            .groupby(["o_orderstatus", "o_orderpriority"])
-            .aggregate(Count(alias_name="n"),
-                       Sum("cents", alias_name="cents"))
-            .to_pandas())
+    fine = _orders_fine_cents(sf_dir)
     by_status = (fine.groupby("o_orderstatus", as_index=False)
                  .agg(n=("n", "sum"), cents=("cents", "sum")))
     by_status["o_orderpriority"] = None

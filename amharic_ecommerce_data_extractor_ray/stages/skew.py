@@ -143,9 +143,24 @@ def skew_broadcast_join(left_ds, right_ds, *, on: str, right_on: str,
     from ray.data.aggregate import Count
 
     def sample(b: pa.Table) -> pa.Table:
-        keep = [zlib.crc32(f"{seed}:{v}".encode()) % sample_mod == 0
-                for v in b[row_id_col].to_pylist()]
-        return b.filter(pa.array(keep)).select([on])
+        col = b[row_id_col]
+        if pa.types.is_integer(col.type):
+            # vectorized splitmix-style mix — no per-row Python
+            ids = np.asarray(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col, dtype=np.int64).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                x = (ids + np.uint64(seed)
+                     + np.uint64(0x9E3779B97F4A7C15))
+                x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                x ^= x >> np.uint64(31)
+            keep = pa.array(x % np.uint64(sample_mod) == 0)
+        else:
+            keep = pa.array(
+                [zlib.crc32(f"{seed}:{v}".encode()) % sample_mod == 0
+                 for v in col.to_pylist()])
+        return b.filter(keep).select([on])
 
     hot_rows = (left_ds.map_batches(sample, batch_format="pyarrow")
                 .groupby(on).aggregate(Count(alias_name="n"))
