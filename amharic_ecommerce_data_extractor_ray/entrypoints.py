@@ -384,6 +384,40 @@ def q_hash_sample(sf_dir: str):
     return hash_sample(docs, key_col="doc_id", rate_pct=10)
 
 
+STRATA_RATES = {"en": 10, "fr": 100, "es": 50}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-stratum deterministic sample: 10% of en, all of fr, half of es,
+    none of the unlisted strata — corpus rebalancing as a pure filter."""
+    import ray.data as rd
+
+    from .stages.corpus_stats import stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "source"])
+    return stratified_sample(docs, stratum_col="lang", key_col="doc_id",
+                             rates_pct=STRATA_RATES, default_pct=0)
+
+
+HISTQ_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+HISTQ_LO, HISTQ_HI, HISTQ_BINS = 0.0, 120_000.0, 1024
+
+
+def q_histogram_quantile(sf_dir: str):
+    """Mergeable fixed-bin histogram quantiles of l_extendedprice (driver
+    receives ONE bins-sized vector; estimate deterministic → SQL oracle)."""
+    import ray.data as rd
+
+    from .stages.sketch import histogram_quantile
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+    return histogram_quantile(li, col="l_extendedprice",
+                              quantiles=HISTQ_QUANTILES,
+                              lo=HISTQ_LO, hi=HISTQ_HI, bins=HISTQ_BINS)
+
+
 def q_tfidf(sf_dir: str):
     """Per-document top-3 TF-IDF terms (df pass + broadcast idf)."""
     import ray.data as rd
@@ -645,6 +679,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pivot": relational.orders_pivot,
         "rel_running_totals": relational.running_totals,
         "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "histogram_quantile": q_histogram_quantile,
         "tfidf_topk": q_tfidf,
         "asof_clicks": q_asof_clicks,
         "pii_scrub": q_pii_scrub,
@@ -746,6 +782,9 @@ def oracle_sql() -> dict[str, str]:
         "embed_documents": oracles.embed_documents_sql(32),
         "sessionize": oracles.sessionize_sql(30),
         "hash_sample": oracles.hash_sample_sql(10),
+        "stratified_sample": oracles.stratified_sample_sql(STRATA_RATES),
+        "histogram_quantile": oracles.histogram_quantile_sql(
+            HISTQ_QUANTILES, lo=HISTQ_LO, hi=HISTQ_HI, bins=HISTQ_BINS),
         "tfidf_topk": oracles.tfidf_topk_sql(3),
         "asof_clicks": oracles.asof_clicks_sql(),
         "pii_scrub": oracles.pii_scrub_sql(),

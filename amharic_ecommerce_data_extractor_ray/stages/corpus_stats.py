@@ -250,3 +250,26 @@ def sessionize(events_ds, *, gap_minutes: int = 30):
 
     return (events_ds.groupby("user_id")
             .map_groups(per_user, batch_format="pandas"))
+
+
+def stratified_sample(ds, *, stratum_col: str, key_col: str,
+                      rates_pct: dict[str, int], default_pct: int = 0):
+    """Per-stratum deterministic sampling — the corpus-balancing primitive
+    (e.g. keep 100% of a rare language, 5% of the dominant one).
+
+    Same shard-stable membership rule as ``hash_sample`` (DuckDB
+    ``md5_number_lower`` of the key mod 100), but the threshold comes from a
+    per-stratum rate map shipped once in the task closure (vocabulary-sized,
+    never shuffled).  A pure filter: no shuffle, composes with any
+    downstream stage, reproducible across runs, shards, and cluster sizes.
+    Strata absent from the map fall back to ``default_pct``."""
+    from .dedup import _stable_u64
+
+    def keep(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        strata = b[stratum_col].to_pylist()
+        mask = [_stable_u64(str(k)) % 100 < rates_pct.get(s, default_pct)
+                for k, s in zip(keys, strata)]
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

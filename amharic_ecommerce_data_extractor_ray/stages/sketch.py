@@ -79,3 +79,67 @@ def approx_ndistinct(ds, col: str, *, k: int = 1024):
     est = kmv_estimate([merged], k)
     return pa.table({"approx_ndistinct": pa.array([round(est, 1)], pa.float64()),
                      "k": pa.array([k], pa.int64())})
+
+
+def histogram_quantile(ds, *, col: str, quantiles: tuple[float, ...],
+                       lo: float, hi: float, bins: int = 1024):
+    """Distributed approximate quantiles via a fixed-bin histogram sketch —
+    the mergeable alternative to an exact global sort when a bounded-error
+    percentile is enough (p50/p95 dashboards, SLA cuts).
+
+    Per block: values are clamped to [lo, hi] and bucketed with ONE
+    vectorized ``floor((x - lo) / w)`` + bincount → a single
+    ``bins × int64`` row.  The merge is an elementwise vector sum inside a
+    custom ``AggregateFn`` (same distributed-fold shape as the KMV/Bloom
+    sketches — the driver receives exactly ONE merged histogram,
+    O(bins) bytes regardless of block count).  The estimate interpolates
+    linearly inside the target bin; error ≤ one bin width, deterministic
+    given the data (bin counts are exact integers), so a SQL oracle can
+    recompute it bit-for-bit with the same clamp/bucket/interpolate
+    arithmetic."""
+    from ray.data.aggregate import AggregateFn
+
+    w = (hi - lo) / bins
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        idx = np.clip(np.floor((np.clip(x, lo, hi) - lo) / w),
+                      0, bins - 1).astype(np.int64)
+        counts = np.bincount(idx, minlength=bins)
+        return pa.table({"hist": pa.array([counts.tolist()],
+                                          pa.list_(pa.int64()))})
+
+    def _acc(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        for row in block["hist"].to_pylist():
+            acc = acc + np.asarray(row, dtype=np.int64)
+        return acc
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(bins, dtype=np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=_acc,
+        finalize=lambda acc: acc.tolist(),
+        name="hist",
+    )
+    counts = np.asarray(
+        (ds.select_columns([col])
+         .map_batches(partial, batch_format="pyarrow")
+         .aggregate(agg))["hist"], dtype=np.int64)
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    out_q, out_est = [], []
+    for q in quantiles:
+        target = q * n
+        # first bin with cum > target: cum[i-1] <= target < cum[i] forces
+        # counts[i] > 0, so the landing bin is always non-empty — the same
+        # bin a SQL "min(bin) WHERE cum > target" over PRESENT bins picks
+        # (requires q < 1; q = 1.0 would need target == n special-casing)
+        i = int(np.searchsorted(cum, target, side="right"))
+        prev = int(cum[i - 1]) if i > 0 else 0
+        c = int(counts[i])
+        est = lo + w * (i + (target - prev) / c)
+        out_q.append(q)
+        out_est.append(round(est, 6))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "estimate": pa.array(out_est, pa.float64())})

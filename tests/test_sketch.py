@@ -50,3 +50,51 @@ def test_kmv_merge_distributed_block_invariant(ray_session):
         Dataset.to_pandas = orig
     assert est_wide == est_narrow
     assert abs(est_wide - 5000) / 5000 < 0.15
+
+
+def test_histogram_quantile_within_one_bin_of_exact(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.sketch import (
+        histogram_quantile)
+
+    sf = "/root/testdata/sf0.001"
+    lo, hi, bins = 0.0, 120_000.0, 1024
+    out = histogram_quantile(
+        rd.read_parquet(f"{sf}/lineitem.parquet",
+                        columns=["l_extendedprice"]),
+        col="l_extendedprice", quantiles=(0.25, 0.5, 0.75, 0.95),
+        lo=lo, hi=hi, bins=bins).to_pandas()
+    exact = np.quantile(pq.read_table(
+        f"{sf}/lineitem.parquet",
+        columns=["l_extendedprice"])["l_extendedprice"].to_numpy(),
+        [0.25, 0.5, 0.75, 0.95])
+    w = (hi - lo) / bins
+    assert np.all(np.abs(out["estimate"].to_numpy() - exact) <= w)
+    assert out["estimate"].is_monotonic_increasing
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import (
+        stratified_sample)
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "lang", "source"])
+    rates = {"en": 10, "fr": 100, "es": 50}
+    a = stratified_sample(docs, stratum_col="lang", key_col="doc_id",
+                          rates_pct=rates).to_pandas()
+    b = stratified_sample(docs, stratum_col="lang", key_col="doc_id",
+                          rates_pct=rates).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])   # deterministic
+    full = docs.to_pandas()
+    by = a.groupby("lang").size()
+    n_fr = (full["lang"] == "fr").sum()
+    assert by.get("fr", 0) == n_fr                      # 100% stratum kept
+    assert set(a["lang"]) <= {"en", "fr", "es"}         # default 0 dropped
+    n_en = (full["lang"] == "en").sum()
+    assert 0 < by.get("en", 0) < 0.35 * n_en            # ~10% of en
