@@ -720,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_lag_lead": relational.lag_lead_events,
         "rel_bloom_semi_join": relational.urgent_lineitems,
         "rel_skew_join": relational.events_by_segment,
+        "rel_upsert": relational.orders_upsert,
         "rel_range_join": relational.price_band_join,
         "rel_rollup": relational.orders_rollup,
         "rel_cube": relational.orders_cube,
@@ -801,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_lag_lead": oracles.lag_lead_sql(),
         "rel_bloom_semi_join": oracles.bloom_semi_join_sql(),
         "rel_skew_join": oracles.skew_join_sql(),
+        "rel_upsert": oracles.orders_upsert_sql(),
         "rel_range_join": oracles.price_band_join_sql(),
         "rel_rollup": oracles.orders_rollup_sql(),
         "rel_cube": oracles.orders_cube_sql(),

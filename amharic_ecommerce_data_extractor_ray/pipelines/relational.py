@@ -577,6 +577,42 @@ def urgent_lineitems(sf_dir: str):
     return bloom_semi_join(li, urgent, on="l_orderkey")
 
 
+def orders_upsert(sf_dir: str):
+    """CDC upsert demo: a derived delta (every 10th order re-priced at
+    +1000, version 2) merged over the base table (version 1) with
+    last-writer-wins — see stages/joins.py:upsert_merge.  The delta is a
+    deterministic function of the base so the SQL oracle recomputes both
+    sides exactly."""
+    from ..stages.joins import upsert_merge
+
+    def with_version(v: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "version", pa.array([v] * b.num_rows, pa.int64()))
+        return fn
+
+    base = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_totalprice"])
+            .map_batches(with_version(1), batch_format="pyarrow"))
+
+    def reprice(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keys = np.asarray(b["o_orderkey"].combine_chunks()
+                          if isinstance(b["o_orderkey"], pa.ChunkedArray)
+                          else b["o_orderkey"], dtype=np.int64)
+        b = b.filter(pa.array(keys % 10 == 0))
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_totalprice": pc.add(b["o_totalprice"], pa.scalar(1000.0))})
+
+    delta = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+             .map_batches(reprice, batch_format="pyarrow")
+             .map_batches(with_version(2), batch_format="pyarrow"))
+    return upsert_merge(base, delta, key="o_orderkey", version_col="version")
+
+
 def _orders_fine_cents(sf_dir: str) -> pd.DataFrame:
     """The ONE distributed aggregation ROLLUP and CUBE share: per
     (status, priority) count + exact integer-cents sum."""

@@ -314,3 +314,45 @@ def bloom_semi_join(left_ds, right_ds, *, on: str, m_bits: int = 1 << 20,
     candidates = left_ds.map_batches(prefilter, batch_format="pyarrow")
     return hash_semi_join(candidates, right_ds, on=on,
                           num_partitions=num_partitions)
+
+
+def upsert_merge(base_ds, delta_ds, *, key: str, version_col: str,
+                 num_partitions: int = 16):
+    """CDC / upsert MERGE: last-writer-wins by ``key`` across a base table
+    and a delta — the apply step of incremental ingestion (the Hudi/Iceberg
+    "merge-on-read" compaction semantics, Ray-Data-first).
+
+    Both sides must share a schema including ``version_col``; the row with
+    the greatest version per key survives.  Contract: (key, version) pairs
+    are unique — equal versions for one key would make the winner
+    order-dependent, so feed monotone versions (e.g. base = 1, daily
+    delta = day number).
+
+    Shape: ONE tagged union co-shuffled by a multiplicative hash bucket of
+    the key (same reduce-side pattern as ``_hash_filter_join`` — a group
+    per key would mean millions of tiny groups), then each bucket resolves
+    winners VECTORIZED: one stable sort by (key, version) + keep-last.
+    Shuffle volume is |base| + |delta| exactly once; no driver-side state.
+    Partitioning assumption: one bucket fits a worker — raise
+    ``num_partitions`` for bigger tables."""
+    import pandas as pd
+
+    _KNUTH = np.uint64(2654435761)
+
+    def tag(b: pa.Table) -> pa.Table:
+        col = np.asarray(
+            b[key].combine_chunks() if isinstance(b[key], pa.ChunkedArray)
+            else b[key], dtype=np.int64)
+        p = ((col.astype(np.uint64) * _KNUTH) >> np.uint64(16)) \
+            % np.uint64(num_partitions)
+        return b.append_column("_part", pa.array(p.astype(np.int64)))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, version_col], kind="stable")
+        return (g.drop_duplicates(subset=[key], keep="last")
+                .drop(columns=["_part"]))
+
+    return (base_ds.union(delta_ds)
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("_part")
+            .map_groups(resolve, batch_format="pandas"))

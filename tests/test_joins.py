@@ -170,3 +170,56 @@ def test_bloom_prefilter_actually_prunes(ray_session):
                                 pa.int64()))
     kept = _bloom_test(words, keys, 1 << 20, 4).sum()
     assert kept < 10_000 * 0.02   # ≥98% of the fact table never shuffles
+
+
+def test_upsert_merge_last_writer_wins(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.joins import upsert_merge
+
+    base = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "val": pa.array(["a", "b", "c", "d"], pa.string()),
+        "version": pa.array([1, 1, 1, 1], pa.int64())}))
+    delta = rd.from_arrow(pa.table({
+        "k": pa.array([2, 4, 5], pa.int64()),          # 5 is an INSERT
+        "val": pa.array(["B", "D", "E"], pa.string()),
+        "version": pa.array([2, 2, 2], pa.int64())}))
+    out = (upsert_merge(base, delta, key="k", version_col="version")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    want = pd.DataFrame({"k": [1, 2, 3, 4, 5],
+                         "val": ["a", "B", "c", "D", "E"],
+                         "version": [1, 2, 1, 2, 2]})
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_upsert_merge_multi_delta_chain(ray_session):
+    """Two deltas with increasing versions compose like sequential applies."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.joins import upsert_merge
+
+    base = rd.from_arrow(pa.table({
+        "k": pa.array(range(10), pa.int64()),
+        "val": pa.array([f"v{i}" for i in range(10)], pa.string()),
+        "version": pa.array([0] * 10, pa.int64())}))
+    d1 = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "val": pa.array(["x1", "x2"], pa.string()),
+        "version": pa.array([1, 1], pa.int64())}))
+    d2 = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3], pa.int64()),
+        "val": pa.array(["y2", "y3"], pa.string()),
+        "version": pa.array([2, 2], pa.int64())}))
+    once = (upsert_merge(upsert_merge(base, d1, key="k",
+                                      version_col="version"),
+                         d2, key="k", version_col="version")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    both = (upsert_merge(base, d1.union(d2), key="k", version_col="version")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    assert once.equals(both)
+    assert list(once.loc[once["k"].isin([1, 2, 3]), "val"]) == \
+        ["x1", "y2", "y3"]
