@@ -418,6 +418,49 @@ def q_histogram_quantile(sf_dir: str):
                               lo=HISTQ_LO, hi=HISTQ_HI, bins=HISTQ_BINS)
 
 
+GHISTQ_QUANTILES = (0.25, 0.5, 0.9)
+GHISTQ_LO, GHISTQ_HI, GHISTQ_BINS = 0.0, 500.0, 256
+
+
+def q_grouped_quantiles(sf_dir: str):
+    """Per-event-type approximate quantiles of value via the grouped
+    mergeable histogram (GROUP BY + PERCENTILE in one bounded shuffle)."""
+    import ray.data as rd
+
+    from .stages.sketch import grouped_histogram_quantile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+    return grouped_histogram_quantile(ev, group_col="event_type",
+                                      col="value",
+                                      quantiles=GHISTQ_QUANTILES,
+                                      lo=GHISTQ_LO, hi=GHISTQ_HI,
+                                      bins=GHISTQ_BINS)
+
+
+CONTAM_N, CONTAM_MOD, CONTAM_FLAG = 3, 11, 5
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination scan: per-doc distinct 3-gram overlap with
+    the benchmark subset (doc_id % 11 == 0), broadcast hash-set probe."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .stages.contamination import ngram_contamination
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    def is_bench(b):
+        import numpy as np
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(np.asarray(ids) % CONTAM_MOD == 0))
+
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    return ngram_contamination(docs, bench, n=CONTAM_N,
+                               flag_threshold=CONTAM_FLAG)
+
+
 def q_tfidf(sf_dir: str):
     """Per-document top-3 TF-IDF terms (df pass + broadcast idf)."""
     import ray.data as rd
@@ -724,6 +767,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_range_join": relational.price_band_join,
         "rel_rollup": relational.orders_rollup,
         "rel_cube": relational.orders_cube,
+        "rel_intersect": relational.customers_both_years,
+        "rel_except": relational.customers_lapsed,
+        "grouped_quantiles": q_grouped_quantiles,
+        "contamination": q_contamination,
         # KG graph analytics
         "kg_degrees": kg.kg_degrees,
         "kg_cooccurrence": kg.kg_cooccurrence,
@@ -806,6 +853,12 @@ def oracle_sql() -> dict[str, str]:
         "rel_range_join": oracles.price_band_join_sql(),
         "rel_rollup": oracles.orders_rollup_sql(),
         "rel_cube": oracles.orders_cube_sql(),
+        "rel_intersect": oracles.customers_set_op_sql("intersect"),
+        "rel_except": oracles.customers_set_op_sql("except"),
+        "grouped_quantiles": oracles.grouped_histogram_quantile_sql(
+            GHISTQ_QUANTILES, lo=GHISTQ_LO, hi=GHISTQ_HI, bins=GHISTQ_BINS),
+        "contamination": oracles.contamination_sql(
+            n=CONTAM_N, bench_mod=CONTAM_MOD, flag_threshold=CONTAM_FLAG),
         "kg_degrees": oracles.kg_degrees_sql(),
         "kg_cooccurrence": oracles.kg_cooccurrence_sql(),
         "kg_pagerank": oracles.kg_pagerank_sql(),

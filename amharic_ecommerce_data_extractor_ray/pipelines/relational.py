@@ -707,3 +707,70 @@ def orders_rollup(sf_dir: str):
             .sort_values(["o_orderstatus", "o_orderpriority"],
                          na_position="first")
             .reset_index(drop=True))
+
+
+def _distinct_keys_tagged(ds, keys: list[str], flag: str):
+    """Per-batch distinct key tuples, tagged with a presence flag column —
+    the map side of the set-op shuffle (block-local dedup first, so the
+    exchange carries ≤ distinct-keys-per-block rows, not raw rows)."""
+    def fn(b: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(b.select(keys), keys,
+                            use_threads=False).aggregate([])
+        ones = pa.array([1] * g.num_rows, pa.int64())
+        zeros = pa.array([0] * g.num_rows, pa.int64())
+        return (g.append_column("in_l", ones if flag == "l" else zeros)
+                .append_column("in_r", ones if flag == "r" else zeros))
+    return ds.select_columns(keys).map_batches(fn, batch_format="pyarrow")
+
+
+def distinct_set_op(left_ds, right_ds, keys: list[str], op: str):
+    """Distributed INTERSECT / EXCEPT with SQL DISTINCT set semantics.
+
+    Shape: both sides collapse block-locally to distinct tagged key rows,
+    union-all, then ONE native groupby(keys) with Max(in_l)/Max(in_r) —
+    presence on each side is an algebraic max, so the shuffle moves only
+    per-block-distinct keys and the reduce is Arrow-native (no Python
+    per-group UDF).  intersect = both flags set; except = left-only.
+    This is the textbook shared-shuffle plan for set ops (one exchange for
+    any number of INTERSECT/EXCEPT branches over the same key)."""
+    tagged = _distinct_keys_tagged(left_ds, keys, "l").union(
+        _distinct_keys_tagged(right_ds, keys, "r"))
+    merged = tagged.groupby(keys).aggregate(
+        Max("in_l", alias_name="in_l"), Max("in_r", alias_name="in_r"))
+
+    def keep(b: pa.Table) -> pa.Table:
+        if op == "intersect":
+            mask = pc.and_(pc.equal(b["in_l"], 1), pc.equal(b["in_r"], 1))
+        elif op == "except":
+            mask = pc.and_(pc.equal(b["in_l"], 1), pc.equal(b["in_r"], 0))
+        else:
+            raise ValueError(f"unknown set op: {op}")
+        return b.filter(mask).select(keys)
+
+    return merged.map_batches(keep, batch_format="pyarrow")
+
+
+def _custkeys_by_year(sf_dir: str, year: int):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate"])
+    lo = pa.scalar(pd.Timestamp(f"{year}-01-01"))
+    hi = pa.scalar(pd.Timestamp(f"{year + 1}-01-01"))
+    return ds.map_batches(
+        lambda b: b.filter(pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                                   pc.less(b["o_orderdate"], hi)))
+        .select(["o_custkey"]),
+        batch_format="pyarrow")
+
+
+def customers_both_years(sf_dir: str, *, y1: int = 1996, y2: int = 1997):
+    """INTERSECT: customers who ordered in BOTH years."""
+    return distinct_set_op(_custkeys_by_year(sf_dir, y1),
+                           _custkeys_by_year(sf_dir, y2),
+                           ["o_custkey"], "intersect")
+
+
+def customers_lapsed(sf_dir: str, *, y1: int = 1996, y2: int = 1997):
+    """EXCEPT: customers who ordered in y1 but not y2 (churn list)."""
+    return distinct_set_op(_custkeys_by_year(sf_dir, y1),
+                           _custkeys_by_year(sf_dir, y2),
+                           ["o_custkey"], "except")

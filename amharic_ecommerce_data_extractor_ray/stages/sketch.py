@@ -127,6 +127,16 @@ def histogram_quantile(ds, *, col: str, quantiles: tuple[float, ...],
          .map_batches(partial, batch_format="pyarrow")
          .aggregate(agg))["hist"], dtype=np.int64)
     n = int(counts.sum())
+    out_q, out_est = _interpolate_quantiles(counts, quantiles, lo=lo, w=w)
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "estimate": pa.array(out_est, pa.float64())})
+
+
+def _interpolate_quantiles(counts: np.ndarray, quantiles, *, lo: float,
+                           w: float) -> tuple[list[float], list[float]]:
+    """Histogram counts → (q, estimate) pairs, the shared interpolation of
+    the global and grouped variants."""
+    n = int(counts.sum())
     cum = np.cumsum(counts)
     out_q, out_est = [], []
     for q in quantiles:
@@ -140,6 +150,50 @@ def histogram_quantile(ds, *, col: str, quantiles: tuple[float, ...],
         c = int(counts[i])
         est = lo + w * (i + (target - prev) / c)
         out_q.append(q)
-        out_est.append(round(est, 6))
-    return pa.table({"q": pa.array(out_q, pa.float64()),
-                     "estimate": pa.array(out_est, pa.float64())})
+        # half-away-from-zero at 6 dp — DuckDB round() semantics (Python's
+        # round() is half-even and diverges on exact .xxxxxx5 ties)
+        out_est.append(float(np.floor(abs(est) * 1e6 + 0.5) / 1e6
+                             * (1 if est >= 0 else -1)))
+    return out_q, out_est
+
+
+def grouped_histogram_quantile(ds, *, group_col: str, col: str,
+                               quantiles: tuple[float, ...], lo: float,
+                               hi: float, bins: int = 256):
+    """Per-group approximate quantiles via the same mergeable fixed-bin
+    histogram — GROUP BY + PERCENTILE in one pass with a bounded shuffle.
+
+    Per block: one vectorized clamp/bucket pass, then Arrow C++ hash
+    ``group_by`` collapses the block to ≤ (distinct groups × present bins)
+    tiny (group, bin, n) partial rows.  ONE Ray shuffle co-locates each
+    group's partials (native Sum on (group, bin) would need a second
+    exchange, so the per-group fold happens inside ``map_groups`` — the
+    group payload is ≤ bins × n_blocks partial rows, vocabulary-sized).
+    Estimates reuse the global variant's interpolation, so the SQL oracle
+    recomputes them bit-for-bit with PARTITION BY windows."""
+    w = (hi - lo) / bins
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        keep = ~np.isnan(x)
+        idx = np.clip(np.floor((np.clip(x[keep], lo, hi) - lo) / w),
+                      0, bins - 1).astype(np.int64)
+        t = pa.table({group_col: b[group_col].filter(pa.array(keep)),
+                      "bin": pa.array(idx, pa.int64())})
+        g = pa.TableGroupBy(t, [group_col, "bin"], use_threads=False) \
+            .aggregate([("bin", "count")])
+        return g.rename_columns([group_col, "bin", "n"])
+
+    import pandas as pd
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(bins, dtype=np.int64)
+        np.add.at(counts, g["bin"].to_numpy(), g["n"].to_numpy())
+        out_q, out_est = _interpolate_quantiles(counts, quantiles, lo=lo, w=w)
+        return pd.DataFrame({group_col: g[group_col].iloc[0],
+                             "q": out_q, "estimate": out_est})
+
+    return (ds.select_columns([group_col, col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col)
+            .map_groups(finalize, batch_format="pandas"))

@@ -145,3 +145,22 @@ def test_kg_pagerank_matches_numpy_power_iteration(ray_session):
     want = pd.DataFrame({"node_id": nodes, "pagerank": np.round(r, 6)}) \
         .sort_values("node_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_distinct_set_op_matches_python_sets(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        distinct_set_op)
+
+    left = [{"k": i % 50} for i in range(500)]           # keys 0..49, dups
+    right = [{"k": i % 30 + 20} for i in range(300)]     # keys 20..49
+    lds = rd.from_items(left, override_num_blocks=7)
+    rds = rd.from_items(right, override_num_blocks=5)
+    inter = sorted(distinct_set_op(lds, rds, ["k"], "intersect")
+                   .to_pandas()["k"])
+    exc = sorted(distinct_set_op(lds, rds, ["k"], "except")
+                 .to_pandas()["k"])
+    lk, rk = {r["k"] for r in left}, {r["k"] for r in right}
+    assert inter == sorted(lk & rk)
+    assert exc == sorted(lk - rk)

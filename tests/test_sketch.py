@@ -98,3 +98,50 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     assert set(a["lang"]) <= {"en", "fr", "es"}         # default 0 dropped
     n_en = (full["lang"] == "en").sum()
     assert 0 < by.get("en", 0) < 0.35 * n_en            # ~10% of en
+
+
+def test_grouped_histogram_quantile_within_bin_of_exact(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.sketch import (
+        grouped_histogram_quantile)
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for g, scale in (("a", 50.0), ("b", 200.0)):
+        for v in rng.uniform(0, scale, 3000):
+            rows.append({"g": g, "v": float(v)})
+    lo, hi, bins = 0.0, 250.0, 500
+    out = grouped_histogram_quantile(
+        rd.from_items(rows, override_num_blocks=8), group_col="g", col="v",
+        quantiles=(0.5, 0.9), lo=lo, hi=hi, bins=bins).to_pandas()
+    w = (hi - lo) / bins
+    assert len(out) == 4
+    for g, scale in (("a", 50.0), ("b", 200.0)):
+        for q in (0.5, 0.9):
+            est = float(out[(out["g"] == g) & (out["q"] == q)]["estimate"])
+            exact = float(np.quantile(
+                [r["v"] for r in rows if r["g"] == g], q))
+            assert abs(est - exact) <= 2 * w, (g, q, est, exact)
+
+
+def test_grouped_histogram_quantile_block_invariant(ray_session):
+    """Partial histograms are mergeable: the result must not depend on how
+    the input is split into blocks."""
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.sketch import (
+        grouped_histogram_quantile)
+
+    rows = [{"g": "x" if i % 3 else "y", "v": float(i % 97)}
+            for i in range(2000)]
+    kw = dict(group_col="g", col="v", quantiles=(0.25, 0.75),
+              lo=0.0, hi=100.0, bins=100)
+    one = grouped_histogram_quantile(
+        rd.from_items(rows, override_num_blocks=1), **kw).to_pandas() \
+        .sort_values(["g", "q"]).reset_index(drop=True)
+    many = grouped_histogram_quantile(
+        rd.from_items(rows, override_num_blocks=16), **kw).to_pandas() \
+        .sort_values(["g", "q"]).reset_index(drop=True)
+    assert one.equals(many)
