@@ -461,6 +461,30 @@ def q_contamination(sf_dir: str):
                                flag_threshold=CONTAM_FLAG)
 
 
+CAPPED_SAMPLE_K = 7
+
+
+def q_capped_sample(sf_dir: str):
+    """Fixed-size per-language sample: K docs per lang by stable hash rank
+    (block-local prune -> one bounded groupby re-prune)."""
+    import ray.data as rd
+
+    from .stages.corpus_stats import per_group_capped_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    return per_group_capped_sample(docs, group_col="lang", key_col="doc_id",
+                                   k=CAPPED_SAMPLE_K)
+
+
+def q_trending_tokens(sf_dir: str):
+    """Top-3 tokens per calendar day over the message stream (windowed
+    heavy hitters, one bounded shuffle)."""
+    from .stages.corpus_stats import trending_tokens
+
+    return trending_tokens(kg.corpus_ds(sf_dir), k=3)
+
+
 def q_tfidf(sf_dir: str):
     """Per-document top-3 TF-IDF terms (df pass + broadcast idf)."""
     import ray.data as rd
@@ -771,6 +795,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_except": relational.customers_lapsed,
         "grouped_quantiles": q_grouped_quantiles,
         "contamination": q_contamination,
+        "capped_sample": q_capped_sample,
+        "trending_tokens": q_trending_tokens,
         # KG graph analytics
         "kg_degrees": kg.kg_degrees,
         "kg_cooccurrence": kg.kg_cooccurrence,
@@ -859,6 +885,8 @@ def oracle_sql() -> dict[str, str]:
             GHISTQ_QUANTILES, lo=GHISTQ_LO, hi=GHISTQ_HI, bins=GHISTQ_BINS),
         "contamination": oracles.contamination_sql(
             n=CONTAM_N, bench_mod=CONTAM_MOD, flag_threshold=CONTAM_FLAG),
+        "capped_sample": oracles.per_group_capped_sample_sql(CAPPED_SAMPLE_K),
+        "trending_tokens": oracles.trending_tokens_sql(3),
         "kg_degrees": oracles.kg_degrees_sql(),
         "kg_cooccurrence": oracles.kg_cooccurrence_sql(),
         "kg_pagerank": oracles.kg_pagerank_sql(),

@@ -273,3 +273,73 @@ def stratified_sample(ds, *, stratum_col: str, key_col: str,
         return b.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def per_group_capped_sample(ds, *, group_col: str, key_col: str, k: int):
+    """Fixed-SIZE per-stratum sample: the K rows of each group with the
+    smallest stable key hash — the cap-based complement of
+    ``stratified_sample``'s rate-based thinning (e.g. "at most K docs per
+    language for the eval slice"), deterministic and shard-stable.
+
+    Mergeable top-k by rank: each block prunes to ≤ K rows per group
+    locally (so the shuffle carries ≤ K × groups × blocks tiny rows, never
+    raw data), then one groupby re-prunes to the global K.  Hash = DuckDB
+    ``md5_number_lower`` (unsigned order), so the oracle recomputes the
+    selection with a PARTITION BY row_number."""
+    import numpy as np
+
+    from .dedup import _stable_u64
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, key_col]).to_pandas()
+        df["h"] = np.array([_stable_u64(str(x)) for x in df[key_col]],
+                           dtype=np.uint64)
+        pruned = (df.sort_values(["h", key_col])
+                  .groupby(group_col, sort=False).head(k))
+        return pa.Table.from_pandas(pruned, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["h", key_col]).head(k)
+                .drop(columns=["h"])[[group_col, key_col]])
+
+    return (ds.select_columns([group_col, key_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col).map_groups(final, batch_format="pandas"))
+
+
+def trending_tokens(corpus_ds, *, k: int = 3, date_col: str = "message_date",
+                    text_col: str = "content"):
+    """Windowed heavy hitters: top-k tokens per calendar day (the "what's
+    trending" pass over a message stream).
+
+    ONE shuffle: per-batch (date, token, n) Counter partials collapse each
+    block to its local date×token vocabulary, then a single
+    ``groupby(date)`` co-locates a day's partials and the per-day fold
+    (sum + top-k) runs inside ``map_groups`` — group payload is bounded by
+    vocabulary × blocks, never raw messages.  Dates serialize as ISO
+    strings so the SQL oracle compares exactly."""
+    from collections import Counter
+
+    def partial(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for d, t in zip(b[date_col].to_pylist(), b[text_col].to_pylist()):
+            ds_ = str(d)
+            for tok in (t or "").split():
+                c[(ds_, tok)] += 1
+        ks = sorted(c)
+        return pa.table({
+            date_col: pa.array([d for d, _ in ks], pa.string()),
+            "token": pa.array([t for _, t in ks], pa.string()),
+            "n": pa.array([c[x] for x in ks], pa.int64()),
+        })
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        agg = (g.groupby("token", as_index=False)["n"].sum()
+               .sort_values(["n", "token"], ascending=[False, True])
+               .head(k))
+        agg.insert(0, date_col, g[date_col].iloc[0])
+        return agg
+
+    return (corpus_ds.select_columns([date_col, text_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby(date_col).map_groups(topk, batch_format="pandas"))

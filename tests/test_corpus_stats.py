@@ -162,3 +162,43 @@ def test_sessionize(ray_session):
     assert u1.iloc[0]["session_end"] == "2024-03-01 10:10:00"
     u2 = out[out["user_id"] == 2]
     assert list(u2["n_events"]) == [2]
+
+
+def test_per_group_capped_sample_deterministic_and_capped(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import (
+        per_group_capped_sample)
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import _stable_u64
+
+    rows = [{"g": f"g{i % 4}", "k": i} for i in range(400)]
+    out = per_group_capped_sample(
+        rd.from_items(rows, override_num_blocks=8),
+        group_col="g", key_col="k", k=5).to_pandas()
+    assert out.groupby("g").size().max() == 5 and len(out) == 20
+    # selection = the 5 smallest hashes per group, block-layout independent
+    for g in ("g0", "g1", "g2", "g3"):
+        expect = sorted((k for k in range(400) if f"g{k % 4}" == g),
+                        key=lambda k: (_stable_u64(str(k)), k))[:5]
+        assert sorted(out[out["g"] == g]["k"]) == sorted(expect)
+
+
+def test_trending_tokens_topk_per_day(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import (
+        trending_tokens)
+
+    rows = [
+        {"message_date": "2024-01-01", "content": "x x x y y z"},
+        {"message_date": "2024-01-01", "content": "y w"},
+        {"message_date": "2024-01-02", "content": "a a b"},
+    ]
+    out = (trending_tokens(rd.from_items(rows, override_num_blocks=2), k=2)
+           .to_pandas().sort_values(["message_date", "n", "token"],
+                                    ascending=[True, False, True])
+           .reset_index(drop=True))
+    d1 = out[out["message_date"] == "2024-01-01"]
+    assert list(d1["token"]) == ["x", "y"] and list(d1["n"]) == [3, 3]
+    d2 = out[out["message_date"] == "2024-01-02"]
+    assert list(d2["token"]) == ["a", "b"] and list(d2["n"]) == [2, 1]
