@@ -698,6 +698,19 @@ def q_multimodal_meta(sf_dir: str):
     return ds.select_columns(["message_id", "n_bytes", "media_type"])
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: textstats.repetition_batch(b, text_col="text"),
+        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens", "top_token_frac",
+                              "top_bigram_frac"])
+
+
 def q_multimodal_frames(sf_dir: str):
     """Video frame-sampling plumbing (deterministic fake decode; rows-only
     check — the frame features are hash-derived, not SQL-expressible)."""
@@ -801,6 +814,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": kg.kg_degrees,
         "kg_cooccurrence": kg.kg_cooccurrence,
         "kg_pagerank": kg.kg_pagerank,
+        # round-3 batch 2: sequence / window-frame / outer-join / graph /
+        # quality-filter coverage
+        "rel_funnel": relational.event_funnel,
+        "rel_moving_avg": relational.daily_moving_avg,
+        "rel_full_outer": relational.customers_year_outer,
+        "rel_event_paths": relational.event_paths,
+        "rel_triangles": relational.part_triangles,
+        "doc_repetition": q_doc_repetition,
     }
 
 
@@ -890,4 +911,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": oracles.kg_degrees_sql(),
         "kg_cooccurrence": oracles.kg_cooccurrence_sql(),
         "kg_pagerank": oracles.kg_pagerank_sql(),
+        "rel_funnel": oracles.event_funnel_sql(24),
+        "rel_moving_avg": oracles.daily_moving_avg_sql(7),
+        "rel_full_outer": oracles.customers_year_outer_sql(1995, 2000),
+        "rel_event_paths": oracles.event_paths_sql(40),
+        "rel_triangles": oracles.part_triangles_sql(),
+        "doc_repetition": oracles.doc_repetition_sql(),
     }

@@ -774,3 +774,336 @@ def customers_lapsed(sf_dir: str, *, y1: int = 1996, y2: int = 1997):
     return distinct_set_op(_custkeys_by_year(sf_dir, y1),
                            _custkeys_by_year(sf_dir, y2),
                            ["o_custkey"], "except")
+
+
+def event_funnel(sf_dir: str, *, window_hours: int = 24):
+    """Ordered funnel analysis (view → click → purchase) over the events
+    log — the sequence-pattern family sessionize/lag_lead don't cover.
+    Each step must happen strictly after the previous step's first match
+    and within ``window_hours`` of it.  groupby(user_id) co-locates a
+    user's history; the per-group kernel is three vectorized min-over-mask
+    probes (no sort needed — min of a masked timestamp array).  The final
+    rollup pre-aggregates per block (a 3-int vector) before a 3-row
+    groupby, so the shuffle sees O(blocks) rows.  Partitioning assumption:
+    one user's history fits a worker (same contract as sessionize)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    win = np.timedelta64(window_hours * 3600, "s")
+    steps = ("view", "click", "purchase")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+        reached = 0
+        prev = None
+        for step in steps:
+            mask = et == step
+            if prev is not None:
+                mask &= (ts > prev) & (ts <= prev + win)
+            if not mask.any():
+                break
+            prev = ts[mask].min()
+            reached += 1
+        return pd.DataFrame({"reached": [reached]})
+
+    per = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+    def partials(b: pa.Table) -> pa.Table:
+        r = b["reached"].to_numpy(zero_copy_only=False)
+        names, counts = [], []
+        for i, step in enumerate(steps):
+            names.append(f"{i + 1}_{step}")
+            counts.append(int((r >= i + 1).sum()))
+        return pa.table({"step": pa.array(names, pa.string()),
+                         "users": pa.array(counts, pa.int64())})
+
+    out = (per.map_batches(partials, batch_format="pyarrow")
+           .groupby("step").aggregate(Sum("users", alias_name="users"))
+           .to_pandas())
+    out["users"] = out["users"].astype("int64")
+    return out.sort_values("step").reset_index(drop=True)
+
+
+def daily_moving_avg(sf_dir: str, *, window_days: int = 7):
+    """Trailing moving average (ROWS BETWEEN k PRECEDING frame) of daily
+    revenue per order priority.  Per-block Arrow group_by partials →
+    groupby(priority) — days are calendar-bounded, so one priority's daily
+    series always fits a worker (~36.5K rows/century).  Money is exact
+    integer cents through the fold; the rolling sum is a cumsum difference
+    (each window sum is exact, no sliding-error accumulation)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderdate",
+                                  "o_totalprice"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                        pa.int64())
+        day = pc.strftime(b["o_orderdate"], format="%Y-%m-%d")
+        t = pa.table({"priority": b["o_orderpriority"], "day": day,
+                      "cents": cents})
+        return pa.TableGroupBy(t, ["priority", "day"]).aggregate(
+            [("cents", "sum")]).rename_columns(["priority", "day", "cents"])
+
+    def per_priority(g: pd.DataFrame) -> pd.DataFrame:
+        priority = g["priority"].iloc[0]
+        g = (g.groupby("day", as_index=False)["cents"].sum()
+             .sort_values("day").reset_index(drop=True))
+        c = g["cents"].to_numpy(np.int64)
+        cum = np.concatenate([[0], np.cumsum(c)])
+        k = window_days
+        idx = np.arange(len(c))
+        lo = np.maximum(idx - (k - 1), 0)
+        win = cum[idx + 1] - cum[lo]
+        n = idx - lo + 1
+        out = pd.DataFrame({"priority": priority, "day": g["day"]})
+        out["revenue"] = np.round(c / 100.0, 2)
+        # half-away round like DuckDB round(x, 6) (values non-negative)
+        out["moving_avg"] = np.floor(((win / 100.0) / n) * 1e6 + 0.5) / 1e6
+        return out[["priority", "day", "revenue", "moving_avg"]]
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("priority").map_groups(per_priority,
+                                            batch_format="pandas"))
+
+
+def _year_totals(sf_dir: str, year: int):
+    """Per-customer (n_orders, cents) for one calendar year — combiner
+    partials per block, then a native Sum groupby."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    lo = pa.scalar(pd.Timestamp(f"{year}-01-01"))
+    hi = pa.scalar(pd.Timestamp(f"{year + 1}-01-01"))
+
+    def partials(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.greater_equal(b["o_orderdate"], lo),
+                             pc.less(b["o_orderdate"], hi)))
+        cents = pc.cast(pc.round(pc.multiply(b["o_totalprice"], 100.0)),
+                        pa.int64())
+        t = pa.table({"o_custkey": b["o_custkey"], "cents": cents,
+                      "n": pa.array([1] * len(b), pa.int64())})
+        return pa.TableGroupBy(t, "o_custkey").aggregate(
+            [("n", "sum"), ("cents", "sum")]).rename_columns(
+            ["o_custkey", "n", "cents"])
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("o_custkey")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("cents", alias_name="cents")))
+
+
+def customers_year_outer(sf_dir: str, *, y1: int = 1995, y2: int = 2000):
+    """FULL OUTER JOIN: per-customer order totals in year y1 vs year y2,
+    keeping customers active in only one of the two (the set-op family's
+    value-carrying sibling — INTERSECT/EXCEPT drop the payload, this keeps
+    both sides' aggregates with NULLs where a side is absent).
+
+    Expressed as ONE tagged-union groupby (the upsert_merge /
+    distinct_set_op shape): each side's vocabulary-sized aggregate carries
+    a side flag, both co-shuffle on the key once, and the per-key merge
+    emits a single output row with NULLs for the missing side.  This is
+    shuffle-equivalent to a co-partitioned hash join and sidesteps Ray
+    2.49's hash-shuffle join finalizing empty partitions to zero-column
+    blocks (the pyarrow key-field error connected_components documents)."""
+    def tag(ds, side):
+        return ds.map_batches(
+            lambda b, s=side: b.append_column(
+                "side", pa.array([s] * b.num_rows, pa.int8())),
+            batch_format="pyarrow")
+
+    merged = tag(_year_totals(sf_dir, y1), 0).union(
+        tag(_year_totals(sf_dir, y2), 1))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ra = g[g["side"] == 0]
+        rb = g[g["side"] == 1]
+        def pick(rows, col, scale):
+            if rows.empty:
+                return float("nan")
+            return round(float(rows[col].iloc[0]) / scale, 2) if scale != 1 \
+                else float(rows[col].iloc[0])
+        return pd.DataFrame({
+            "o_custkey": [g["o_custkey"].iloc[0]],
+            "n_y1": [pick(ra, "n", 1)],
+            "total_y1": [pick(ra, "cents", 100)],
+            "n_y2": [pick(rb, "n", 1)],
+            "total_y2": [pick(rb, "cents", 100)],
+        })
+
+    return merged.groupby("o_custkey").map_groups(merge,
+                                                  batch_format="pandas")
+
+
+def event_paths(sf_dir: str, *, n_users: int = 40):
+    """Per-key ordered string aggregation (string_agg / collect_list
+    family): each user's full event-type path ordered by (ts, event_id).
+    groupby(user_id) co-locates the history; the in-group kernel is one
+    pandas sort + ''.join.  Restricted to user_id < n_users to bound gate
+    output — the operator streams over all keys."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.less(b["user_id"], n_users)),
+        batch_format="pyarrow")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_events": [len(g)],
+            "path": ["->".join(g["event_type"])],
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+
+def part_triangles(sf_dir: str):
+    """Distributed triangle counting over the parts-bought-together graph
+    (nodes = parts, edge when two parts share an order) — the iterative /
+    multi-join graph-algorithm family beyond per-node degree counts.
+
+    Shape (Suri & Vassilvitskii, "Counting triangles and the curse of the
+    last reducer", WWW'11): orient each edge from its LOWER-(degree, id)
+    endpoint, generate length-2 paths (wedges) only inside each node's
+    out-neighborhood, and close them against the edge set.  Degree
+    orientation bounds every out-neighborhood by O(sqrt(E)) amortized, so a
+    celebrity part never concentrates quadratic wedge work on one worker —
+    the failure mode id-orientation has.
+
+    Every stage is keyed and shuffles once; the degree attach and the
+    closing membership test are reduce-side joins expressed as tagged
+    unions folded by NATIVE Sum aggregates (no per-edge Python group
+    calls, and no ``Dataset.join`` — Ray 2.49's hash-shuffle join
+    finalizes empty partitions to zero-column blocks and fails on small
+    or skewed key ranges; see connected_components).  The only
+    ``map_groups`` kernels run per NODE (vectorized numpy inside), never
+    per edge.  Nothing broadcasts the (at 100 TB, billions-node) graph;
+    the two ``materialize()`` boundary tables (edges, oriented edges) are
+    GRAPH-sized and each feeds two downstream stages.  Wedges
+    pre-aggregate per apex, so the closing shuffle carries distinct
+    candidate edges with counts, not raw wedges."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        parts = np.unique(g["l_partkey"].to_numpy(np.int64))
+        if len(parts) < 2:
+            return pd.DataFrame({"e": pd.Series([], dtype="int64")})
+        i, j = np.triu_indices(len(parts), k=1)
+        return pd.DataFrame({"e": (parts[i] << 32) | parts[j]})
+
+    # distinct undirected edges, packed (lo<<32 | hi) so every shuffle key
+    # is one int64; materialized because three stages consume it
+    edges = (ds.groupby("l_orderkey").map_groups(per_order,
+                                                 batch_format="pandas")
+             .groupby("e").aggregate(Count(alias_name="_n"))
+             .drop_columns(["_n"])
+             .map_batches(lambda b: b, batch_format="pyarrow")
+             .materialize())
+
+    # ---- degree attach: tagged union keyed on node --------------------
+    # edge rows appear once per endpoint (pos 0/1); degree rows are
+    # per-block pre-aggregated partials (pos -1)
+    def edge_endpoint_rows(b: pa.Table) -> pa.Table:
+        e = b["e"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([e >> 32, e & 0xFFFFFFFF])
+        pos = np.concatenate([np.zeros(len(e), np.int8),
+                              np.ones(len(e), np.int8)])
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "e": pa.array(np.concatenate([e, e]), pa.int64()),
+                         "pos": pa.array(pos, pa.int8()),
+                         "deg": pa.array(np.zeros(2 * len(e), np.int64))})
+
+    def degree_partials(b: pa.Table) -> pa.Table:
+        e = b["e"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([e >> 32, e & 0xFFFFFFFF])
+        uk, counts = np.unique(node, return_counts=True)
+        return pa.table({"node": pa.array(uk, pa.int64()),
+                         "e": pa.nulls(len(uk), pa.int64()),
+                         "pos": pa.array(np.full(len(uk), -1, np.int8)),
+                         "deg": pa.array(counts.astype(np.int64))})
+
+    tagged = (edges.map_batches(edge_endpoint_rows, batch_format="pyarrow")
+              .union(edges.map_batches(degree_partials,
+                                       batch_format="pyarrow")))
+
+    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+        """One node's rows (vectorized): total the degree partials, stamp
+        the degree onto that node's endpoint rows as deg_lo / deg_hi
+        contributions (the other endpoint's slot stays 0 and the
+        downstream per-edge Sum merges the two rows)."""
+        deg = int(g.loc[g["pos"] == -1, "deg"].sum())
+        ed = g[g["pos"] >= 0]
+        is_lo = (ed["pos"] == 0).to_numpy()
+        return pd.DataFrame({
+            "e": ed["e"].astype("int64"),
+            "deg_lo": np.where(is_lo, deg, 0).astype("int64"),
+            "deg_hi": np.where(is_lo, 0, deg).astype("int64"),
+        })
+
+    endpoint_degs = tagged.groupby("node").map_groups(
+        attach_deg, batch_format="pandas")
+
+    # fold the two endpoint rows per edge with a NATIVE aggregate
+    edge_degs = (endpoint_degs
+                 .map_batches(lambda b: b, batch_format="pyarrow")
+                 .groupby("e")
+                 .aggregate(Sum("deg_lo", alias_name="deg_lo"),
+                            Sum("deg_hi", alias_name="deg_hi")))
+
+    def orient_batch(b: pa.Table) -> pa.Table:
+        """Vectorized orientation: src = lower-(deg, id) endpoint (ids are
+        unique, so the order is strict and total)."""
+        e = b["e"].to_numpy(zero_copy_only=False)
+        lo, hi = e >> 32, e & 0xFFFFFFFF
+        dlo = b["deg_lo"].to_numpy(zero_copy_only=False)
+        dhi = b["deg_hi"].to_numpy(zero_copy_only=False)
+        lo_first = (dlo < dhi) | ((dlo == dhi) & (lo < hi))
+        src = np.where(lo_first, lo, hi)
+        dst = np.where(lo_first, hi, lo)
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    oriented = (edge_degs.map_batches(orient_batch, batch_format="pyarrow")
+                .materialize())
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        """One apex's out-neighborhood → candidate closing edges with
+        multiplicity (canonical lo<<32|hi key via sort)."""
+        nbrs = np.sort(g["dst"].to_numpy(np.int64))
+        if len(nbrs) < 2:
+            return pd.DataFrame({"e": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        i, j = np.triu_indices(len(nbrs), k=1)
+        key = (nbrs[i] << 32) | nbrs[j]
+        uk, counts = np.unique(key, return_counts=True)
+        return pd.DataFrame({"e": uk, "n": counts.astype(np.int64)})
+
+    wedge_rows = (oriented.groupby("src").map_groups(wedges,
+                                                     batch_format="pandas")
+                  .map_batches(lambda b: b.append_column(
+                      "m", pa.array(np.zeros(b.num_rows, np.int64))),
+                      batch_format="pyarrow"))
+
+    # ---- closing membership test: tagged union + native Sum -----------
+    edge_rows = edges.map_batches(
+        lambda b: pa.table({"e": b["e"],
+                            "n": pa.array(np.zeros(b.num_rows, np.int64)),
+                            "m": pa.array(np.ones(b.num_rows, np.int64))}),
+        batch_format="pyarrow")
+
+    closed = (wedge_rows.union(edge_rows)
+              .groupby("e")
+              .aggregate(Sum("n", alias_name="n"),
+                         Sum("m", alias_name="m")))
+    triangles = (closed.map_batches(
+        lambda b: pa.table({"t": pc.multiply(
+            b["n"], pc.cast(pc.greater(b["m"], 0), pa.int64()))}),
+        batch_format="pyarrow").sum("t"))
+    return pd.DataFrame({"triangles": [int(triangles or 0)]})

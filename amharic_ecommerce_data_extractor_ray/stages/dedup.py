@@ -614,8 +614,12 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
             batch_format="pyarrow").to_pandas()
         return sum(int(x) for x in parts["s"])
 
-    # round 0: label(v) = min(v, min neighbor) (self-loops supply v)
+    # round 0: label(v) = min(v, min neighbor) (self-loops supply v).
+    # Identity map_batches pins every block to ARROW: Ray's sort aggregate
+    # emits empty PANDAS blocks for group-less partitions, and a later
+    # union/sort over mixed pandas+arrow blocks asserts.
     labels = (edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+              .map_batches(lambda b: b, batch_format="pyarrow")
               .materialize())
     prev_sum = exact_sum(labels)
 
@@ -665,10 +669,17 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
                                             batch_format="pyarrow"))
                   .union(labels.map_batches(tag_labels,
                                             batch_format="pyarrow")))
-        proposals = tagged.groupby("part").map_groups(
-            attach, batch_format="pyarrow")
+        # the trailing identity map_batches normalizes block type: Ray's
+        # map_groups emits an EMPTY PANDAS block from a task whose partition
+        # held no groups (common at larger sf where sort ranges go sparse),
+        # and the downstream union + sort-sampler asserts on mixed
+        # pandas/arrow blocks
+        proposals = (tagged.groupby("part")
+                     .map_groups(attach, batch_format="pyarrow")
+                     .map_batches(lambda b: b, batch_format="pyarrow"))
         labels = (proposals.union(labels)
                   .groupby("src").aggregate(Min("label", alias_name="label"))
+                  .map_batches(lambda b: b, batch_format="pyarrow")
                   .materialize())
         # Ray's hash aggregate emits ~one block per input block, and the
         # union doubles the input width every round — without this coalesce

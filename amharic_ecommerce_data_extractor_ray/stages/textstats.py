@@ -10,6 +10,7 @@ from __future__ import annotations
 import re
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 ETHIOPIC = re.compile(r"[ሀ-፿]")
 NONSPACE = re.compile(r"\S")
@@ -103,3 +104,60 @@ def fingerprint_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
             h = (h * _FP_BASE + byte) % _FP_MOD
         fps.append(h)
     return batch.append_column("fingerprint", pa.array(fps, pa.int64()))
+
+
+def repetition_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher", App. A —
+    repetition filters): per document, the fraction of tokens accounted for
+    by the most frequent token and the fraction of bigrams accounted for by
+    the most frequent bigram.  High values flag boilerplate/spam for the
+    curation pipeline.
+
+    Fully vectorized: ONE explode to flat (doc_idx, token) arrays, token
+    identity factorized to int codes, bigrams packed into a single int64 —
+    all counting happens in C-level pandas groupbys, no per-document Python
+    loop.  Rounding mirrors DuckDB's half-away ``round(x, 6)`` exactly
+    (floor(x*1e6 + 0.5) for non-negative x) so the oracle is bit-identical.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tl = pc.split_pattern(batch[text_col], pattern=" ")
+    counts = pc.list_value_length(tl).to_numpy(zero_copy_only=False)
+    n_docs = len(batch)
+    doc_idx = np.repeat(np.arange(n_docs), counts)
+    flat = tl.combine_chunks().flatten() if isinstance(tl, pa.ChunkedArray) \
+        else tl.flatten()
+    codes = pd.factorize(flat.to_pandas())[0].astype(np.int64)
+
+    # top token count per doc: group by (doc, code), then max per doc
+    tok_df = pd.DataFrame({"d": doc_idx, "c": codes})
+    per_tok = tok_df.groupby(["d", "c"], sort=False).size()
+    top_tok = per_tok.groupby(level=0).max()
+    top_tok = top_tok.reindex(np.arange(n_docs), fill_value=0).to_numpy()
+
+    # bigrams: adjacent code pairs within the same doc, packed to int64
+    same_doc = doc_idx[:-1] == doc_idx[1:] if len(doc_idx) > 1 \
+        else np.zeros(0, dtype=bool)
+    bg_d = doc_idx[:-1][same_doc]
+    bg_key = (codes[:-1][same_doc] << 32) | codes[1:][same_doc]
+    if len(bg_d):
+        bg_df = pd.DataFrame({"d": bg_d, "k": bg_key})
+        per_bg = bg_df.groupby(["d", "k"], sort=False).size()
+        top_bg = (per_bg.groupby(level=0).max()
+                  .reindex(np.arange(n_docs), fill_value=0).to_numpy())
+    else:
+        top_bg = np.zeros(n_docs, dtype=np.int64)
+
+    def round6(x):
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    n_tok = counts.astype(np.int64)
+    n_bg = np.maximum(n_tok - 1, 0)
+    tok_frac = round6(np.where(n_tok > 0, top_tok / np.maximum(n_tok, 1), 0.0))
+    bg_frac = round6(np.where(n_bg > 0, top_bg / np.maximum(n_bg, 1), 0.0))
+    return (batch
+            .append_column("n_tokens", pa.array(n_tok, pa.int64()))
+            .append_column("top_token_frac", pa.array(tok_frac, pa.float64()))
+            .append_column("top_bigram_frac", pa.array(bg_frac, pa.float64())))

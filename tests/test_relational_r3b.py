@@ -1,0 +1,158 @@
+"""Round-3 batch 2: funnel, moving-average frame, full outer join, ordered
+string agg, triangle counting, Gopher repetition filters."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(tmp_path, rows):
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([r[2] for r in rows]),
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+
+
+def test_funnel_semantics(ray_session, tmp_path):
+    _write_events(tmp_path, [
+        # user 1: full funnel inside the windows
+        (1, 1, "2024-01-01 10:00", "view"),
+        (2, 1, "2024-01-01 12:00", "click"),
+        (3, 1, "2024-01-02 11:00", "purchase"),
+        # user 2: click arrives 25h after first view -> funnel stops at view
+        (4, 2, "2024-01-01 10:00", "view"),
+        (5, 2, "2024-01-02 11:30", "click"),
+        # user 3: click but purchase BEFORE the click -> stops at click
+        (6, 3, "2024-01-01 09:00", "purchase"),
+        (7, 3, "2024-01-01 10:00", "view"),
+        (8, 3, "2024-01-01 11:00", "click"),
+        # user 4: never views
+        (9, 4, "2024-01-01 10:00", "click"),
+    ])
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        event_funnel)
+
+    out = event_funnel(str(tmp_path), window_hours=24).set_index("step")
+    assert out.loc["1_view", "users"] == 3
+    assert out.loc["2_click", "users"] == 2      # users 1 and 3
+    assert out.loc["3_purchase", "users"] == 1   # user 1 only
+
+
+def test_moving_avg_matches_pandas_rolling(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        daily_moving_avg)
+
+    out = daily_moving_avg(SF, window_days=7)
+    df = out.to_pandas().sort_values(["priority", "day"]).reset_index(
+        drop=True)
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    orders["day"] = orders["o_orderdate"].dt.strftime("%Y-%m-%d")
+    orders["cents"] = np.rint(orders["o_totalprice"] * 100).astype(np.int64)
+    daily = (orders.groupby(["o_orderpriority", "day"], as_index=False)
+             ["cents"].sum().sort_values(["o_orderpriority", "day"]))
+    for prio, g in daily.groupby("o_orderpriority"):
+        want = (g["cents"].rolling(7, min_periods=1).sum().to_numpy()
+                / 100.0) / g["cents"].rolling(7, min_periods=1).count()\
+            .to_numpy()
+        got = df[df["priority"] == prio]["moving_avg"].to_numpy()
+        assert np.allclose(got, np.floor(want * 1e6 + 0.5) / 1e6)
+
+
+def test_full_outer_keeps_both_exclusives(ray_session, tmp_path):
+    tbl = pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array(pd.to_datetime(
+            ["1995-03-01", "2000-04-01", "1995-05-01", "2000-06-01"]),
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.5]),
+    })
+    pq.write_table(tbl, tmp_path / "orders.parquet")
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        customers_year_outer)
+
+    df = (customers_year_outer(str(tmp_path), y1=1995, y2=2000).to_pandas()
+          .sort_values("o_custkey").reset_index(drop=True))
+    assert list(df["o_custkey"]) == [1, 2, 3]
+    r1 = df[df["o_custkey"] == 1].iloc[0]
+    assert r1["total_y1"] == 10.0 and r1["total_y2"] == 20.0
+    r2 = df[df["o_custkey"] == 2].iloc[0]
+    assert r2["total_y1"] == 30.0 and pd.isna(r2["total_y2"])
+    r3 = df[df["o_custkey"] == 3].iloc[0]
+    assert pd.isna(r3["total_y1"]) and r3["total_y2"] == 40.5
+
+
+def test_event_paths_order_and_ties(ray_session, tmp_path):
+    _write_events(tmp_path, [
+        (2, 1, "2024-01-01 10:00", "view"),
+        (1, 1, "2024-01-01 10:05", "click"),     # ts tie below ↓
+        (3, 1, "2024-01-01 10:05", "purchase"),  # event_id breaks tie
+        (9, 2, "2024-01-01 11:00", "error"),
+    ])
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        event_paths)
+
+    df = event_paths(str(tmp_path), n_users=40).to_pandas().set_index(
+        "user_id")
+    assert df.loc[1, "path"] == "view->click->purchase"
+    assert df.loc[1, "n_events"] == 3
+    assert df.loc[2, "path"] == "error"
+
+
+def test_triangles_small_graph(ray_session, tmp_path):
+    # orders define cliques: order 1 = {1,2,3} (1 triangle), order 2 =
+    # {3,4}, order 3 = {2,3,4} (adds edges 2-4, 3-4 -> triangle 2-3-4)
+    rows = [(1, 1), (1, 2), (1, 3), (2, 3), (2, 4), (3, 2), (3, 3), (3, 4)]
+    tbl = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        part_triangles)
+
+    out = part_triangles(str(tmp_path))
+    assert int(out["triangles"].iloc[0]) == 2
+
+
+def test_triangles_matches_duckdb(ray_session):
+    from amharic_ecommerce_data_extractor_ray import oracles
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        part_triangles)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS "
+            f"SELECT * FROM '{SF}/lineitem.parquet'")
+    want = con.sql(oracles.part_triangles_sql()).df()["triangles"].iloc[0]
+    got = part_triangles(SF)["triangles"].iloc[0]
+    assert int(got) == int(want)
+
+
+def test_repetition_kernel():
+    from amharic_ecommerce_data_extractor_ray.stages.textstats import (
+        repetition_batch)
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a a b", "x", "c d c d c"], pa.string()),
+    })
+    out = repetition_batch(batch, text_col="text").to_pandas()
+    r1 = out[out["doc_id"] == 1].iloc[0]
+    assert r1["n_tokens"] == 3
+    assert r1["top_token_frac"] == round(2 / 3, 6)
+    assert r1["top_bigram_frac"] == 0.5          # "a a" and "a b" once each
+    r2 = out[out["doc_id"] == 2].iloc[0]
+    assert r2["n_tokens"] == 1
+    assert r2["top_token_frac"] == 1.0
+    assert r2["top_bigram_frac"] == 0.0          # no bigrams
+    r3 = out[out["doc_id"] == 3].iloc[0]
+    # tokens: c x3 of 5; bigrams: "c d" x2, "d c" x2 of 4
+    assert r3["top_token_frac"] == 0.6
+    assert r3["top_bigram_frac"] == 0.5
