@@ -821,6 +821,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_full_outer": relational.customers_year_outer,
         "rel_event_paths": relational.event_paths,
         "rel_triangles": relational.part_triangles,
+        "rel_cohort": relational.user_cohorts,
+        "rel_khop": relational.part_khop,
         "doc_repetition": q_doc_repetition,
     }
 
@@ -916,5 +918,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_full_outer": oracles.customers_year_outer_sql(1995, 2000),
         "rel_event_paths": oracles.event_paths_sql(40),
         "rel_triangles": oracles.part_triangles_sql(),
+        "rel_cohort": oracles.user_cohorts_sql(),
+        "rel_khop": oracles.part_khop_sql(42, 3),
         "doc_repetition": oracles.doc_repetition_sql(),
     }

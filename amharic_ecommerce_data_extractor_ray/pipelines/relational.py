@@ -1107,3 +1107,136 @@ def part_triangles(sf_dir: str):
             b["n"], pc.cast(pc.greater(b["m"], 0), pa.int64()))}),
         batch_format="pyarrow").sum("t"))
     return pd.DataFrame({"triangles": [int(triangles or 0)]})
+
+
+def user_cohorts(sf_dir: str):
+    """Cohort retention analysis: users grouped by signup week (Monday
+    truncation), counted once per later activity week — the
+    self-join-on-user time-bucketing family funnel/sessionize don't cover.
+    groupby(user_id) co-locates a user's history, so the "join signups to
+    activity" step is free (one vectorized in-group kernel, no second
+    shuffle); the (cohort, week) rollup pre-aggregates per block and the
+    final groupby is calendar×cohort bounded."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        su = g.loc[g["event_type"] == "signup", "ts"]
+        if su.empty:
+            return pd.DataFrame({"cohort": pd.Series([], dtype="object"),
+                                 "w": pd.Series([], dtype="int64")})
+        t0 = su.min()
+        week0 = (t0 - pd.Timedelta(days=t0.weekday())).normalize()
+        ts = g.loc[g["ts"] >= t0, "ts"]
+        weeks = (ts - pd.to_timedelta(ts.dt.weekday, unit="D")).dt.normalize()
+        w = np.unique(((weeks - week0).dt.days // 7).to_numpy(np.int64))
+        return pd.DataFrame({"cohort": week0.strftime("%Y-%m-%d"), "w": w})
+
+    per = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = b.append_column("users", pa.array([1] * b.num_rows, pa.int64()))
+        return pa.TableGroupBy(t, ["cohort", "w"]).aggregate(
+            [("users", "sum")]).rename_columns(["cohort", "w", "users"])
+
+    out = (per.map_batches(partials, batch_format="pyarrow")
+           .groupby(["cohort", "w"])
+           .aggregate(Sum("users", alias_name="users"))
+           .to_pandas())
+    out["users"] = out["users"].astype("int64")
+    return out.sort_values(["cohort", "w"]).reset_index(drop=True)
+
+
+def part_khop(sf_dir: str, *, seed: int = 42, k: int = 3,
+              num_buckets: int = 16):
+    """k-hop BFS (shortest hop distance ≤ k from a seed node) over the
+    parts-bought-together graph — iterative frontier expansion, the
+    traversal sibling of part_triangles' counting.
+
+    Per round: the CURRENT frontier (nodes first reached last round) is
+    co-shuffled with the directed edge list by a hash bucket of the source
+    node, each bucket does ONE vectorized pandas merge (the
+    connected_components reduce-side-join pattern — no ``Dataset.join``,
+    no broadcast of the graph), and a native Min-groupby folds proposed
+    distances into the visited table.  Each round's distance table is
+    materialized so round N+1 doesn't re-execute rounds 1..N; it holds
+    only REACHED nodes (≤ frontier closure, not the whole graph).  k is
+    small and fixed, so the loop is bounded driver-side control flow over
+    fully distributed steps."""
+    import numpy as np
+
+    from ray.data.aggregate import Min
+
+    _KNUTH = np.uint64(2654435761)
+
+    def bucket(col: np.ndarray) -> np.ndarray:
+        return (((col.astype(np.uint64) * _KNUTH) >> np.uint64(16))
+                % np.uint64(num_buckets)).astype(np.int64)
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        parts = np.unique(g["l_partkey"].to_numpy(np.int64))
+        if len(parts) < 2:
+            return pd.DataFrame({"e": pd.Series([], dtype="int64")})
+        i, j = np.triu_indices(len(parts), k=1)
+        # both orientations, packed src<<32|dst
+        return pd.DataFrame({"e": np.concatenate([
+            (parts[i] << 32) | parts[j], (parts[j] << 32) | parts[i]])})
+
+    def unpack(b: pa.Table) -> pa.Table:
+        e = b["e"].to_numpy(zero_copy_only=False)
+        src = e >> 32
+        return pa.table({"part": pa.array(bucket(src)),
+                         "src": pa.array(src, pa.int64()),
+                         "dst": pa.array(e & 0xFFFFFFFF, pa.int64()),
+                         "hop": pa.nulls(len(e), pa.int64())})
+
+    edges = (ds.groupby("l_orderkey").map_groups(per_order,
+                                                 batch_format="pandas")
+             .groupby("e").aggregate(Count(alias_name="_n"))
+             .drop_columns(["_n"])
+             .map_batches(unpack, batch_format="pyarrow")
+             .materialize())
+
+    dist = rd.from_items([{"node": seed, "hop": 0}]).map_batches(
+        lambda b: b, batch_format="pyarrow").materialize()
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        """One bucket: merge frontier rows onto edge rows by src; propose
+        (dst, hop+1)."""
+        fr = g[g["dst"].isna()][["src", "hop"]]
+        ed = g[g["hop"].isna()][["src", "dst"]]
+        m = ed.merge(fr, on="src", how="inner")
+        return pd.DataFrame({
+            "node": m["dst"].to_numpy(dtype="int64"),
+            "hop": (m["hop"] + 1).to_numpy(dtype="int64"),
+        })
+
+    for h in range(1, k + 1):
+        lvl = pa.scalar(h - 1, pa.int64())
+        frontier = dist.map_batches(
+            lambda b, lvl=lvl: (lambda f: pa.table({
+                "part": pa.array(bucket(np.asarray(f["node"],
+                                                   dtype=np.int64))),
+                "src": f["node"],
+                "dst": pa.nulls(f.num_rows, pa.int64()),
+                "hop": f["hop"]}))(b.filter(pc.equal(b["hop"], lvl))),
+            batch_format="pyarrow")
+        proposals = (edges.union(frontier)
+                     .groupby("part").map_groups(expand,
+                                                 batch_format="pandas")
+                     .map_batches(lambda b: b, batch_format="pyarrow"))
+        dist = (proposals.union(dist)
+                .groupby("node").aggregate(Min("hop", alias_name="hop"))
+                .map_batches(lambda b: b, batch_format="pyarrow")
+                .materialize())
+
+    out = (dist.groupby("hop").aggregate(Count(alias_name="n_nodes"))
+           .to_pandas())
+    out["n_nodes"] = out["n_nodes"].astype("int64")
+    out["hop"] = out["hop"].astype("int64")
+    return out.sort_values("hop").reset_index(drop=True)

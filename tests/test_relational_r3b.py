@@ -156,3 +156,42 @@ def test_repetition_kernel():
     # tokens: c x3 of 5; bigrams: "c d" x2, "d c" x2 of 4
     assert r3["top_token_frac"] == 0.6
     assert r3["top_bigram_frac"] == 0.5
+
+
+def test_cohort_semantics(ray_session, tmp_path):
+    _write_events(tmp_path, [
+        # user 1 signs up Wed Jan 3 (cohort Mon Jan 1), active weeks 0 and 2
+        (1, 1, "2024-01-03 10:00", "signup"),
+        (2, 1, "2024-01-05 10:00", "click"),       # same week -> w=0
+        (3, 1, "2024-01-16 10:00", "view"),        # two weeks later -> w=2
+        # user 2 signs up the next week (cohort Mon Jan 8)
+        (4, 2, "2024-01-08 10:00", "signup"),
+        # pre-signup activity must NOT count
+        (5, 2, "2024-01-02 10:00", "view"),
+        # user 3 never signs up -> excluded entirely
+        (6, 3, "2024-01-03 10:00", "view"),
+    ])
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        user_cohorts)
+
+    out = user_cohorts(str(tmp_path))
+    rows = {(r.cohort, r.w): r.users for r in out.itertuples()}
+    assert rows == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
+                    ("2024-01-08", 0): 1}
+
+
+def test_khop_bfs_levels(ray_session, tmp_path):
+    # path graph via co-order pairs: orders {42,1},{1,2},{2,3},{3,4}
+    rows = [(1, 42), (1, 1), (2, 1), (2, 2), (3, 2), (3, 3), (4, 3), (4, 4)]
+    tbl = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        part_khop)
+
+    out = part_khop(str(tmp_path), seed=42, k=3)
+    got = dict(zip(out["hop"], out["n_nodes"]))
+    # 42 -> 1 -> 2 -> 3 (4 is 4 hops away, beyond k)
+    assert got == {0: 1, 1: 1, 2: 1, 3: 1}
