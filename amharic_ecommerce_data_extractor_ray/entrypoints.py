@@ -698,6 +698,17 @@ def q_multimodal_meta(sf_dir: str):
     return ds.select_columns(["message_id", "n_bytes", "media_type"])
 
 
+def q_grouped_ndistinct(sf_dir: str):
+    """Per-group KMV sketch: approx distinct users per event_type."""
+    import ray.data as rd
+
+    from .stages.sketch import grouped_ndistinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return grouped_ndistinct(ds, "event_type", "user_id", k=64)
+
+
 def q_doc_repetition(sf_dir: str):
     """Gopher-style repetition quality signals per document."""
     import ray.data as rd
@@ -823,6 +834,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_triangles": relational.part_triangles,
         "rel_cohort": relational.user_cohorts,
         "rel_khop": relational.part_khop,
+        "rel_assoc_rules": relational.assoc_rules,
+        "grouped_ndistinct": q_grouped_ndistinct,
         "doc_repetition": q_doc_repetition,
     }
 
@@ -920,5 +933,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_triangles": oracles.part_triangles_sql(),
         "rel_cohort": oracles.user_cohorts_sql(),
         "rel_khop": oracles.part_khop_sql(42, 3),
+        "rel_assoc_rules": oracles.assoc_rules_sql(20),
+        "grouped_ndistinct": oracles.grouped_ndistinct_sql(64),
         "doc_repetition": oracles.doc_repetition_sql(),
     }

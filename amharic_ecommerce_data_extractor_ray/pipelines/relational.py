@@ -1240,3 +1240,119 @@ def part_khop(sf_dir: str, *, seed: int = 42, k: int = 3,
     out["n_nodes"] = out["n_nodes"].astype("int64")
     out["hop"] = out["hop"].astype("int64")
     return out.sort_values("hop").reset_index(drop=True)
+
+
+def assoc_rules(sf_dir: str, *, top_n: int = 20):
+    """Frequent-itemset mining / association rules over market baskets
+    (A-priori's pair level): for each pair of parts bought together,
+    support, both confidences and lift — the recommender-style analytics
+    family (exact integer counts, single-division ratios, so the DuckDB
+    oracle is bit-identical).
+
+    All counting is keyed: basket pair generation groups by order, pair /
+    item counts are native Count groupbys, and the item-count attach is
+    the tagged-union reduce-side join from part_triangles (per-NODE
+    vectorized groups, per-edge native Sum folds — no ``Dataset.join``,
+    no broadcast of the at-scale-billions item table).  Only the top-N
+    rows (edge-table sort + limit) reach the driver."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+
+    n_orders = (ds.groupby("l_orderkey")
+                .aggregate(Count(alias_name="_n")).count())
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        parts = np.unique(g["l_partkey"].to_numpy(np.int64))
+        # one row per distinct item (for per-item order counts) ...
+        item = parts.astype(np.int64)
+        # ... and one per pair (packed lo<<32|hi)
+        if len(parts) >= 2:
+            i, j = np.triu_indices(len(parts), k=1)
+            pair = (parts[i] << 32) | parts[j]
+        else:
+            pair = np.empty(0, np.int64)
+        return pd.DataFrame({
+            "e": np.concatenate([item, pair]),
+            "kind": np.concatenate([np.zeros(len(item), np.int8),
+                                    np.ones(len(pair), np.int8)]),
+        })
+
+    counts = (ds.groupby("l_orderkey").map_groups(per_order,
+                                                  batch_format="pandas")
+              .map_batches(lambda b: b, batch_format="pyarrow")
+              .groupby(["e", "kind"]).aggregate(Count(alias_name="n"))
+              .map_batches(lambda b: b, batch_format="pyarrow")
+              .materialize())
+
+    # ---- attach item counts to each pair endpoint (tagged union) ------
+    def endpoint_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["kind"], 1))
+        e = b["e"].to_numpy(zero_copy_only=False)
+        np_ = b["n"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([e >> 32, e & 0xFFFFFFFF])
+        pos = np.concatenate([np.zeros(len(e), np.int8),
+                              np.ones(len(e), np.int8)])
+        return pa.table({"node": pa.array(node, pa.int64()),
+                         "e": pa.array(np.concatenate([e, e]), pa.int64()),
+                         "pos": pa.array(pos, pa.int8()),
+                         "np": pa.array(np.concatenate(
+                             [np_, np.zeros(len(e), np.int64)]), pa.int64()),
+                         "cnt": pa.array(np.zeros(2 * len(e), np.int64))})
+
+    def item_rows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["kind"], 0))
+        n = b.num_rows
+        return pa.table({"node": b["e"],
+                         "e": pa.nulls(n, pa.int64()),
+                         "pos": pa.array(np.full(n, -1, np.int8)),
+                         "np": pa.array(np.zeros(n, np.int64)),
+                         "cnt": b["n"]})
+
+    tagged = (counts.map_batches(endpoint_rows, batch_format="pyarrow")
+              .union(counts.map_batches(item_rows, batch_format="pyarrow")))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = int(g.loc[g["pos"] == -1, "cnt"].sum())
+        ed = g[g["pos"] >= 0]
+        is_a = (ed["pos"] == 0).to_numpy()
+        return pd.DataFrame({
+            "e": ed["e"].astype("int64"),
+            "n_pair": ed["np"].astype("int64"),
+            "n_a": np.where(is_a, cnt, 0).astype("int64"),
+            "n_b": np.where(is_a, 0, cnt).astype("int64"),
+        })
+
+    per_edge = (tagged.groupby("node").map_groups(attach,
+                                                  batch_format="pandas")
+                .map_batches(lambda b: b, batch_format="pyarrow")
+                .groupby("e")
+                .aggregate(Sum("n_pair", alias_name="n_pair"),
+                           Sum("n_a", alias_name="n_a"),
+                           Sum("n_b", alias_name="n_b")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        e = b["e"].to_numpy(zero_copy_only=False)
+        np_ = b["n_pair"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = b["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = b["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+
+        def round6(x):
+            return np.floor(x * 1e6 + 0.5) / 1e6
+
+        return pa.table({
+            "part_a": pa.array(e >> 32, pa.int64()),
+            "part_b": pa.array(e & 0xFFFFFFFF, pa.int64()),
+            "n_pair": b["n_pair"], "n_a": b["n_a"], "n_b": b["n_b"],
+            "support": pa.array(round6(np_ / n_orders)),
+            "conf_a_b": pa.array(round6(np_ / na)),
+            "conf_b_a": pa.array(round6(np_ / nb)),
+            "lift": pa.array(round6(np_ * n_orders / (na * nb))),
+        })
+
+    out = (per_edge.map_batches(finalize, batch_format="pyarrow")
+           .sort(["n_pair", "part_a", "part_b"],
+                 descending=[True, False, False])
+           .limit(top_n))
+    return out.to_pandas()

@@ -197,3 +197,67 @@ def grouped_histogram_quantile(ds, *, group_col: str, col: str,
             .map_batches(partial, batch_format="pyarrow")
             .groupby(group_col)
             .map_groups(finalize, batch_format="pandas"))
+
+
+def grouped_kmv_partials_batch(batch: pa.Table, *, group_col: str, col: str,
+                               k: int) -> pa.Table:
+    """Per (group, batch): the k smallest distinct hashes of ``col`` —
+    the grouped sibling of kmv_partials_batch."""
+    groups = batch[group_col].to_pylist()
+    vals = batch[col].to_pylist()
+    per: dict[object, set] = {}
+    for g, v in zip(groups, vals):
+        per.setdefault(g, set()).add(_h64(str(v) if v is not None else ""))
+    out_g, out_k = [], []
+    for g, hs in per.items():
+        smallest = np.sort(np.fromiter(hs, dtype=np.uint64,
+                                       count=len(hs)))[:k]
+        out_g.append(g)
+        out_k.append(smallest.tolist())
+    return pa.table({group_col: pa.array(out_g),
+                     "kmv": pa.array(out_k, pa.list_(pa.uint64()))})
+
+
+def grouped_ndistinct(ds, group_col: str, col: str, *, k: int = 64):
+    """Distributed approximate COUNT(DISTINCT col) PER GROUP: per-block
+    per-group KMV partials, folded by a custom mergeable ``AggregateFn``
+    inside a keyed groupby — the sketch-per-key shape (one bounded sketch
+    row per group crosses the shuffle, never the raw values; at 100 TB
+    per-group distinct sets don't fit anywhere, the k-u64 sketches always
+    do).  Hashes are md5_number_lower-compatible (values stringified), so
+    the DuckDB oracle recomputes the estimate bit-identically."""
+    from ray.data.aggregate import AggregateFn
+
+    def _merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        if not len(a):
+            return b
+        if not len(b):
+            return a
+        return np.unique(np.concatenate([a, b]))[:k]
+
+    def _accumulate(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        for row in block["kmv"].to_pylist():
+            acc = _merge(acc, np.asarray(row, dtype=np.uint64))
+        return acc
+
+    agg = AggregateFn(
+        init=lambda _: np.empty(0, dtype=np.uint64),
+        merge=_merge,
+        accumulate_block=_accumulate,
+        finalize=lambda acc: acc.tolist(),
+        name="kmv",
+    )
+    parts = (ds.select_columns([group_col, col])
+             .map_batches(lambda b: grouped_kmv_partials_batch(
+                 b, group_col=group_col, col=col, k=k),
+                 batch_format="pyarrow"))
+    merged = parts.groupby(group_col).aggregate(agg)
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ests = [round(kmv_estimate([row], k), 1)
+                for row in b["kmv"].to_pylist()]
+        return pa.table({group_col: b[group_col],
+                         "approx_ndistinct": pa.array(ests, pa.float64()),
+                         "k": pa.array([k] * b.num_rows, pa.int64())})
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

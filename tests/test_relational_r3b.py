@@ -195,3 +195,47 @@ def test_khop_bfs_levels(ray_session, tmp_path):
     got = dict(zip(out["hop"], out["n_nodes"]))
     # 42 -> 1 -> 2 -> 3 (4 is 4 hops away, beyond k)
     assert got == {0: 1, 1: 1, 2: 1, 3: 1}
+
+
+def test_assoc_rules_counts(ray_session, tmp_path):
+    # baskets: {1,2} x3, {1,2,3} x1, {2,3} x1 -> n_orders=5
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2),
+            (4, 1), (4, 2), (4, 3), (5, 2), (5, 3)]
+    tbl = pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        assoc_rules)
+
+    out = assoc_rules(str(tmp_path), top_n=10).set_index(
+        ["part_a", "part_b"])
+    r = out.loc[(1, 2)]
+    assert r["n_pair"] == 4 and r["n_a"] == 4 and r["n_b"] == 5
+    assert r["support"] == 0.8                       # 4/5
+    assert r["conf_a_b"] == 1.0                      # 4/4
+    assert r["conf_b_a"] == 0.8                      # 4/5
+    assert r["lift"] == 1.0                          # 4*5/(4*5)
+    r23 = out.loc[(2, 3)]
+    assert r23["n_pair"] == 2 and r23["lift"] == 1.0  # 2*5/(5*2)
+    # top-1 by n_pair is (1,2)
+    assert out.reset_index().iloc[0][["part_a", "part_b"]].tolist() == [1, 2]
+
+
+def test_grouped_kmv_matches_single_process(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.sketch import (
+        _h64, grouped_ndistinct, kmv_estimate)
+
+    ds = rd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_type", "user_id"])
+    out = (grouped_ndistinct(ds, "event_type", "user_id", k=16)
+           .to_pandas().set_index("event_type"))
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    for et, g in ev.groupby("event_type"):
+        hs = sorted({_h64(str(u)) for u in g["user_id"]})[:16]
+        want = round(kmv_estimate([hs], 16), 1)
+        assert out.loc[et, "approx_ndistinct"] == want
