@@ -835,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cohort": relational.user_cohorts,
         "rel_khop": relational.part_khop,
         "rel_assoc_rules": relational.assoc_rules,
+        "rel_stream_join": relational.click_purchase_attribution,
         "grouped_ndistinct": q_grouped_ndistinct,
         "doc_repetition": q_doc_repetition,
     }
@@ -934,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_cohort": oracles.user_cohorts_sql(),
         "rel_khop": oracles.part_khop_sql(42, 3),
         "rel_assoc_rules": oracles.assoc_rules_sql(20),
+        "rel_stream_join": oracles.click_purchase_attribution_sql(60),
         "grouped_ndistinct": oracles.grouped_ndistinct_sql(64),
         "doc_repetition": oracles.doc_repetition_sql(),
     }

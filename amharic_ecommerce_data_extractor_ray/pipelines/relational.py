@@ -1356,3 +1356,63 @@ def assoc_rules(sf_dir: str, *, top_n: int = 20):
                  descending=[True, False, False])
            .limit(top_n))
     return out.to_pandas()
+
+
+def click_purchase_attribution(sf_dir: str, *, window_minutes: int = 60):
+    """Stream-stream windowed equi-join: every (click, purchase) pair by
+    the same user with the click inside the ``window_minutes`` before the
+    purchase — the two-sided interval-join family (attribution windows)
+    that asof (nearest one) and range join (static bands) don't cover.
+
+    groupby(user_id) co-locates both streams, so the time-window probe is
+    a pair of vectorized ``np.searchsorted`` bounds per group plus a
+    repeat/offset expansion — no per-row loop, no second shuffle.  Output
+    size is bounded by the window, not |clicks|×|purchases|.  Partitioning
+    assumption: one user's history fits a worker (the sessionize
+    contract); a celebrity key would be salted by time-bucket with pairs
+    spanning the bucket edge handled by replicating one window of the
+    click side into the next bucket."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["event_type"],
+                                    value_set=pa.array(["click",
+                                                        "purchase"]))),
+        batch_format="pyarrow")
+    win = np.timedelta64(window_minutes * 60, "s")
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        c = g[g["event_type"] == "click"].sort_values("ts")
+        p = g[g["event_type"] == "purchase"].sort_values("ts")
+        empty = pd.DataFrame({
+            "purchase_id": pd.Series([], dtype="int64"),
+            "click_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "gap_s": pd.Series([], dtype="float64")})
+        if c.empty or p.empty:
+            return empty
+        cts = c["ts"].to_numpy()
+        pts = p["ts"].to_numpy()
+        lo = np.searchsorted(cts, pts - win, side="left")
+        hi = np.searchsorted(cts, pts, side="left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        starts = np.repeat(lo, counts)
+        offsets = np.arange(total) - np.repeat(np.cumsum(counts) - counts,
+                                               counts)
+        ci = starts + offsets
+        pi = np.repeat(np.arange(len(p)), counts)
+        gap_us = (pts[pi] - cts[ci]).astype("timedelta64[us]").astype(
+            np.int64)
+        return pd.DataFrame({
+            "purchase_id": p["event_id"].to_numpy()[pi],
+            "click_id": c["event_id"].to_numpy()[ci],
+            "user_id": np.full(total, g["user_id"].iloc[0], np.int64),
+            "gap_s": np.round(gap_us / 1e6, 6),
+        })
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

@@ -239,3 +239,24 @@ def test_grouped_kmv_matches_single_process(ray_session):
         hs = sorted({_h64(str(u)) for u in g["user_id"]})[:16]
         want = round(kmv_estimate([hs], 16), 1)
         assert out.loc[et, "approx_ndistinct"] == want
+
+
+def test_stream_join_window_bounds(ray_session, tmp_path):
+    _write_events(tmp_path, [
+        (1, 1, "2024-01-01 10:00", "click"),
+        (2, 1, "2024-01-01 10:30", "click"),
+        (3, 1, "2024-01-01 11:00", "purchase"),   # joins click 2 only
+        (4, 1, "2024-01-01 11:00", "click"),      # NOT < purchase ts
+        (5, 2, "2024-01-01 10:45", "click"),      # other user
+    ])
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        click_purchase_attribution)
+
+    df = (click_purchase_attribution(str(tmp_path), window_minutes=60)
+          .to_pandas().sort_values("click_id").reset_index(drop=True))
+    # clicks 1 (exactly -60m, boundary inclusive) and 2 (-30m) join
+    # purchase 3; click 4 at exactly the purchase ts is excluded (strict <);
+    # click 5 is another user
+    assert df["click_id"].tolist() == [1, 2]
+    assert df["purchase_id"].tolist() == [3, 3]
+    assert df["gap_s"].tolist() == [3600.0, 1800.0]
