@@ -698,6 +698,21 @@ def q_multimodal_meta(sf_dir: str):
     return ds.select_columns(["message_id", "n_bytes", "media_type"])
 
 
+VPCT_LO, VPCT_HI, VPCT_BINS = 0.0, 512.0, 1024
+
+
+def q_value_percentiles(sf_dir: str):
+    """Approx global percent-rank of each event value (histogram sketch)."""
+    import ray.data as rd
+
+    from .stages.sketch import value_percentiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "value"])
+    return value_percentiles(ds, col="value", id_col="event_id",
+                             lo=VPCT_LO, hi=VPCT_HI, bins=VPCT_BINS)
+
+
 def q_grouped_ndistinct(sf_dir: str):
     """Per-group KMV sketch: approx distinct users per event_type."""
     import ray.data as rd
@@ -837,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_assoc_rules": relational.assoc_rules,
         "rel_stream_join": relational.click_purchase_attribution,
         "grouped_ndistinct": q_grouped_ndistinct,
+        "value_percentiles": q_value_percentiles,
         "doc_repetition": q_doc_repetition,
     }
 
@@ -937,5 +953,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_assoc_rules": oracles.assoc_rules_sql(20),
         "rel_stream_join": oracles.click_purchase_attribution_sql(60),
         "grouped_ndistinct": oracles.grouped_ndistinct_sql(64),
+        "value_percentiles": oracles.value_percentiles_sql(
+            VPCT_LO, VPCT_HI, VPCT_BINS),
         "doc_repetition": oracles.doc_repetition_sql(),
     }

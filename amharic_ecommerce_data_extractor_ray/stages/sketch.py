@@ -14,6 +14,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MAX = float(1 << 64)
 
@@ -261,3 +262,65 @@ def grouped_ndistinct(ds, group_col: str, col: str, *, k: int = 64):
                          "k": pa.array([k] * b.num_rows, pa.int64())})
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def value_percentiles(ds, *, col: str, id_col: str, lo: float, hi: float,
+                      bins: int = 1024):
+    """Approximate global percent-rank per row — the inverse of
+    histogram_quantile, and the scale path for rank/ntile-style analytics:
+    an exact global rank needs an all-to-all sort, this needs ONE
+    histogram fold (driver sees O(bins) bytes) plus a second streaming
+    scan that assigns each row its interpolated percentile from the
+    broadcast histogram.  Error ≤ one bin's mass; bin counts are exact
+    integers, so the DuckDB oracle recomputes the estimate bit-for-bit
+    with the same clamp/bucket/interpolate arithmetic."""
+    from ray.data.aggregate import AggregateFn
+
+    w = (hi - lo) / bins
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        idx = np.clip(np.floor((np.clip(x, lo, hi) - lo) / w),
+                      0, bins - 1).astype(np.int64)
+        counts = np.bincount(idx, minlength=bins)
+        return pa.table({"hist": pa.array([counts.tolist()],
+                                          pa.list_(pa.int64()))})
+
+    def _acc(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        for row in block["hist"].to_pylist():
+            acc = acc + np.asarray(row, dtype=np.int64)
+        return acc
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(bins, dtype=np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=_acc,
+        finalize=lambda acc: acc.tolist(),
+        name="hist",
+    )
+    counts = np.asarray(
+        (ds.select_columns([col])
+         .map_batches(partial, batch_format="pyarrow")
+         .aggregate(agg))["hist"], dtype=np.int64)
+    n = int(counts.sum())
+    cum_before = (np.cumsum(counts) - counts).astype(np.float64)
+    counts_f = counts.astype(np.float64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        xc = np.clip(x, lo, hi)
+        idx = np.clip(np.floor((xc - lo) / w), 0, bins - 1).astype(np.int64)
+        frac = (xc - (lo + idx.astype(np.float64) * w)) / w
+        pct = (cum_before[idx] + counts_f[idx] * frac) / n
+        # half-away round like DuckDB round(x, 6); pct is non-negative
+        pct = np.floor(pct * 1e6 + 0.5) / 1e6
+        return pa.table({
+            id_col: b[id_col],
+            col: pc.round(b[col], ndigits=6),
+            "pct": pa.array(pct, pa.float64()),
+        })
+
+    return ds.select_columns([id_col, col]).map_batches(
+        assign, batch_format="pyarrow")

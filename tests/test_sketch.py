@@ -145,3 +145,30 @@ def test_grouped_histogram_quantile_block_invariant(ray_session):
         rd.from_items(rows, override_num_blocks=16), **kw).to_pandas() \
         .sort_values(["g", "q"]).reset_index(drop=True)
     assert one.equals(many)
+
+
+def test_value_percentiles_close_to_exact(ray_session):
+    """Histogram percent-rank within one bin's mass of the exact rank."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.sketch import (
+        value_percentiles)
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "value"])
+    out = (value_percentiles(ds, col="value", id_col="event_id",
+                             lo=0.0, hi=512.0, bins=1024)
+           .to_pandas().set_index("event_id"))
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "value"]).to_pandas()
+    vals = np.sort(ev["value"].to_numpy())
+    n = len(vals)
+    # exact mid-rank percentile for a sample of rows
+    for row in ev.head(50).itertuples():
+        lo_r = np.searchsorted(vals, row.value, side="left") / n
+        hi_r = np.searchsorted(vals, row.value, side="right") / n
+        got = out.loc[row.event_id, "pct"]
+        assert lo_r - 0.02 <= got <= hi_r + 0.02, (row.value, got, lo_r, hi_r)
