@@ -701,6 +701,17 @@ def q_multimodal_meta(sf_dir: str):
 VPCT_LO, VPCT_HI, VPCT_BINS = 0.0, 512.0, 1024
 
 
+def q_fuzzy_pairs(sf_dir: str):
+    """Fuzzy-string blocking join: part-name surface forms within edit
+    distance 1 (SymSpell deletion-neighborhood blocking)."""
+    import ray.data as rd
+
+    from .stages.fuzzy import fuzzy_form_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    return fuzzy_form_pairs(ds, col="p_name")
+
+
 def q_value_percentiles(sf_dir: str):
     """Approx global percent-rank of each event value (histogram sketch)."""
     import ray.data as rd
@@ -853,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_stream_join": relational.click_purchase_attribution,
         "grouped_ndistinct": q_grouped_ndistinct,
         "value_percentiles": q_value_percentiles,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "doc_repetition": q_doc_repetition,
     }
 
@@ -955,5 +967,6 @@ def oracle_sql() -> dict[str, str]:
         "grouped_ndistinct": oracles.grouped_ndistinct_sql(64),
         "value_percentiles": oracles.value_percentiles_sql(
             VPCT_LO, VPCT_HI, VPCT_BINS),
+        "fuzzy_pairs": oracles.fuzzy_pairs_sql(),
         "doc_repetition": oracles.doc_repetition_sql(),
     }

@@ -201,3 +201,41 @@ def test_connected_components_from_minhash_pairs(ray_session):
         assert lab[row["id_a"]] == lab[row["id_b"]]
     assert set(out.cluster_id) <= set(out.doc_id)
     assert all(lab[c] == c for c in set(out.cluster_id))
+
+
+def test_fuzzy_within_one_matches_levenshtein():
+    import duckdb
+
+    from amharic_ecommerce_data_extractor_ray.stages.fuzzy import _within_one
+
+    words = ["red bolt", "old bolt", "red bol", "red boltx", "red  bolt",
+             "blue cap", "bluecap", "x", "", "xy", "yx", "ab", "ba"]
+    con = duckdb.connect()
+    for a in words:
+        for b in words:
+            if a == b:
+                continue
+            want = con.sql(
+                "select levenshtein(?, ?) <= 1", params=[a, b]).fetchone()[0]
+            assert _within_one(a, b) == want, (a, b)
+
+
+def test_fuzzy_blocking_finds_all_pairs(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from amharic_ecommerce_data_extractor_ray.stages.fuzzy import (
+        fuzzy_form_pairs)
+    import ray.data as rd
+
+    names = ["cat", "cap", "cart", "dog", "dig", "cat", "cat"]
+    pq.write_table(pa.table({"p_name": pa.array(names, pa.string())}),
+                   tmp_path / "part.parquet")
+    ds = rd.read_parquet(str(tmp_path / "part.parquet"))
+    out = (fuzzy_form_pairs(ds, col="p_name").to_pandas()
+           .sort_values(["name_a", "name_b"]).reset_index(drop=True))
+    got = set(zip(out["name_a"], out["name_b"]))
+    # cat-cap (sub), cat-cart (insert), dog-dig (sub); NOT cap-cart (d=2)
+    assert got == {("cap", "cat"), ("cart", "cat"), ("dig", "dog")}
+    r = out.set_index(["name_a", "name_b"]).loc[("cap", "cat")]
+    assert r["n_a"] == 1 and r["n_b"] == 3    # counts carried through
