@@ -862,6 +862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_khop": relational.part_khop,
         "rel_assoc_rules": relational.assoc_rules,
         "rel_stream_join": relational.click_purchase_attribution,
+        "rel_scd2": relational.scd2_user_state,
         "grouped_ndistinct": q_grouped_ndistinct,
         "value_percentiles": q_value_percentiles,
         "fuzzy_pairs": q_fuzzy_pairs,
@@ -964,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_khop": oracles.part_khop_sql(42, 3),
         "rel_assoc_rules": oracles.assoc_rules_sql(20),
         "rel_stream_join": oracles.click_purchase_attribution_sql(60),
+        "rel_scd2": oracles.scd2_user_state_sql(),
         "grouped_ndistinct": oracles.grouped_ndistinct_sql(64),
         "value_percentiles": oracles.value_percentiles_sql(
             VPCT_LO, VPCT_HI, VPCT_BINS),

@@ -1416,3 +1416,33 @@ def click_purchase_attribution(sf_dir: str, *, window_minutes: int = 60):
         })
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def scd2_user_state(sf_dir: str):
+    """SCD type-2 history build: each user's event stream becomes validity
+    intervals [valid_from, valid_to) with the event's type as the tracked
+    state and an is_current flag — the slowly-changing-dimension
+    versioning family (CDC upsert keeps last-writer only; this keeps the
+    full history).  groupby(user_id) co-locates a key's history; the
+    in-group kernel is one vectorized sort + shift (no row loop).
+    Deterministic order inside a key is (ts, event_id)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        out = pd.DataFrame({
+            "user_id": g["user_id"],
+            "event_id": g["event_id"],
+            "state": g["event_type"],
+            "valid_from": g["ts"].dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            "valid_to": g["ts"].shift(-1).dt.strftime("%Y-%m-%d %H:%M:%S.%f"),
+        })
+        out["is_current"] = out["valid_to"].isna()
+        # NaT-strftime yields float NaN; emit a true None so the Arrow
+        # column is a null, matching the SQL LEAD's NULL
+        out["valid_to"] = out["valid_to"].astype(object).where(
+            out["valid_to"].notna(), None)
+        return out
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

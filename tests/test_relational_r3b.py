@@ -260,3 +260,23 @@ def test_stream_join_window_bounds(ray_session, tmp_path):
     assert df["click_id"].tolist() == [1, 2]
     assert df["purchase_id"].tolist() == [3, 3]
     assert df["gap_s"].tolist() == [3600.0, 1800.0]
+
+
+def test_scd2_intervals(ray_session, tmp_path):
+    _write_events(tmp_path, [
+        (1, 1, "2024-01-01 10:00", "signup"),
+        (2, 1, "2024-01-01 11:00", "click"),
+        (3, 1, "2024-01-01 12:00", "purchase"),
+        (9, 2, "2024-01-01 09:00", "view"),
+    ])
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        scd2_user_state)
+
+    df = (scd2_user_state(str(tmp_path)).to_pandas()
+          .sort_values(["user_id", "valid_from"]).reset_index(drop=True))
+    u1 = df[df["user_id"] == 1]
+    assert u1["state"].tolist() == ["signup", "click", "purchase"]
+    # each interval closes at the next one's open; last is open-ended
+    assert u1["valid_to"].tolist()[:2] == u1["valid_from"].tolist()[1:]
+    assert u1["is_current"].tolist() == [False, False, True]
+    assert df[df["user_id"] == 2]["is_current"].tolist() == [True]
