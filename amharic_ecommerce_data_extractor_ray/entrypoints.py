@@ -724,6 +724,18 @@ def q_value_percentiles(sf_dir: str):
                              lo=VPCT_LO, hi=VPCT_HI, bins=VPCT_BINS)
 
 
+def q_rolling_active(sf_dir: str):
+    """7-day rolling approx distinct active users (windowed KMV merge)."""
+    import ray.data as rd
+
+    from .stages.sketch import rolling_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    return rolling_distinct(ds, ts_col="ts", id_col="user_id",
+                            window_days=7, k=64)
+
+
 def q_grouped_ndistinct(sf_dir: str):
     """Per-group KMV sketch: approx distinct users per event_type."""
     import ray.data as rd
@@ -864,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_stream_join": relational.click_purchase_attribution,
         "rel_scd2": relational.scd2_user_state,
         "grouped_ndistinct": q_grouped_ndistinct,
+        "rolling_active": q_rolling_active,
         "value_percentiles": q_value_percentiles,
         "fuzzy_pairs": q_fuzzy_pairs,
         "doc_repetition": q_doc_repetition,
@@ -967,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_stream_join": oracles.click_purchase_attribution_sql(60),
         "rel_scd2": oracles.scd2_user_state_sql(),
         "grouped_ndistinct": oracles.grouped_ndistinct_sql(64),
+        "rolling_active": oracles.rolling_distinct_sql(7, 64),
         "value_percentiles": oracles.value_percentiles_sql(
             VPCT_LO, VPCT_HI, VPCT_BINS),
         "fuzzy_pairs": oracles.fuzzy_pairs_sql(),

@@ -172,3 +172,41 @@ def test_value_percentiles_close_to_exact(ray_session):
         hi_r = np.searchsorted(vals, row.value, side="right") / n
         got = out.loc[row.event_id, "pct"]
         assert lo_r - 0.02 <= got <= hi_r + 0.02, (row.value, got, lo_r, hi_r)
+
+
+def test_rolling_distinct_calendar_window(ray_session, tmp_path):
+    """Window is by calendar day (gap days shrink the union), and the
+    merged-sketch estimate equals a direct single-process recompute."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.sketch import (
+        _h64, kmv_estimate, rolling_distinct)
+
+    rows = []
+    # day 1: users 1-10; day 2: users 5-14; day 10 (gap!): users 100-104
+    for u in range(1, 11):
+        rows.append(("2024-01-01 10:00", u))
+    for u in range(5, 15):
+        rows.append(("2024-01-02 10:00", u))
+    for u in range(100, 105):
+        rows.append(("2024-01-10 10:00", u))
+    tbl = pa.table({
+        "ts": pa.array(pd.to_datetime([r[0] for r in rows]),
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet")
+    ds = rd.read_parquet(str(tmp_path / "events.parquet"))
+    out = (rolling_distinct(ds, ts_col="ts", id_col="user_id",
+                            window_days=7, k=8)
+           .to_pandas().set_index("day"))
+    def direct(users):
+        hs = sorted({_h64(str(u)) for u in users})[:8]
+        return round(kmv_estimate([hs], 8), 1)
+    assert out.loc["2024-01-01", "approx_distinct"] == direct(range(1, 11))
+    assert out.loc["2024-01-02", "approx_distinct"] == direct(range(1, 15))
+    # Jan 10 window [Jan 4, Jan 10] excludes both earlier days
+    assert out.loc["2024-01-10", "approx_distinct"] == direct(range(100, 105))
