@@ -875,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_assoc_rules": relational.assoc_rules,
         "rel_stream_join": relational.click_purchase_attribution,
         "rel_scd2": relational.scd2_user_state,
+        "rel_transitions": relational.event_transitions,
         "grouped_ndistinct": q_grouped_ndistinct,
         "rolling_active": q_rolling_active,
         "value_percentiles": q_value_percentiles,
@@ -979,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_assoc_rules": oracles.assoc_rules_sql(20),
         "rel_stream_join": oracles.click_purchase_attribution_sql(60),
         "rel_scd2": oracles.scd2_user_state_sql(),
+        "rel_transitions": oracles.event_transitions_sql(),
         "grouped_ndistinct": oracles.grouped_ndistinct_sql(64),
         "rolling_active": oracles.rolling_distinct_sql(7, 64),
         "value_percentiles": oracles.value_percentiles_sql(

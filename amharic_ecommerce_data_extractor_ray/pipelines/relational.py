@@ -1446,3 +1446,47 @@ def scd2_user_state(sf_dir: str):
         return out
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def event_transitions(sf_dir: str):
+    """First-order Markov transition estimation over per-user event
+    sequences: counts and conditional probabilities of (state →
+    next_state) — the sequence-model-fitting family (funnel checks one
+    fixed path; this fits the whole transition matrix).
+
+    groupby(user_id) co-locates each chain; the in-group kernel is one
+    vectorized sort + shift; per-block Arrow ``group_by`` collapses
+    transitions before the single (state, next_state) groupby, so the
+    shuffle carries at most |states|² rows per block.  Probabilities are
+    single divisions of exact int64 counts (bit-identical oracle)."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts", "event_type"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        cur = g["event_type"].to_numpy()
+        if len(cur) < 2:
+            return pd.DataFrame({"state": pd.Series([], dtype="object"),
+                                 "next_state": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"state": cur[:-1], "next_state": cur[1:]})
+        out = df.groupby(["state", "next_state"], sort=False).size()
+        out = out.reset_index(name="n")
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    counts = (ds.groupby("user_id").map_groups(per_user,
+                                               batch_format="pandas")
+              .map_batches(lambda b: b, batch_format="pyarrow")
+              .groupby(["state", "next_state"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    counts["n"] = counts["n"].astype("int64")
+    totals = counts.groupby("state")["n"].transform("sum")
+    # half-away round like DuckDB round(x, 6)
+    counts["p"] = np.floor(
+        (counts["n"].to_numpy(np.float64) / totals.to_numpy(np.float64))
+        * 1e6 + 0.5) / 1e6
+    return counts.sort_values(["state", "next_state"]).reset_index(drop=True)

@@ -280,3 +280,26 @@ def test_scd2_intervals(ray_session, tmp_path):
     assert u1["valid_to"].tolist()[:2] == u1["valid_from"].tolist()[1:]
     assert u1["is_current"].tolist() == [False, False, True]
     assert df[df["user_id"] == 2]["is_current"].tolist() == [True]
+
+
+def test_transitions_counts_and_probs(ray_session, tmp_path):
+    _write_events(tmp_path, [
+        (1, 1, "2024-01-01 10:00", "view"),
+        (2, 1, "2024-01-01 11:00", "click"),
+        (3, 1, "2024-01-01 12:00", "view"),
+        (4, 1, "2024-01-01 13:00", "click"),
+        (5, 2, "2024-01-01 10:00", "view"),
+        (6, 2, "2024-01-01 11:00", "purchase"),
+        (7, 3, "2024-01-01 10:00", "error"),   # singleton: no transitions
+    ])
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        event_transitions)
+
+    df = event_transitions(str(tmp_path)).set_index(["state", "next_state"])
+    assert df.loc[("view", "click"), "n"] == 2
+    assert df.loc[("view", "purchase"), "n"] == 1
+    assert df.loc[("click", "view"), "n"] == 1
+    # P(click | view) = 2/3
+    assert df.loc[("view", "click"), "p"] == round(2 / 3, 6)
+    # singleton chains contribute nothing
+    assert len(df) == 3
