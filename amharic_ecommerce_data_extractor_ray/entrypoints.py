@@ -612,6 +612,18 @@ def q_dedup_clusters(sf_dir: str):
     return dedup.connected_components(dedup.minhash_lsh_pairs(docs))
 
 
+def q_dedup_best_survivors(sf_dir: str):
+    """Quality-aware canonical per near-dup cluster (max n_chars)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+    clusters = dedup.connected_components(
+        dedup.minhash_lsh_pairs(docs.select_columns(["doc_id", "text"])))
+    return dedup.best_survivor_per_cluster(
+        docs.select_columns(["doc_id", "n_chars"]), clusters)
+
+
 def q_dedup_survivors(sf_dir: str):
     """Dedup APPLY step — the piece that turns pair lists into a smaller
     corpus: MinHash pairs -> connected components -> LOSERS (doc_id !=
@@ -821,6 +833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_best_survivors": q_dedup_best_survivors,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
         "dedup_embedding": q_dedup_embedding,
@@ -947,6 +960,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oracles.clusters_sql(oracles.minhash_sql()),
         "dedup_survivors":
             oracles.dedup_survivors_sql(oracles.minhash_sql()),
+        "dedup_best_survivors":
+            oracles.best_survivors_sql(oracles.minhash_sql()),
         "dedup_simhash": oracles.simhash_sql(),
         "similarity_lsh": oracles.lsh_topk_sql(SIM_QUERY_IDS, SIM_K,
                                                n_planes=SIM_LSH_PLANES,

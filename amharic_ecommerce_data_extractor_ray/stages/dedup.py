@@ -696,3 +696,59 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
         return pa.table({out_id_col: b["src"], "cluster_id": b["label"]})
 
     return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def best_survivor_per_cluster(docs_ds, clusters_ds, *,
+                              quality_col: str = "n_chars",
+                              id_col: str = "doc_id"):
+    """Quality-aware canonical selection: per near-dup cluster keep the
+    BEST document (max ``quality_col``, ties to min id) instead of the
+    min-id default — the policy real curation pipelines use (keep the
+    longest / highest-quality member, drop the rest).
+
+    Two keyed steps, no broadcast: (1) the cluster membership list and the
+    column-pruned (id, quality) table co-shuffle ONCE on the doc id
+    (tagged-union reduce-side join — the metadata side streams, only
+    cluster members emerge), (2) a per-cluster vectorized argmax.  Output
+    is one row per cluster (canonical id, quality, member count) —
+    cluster-table sized, never corpus sized."""
+    quality = docs_ds.select_columns([id_col, quality_col]).map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col],
+            "cluster_id": pa.nulls(b.num_rows, pa.int64()),
+            "qual": pc.cast(b[quality_col], pa.int64()),
+        }), batch_format="pyarrow")
+    members = clusters_ds.map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col],
+            "cluster_id": b["cluster_id"],
+            "qual": pa.nulls(b.num_rows, pa.int64()),
+        }), batch_format="pyarrow")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        mem = g[g["qual"].isna()]
+        if mem.empty:
+            return pd.DataFrame({"cluster_id": pd.Series([], dtype="int64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "qual": pd.Series([], dtype="int64")})
+        q = int(g["qual"].dropna().iloc[0])
+        return pd.DataFrame({"cluster_id": mem["cluster_id"].astype("int64"),
+                             id_col: mem[id_col].astype("int64"),
+                             "qual": q})
+
+    with_q = (quality.union(members)
+              .groupby(id_col).map_groups(attach, batch_format="pandas")
+              .map_batches(lambda b: b, batch_format="pyarrow"))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["qual", id_col], ascending=[False, True])
+        top = g.iloc[0]
+        return pd.DataFrame({
+            "cluster_id": [int(top["cluster_id"])],
+            id_col: [int(top[id_col])],
+            quality_col: [int(top["qual"])],
+            "n_members": [int(len(g))],
+        })
+
+    return with_q.groupby("cluster_id").map_groups(argmax,
+                                                   batch_format="pandas")

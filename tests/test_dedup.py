@@ -239,3 +239,28 @@ def test_fuzzy_blocking_finds_all_pairs(ray_session, tmp_path):
     assert got == {("cap", "cat"), ("cart", "cat"), ("dig", "dog")}
     r = out.set_index(["name_a", "name_b"]).loc[("cap", "cat")]
     assert r["n_a"] == 1 and r["n_b"] == 3    # counts carried through
+
+
+def test_best_survivor_policy(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import (
+        best_survivor_per_cluster)
+
+    clusters = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 7, 8],
+        "cluster_id": [1, 1, 1, 7, 7],
+    }))
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 7, 8, 99],        # 99 is not in any cluster
+        "n_chars": [10, 50, 50, 5, 4, 1000],
+    }))
+    out = (best_survivor_per_cluster(docs, clusters).to_pandas()
+           .sort_values("cluster_id").reset_index(drop=True))
+    # cluster 1: max n_chars is a tie (2 and 3 at 50) -> min id 2 wins
+    assert out.iloc[0][["cluster_id", "doc_id", "n_chars",
+                        "n_members"]].tolist() == [1, 2, 50, 3]
+    assert out.iloc[1][["cluster_id", "doc_id", "n_chars",
+                        "n_members"]].tolist() == [7, 7, 5, 2]
+    assert len(out) == 2                       # unpaired docs don't appear
