@@ -889,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_stream_join": relational.click_purchase_attribution,
         "rel_scd2": relational.scd2_user_state,
         "rel_transitions": relational.event_transitions,
+        "rel_mode": relational.priority_mode_by_status,
         "grouped_ndistinct": q_grouped_ndistinct,
         "rolling_active": q_rolling_active,
         "value_percentiles": q_value_percentiles,
@@ -996,6 +997,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_stream_join": oracles.click_purchase_attribution_sql(60),
         "rel_scd2": oracles.scd2_user_state_sql(),
         "rel_transitions": oracles.event_transitions_sql(),
+        "rel_mode": oracles.priority_mode_sql(),
         "grouped_ndistinct": oracles.grouped_ndistinct_sql(64),
         "rolling_active": oracles.rolling_distinct_sql(7, 64),
         "value_percentiles": oracles.value_percentiles_sql(

@@ -1490,3 +1490,35 @@ def event_transitions(sf_dir: str):
         (counts["n"].to_numpy(np.float64) / totals.to_numpy(np.float64))
         * 1e6 + 0.5) / 1e6
     return counts.sort_values(["state", "next_state"]).reset_index(drop=True)
+
+
+def priority_mode_by_status(sf_dir: str):
+    """Grouped MODE (most frequent value, deterministic tie-break to the
+    lexicographically smallest) — the categorical-statistic family mean/
+    min/max aggregates don't cover.  Per-block Arrow ``group_by`` collapses
+    (status, priority) pairs before ONE native Sum groupby; the final
+    argmax runs per status group (vocabulary-sized)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = b.append_column("n", pa.array([1] * b.num_rows, pa.int64()))
+        return pa.TableGroupBy(t, ["o_orderstatus", "o_orderpriority"])\
+            .aggregate([("n", "sum")])\
+            .rename_columns(["o_orderstatus", "o_orderpriority", "n"])
+
+    counts = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby(["o_orderstatus", "o_orderpriority"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    def argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "o_orderpriority"], ascending=[False, True])
+        top = g.iloc[0]
+        return pd.DataFrame({
+            "o_orderstatus": [top["o_orderstatus"]],
+            "mode_priority": [top["o_orderpriority"]],
+            "n": [int(top["n"])],
+        })
+
+    return (counts.groupby("o_orderstatus")
+            .map_groups(argmax, batch_format="pandas"))
