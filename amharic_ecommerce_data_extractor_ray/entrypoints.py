@@ -553,6 +553,27 @@ def q_token_topk_sketch(sf_dir: str):
     return space_saving_topk(docs, k=100, capacity=4096)
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted index: token → df + capped ascending posting list."""
+    import ray.data as rd
+
+    from .stages.corpus_stats import inverted_index
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return inverted_index(docs, max_postings=20)
+
+
+def q_token_pmi(sf_dir: str):
+    """Collocation mining: top-50 token pairs by document-level PMI."""
+    import ray.data as rd
+
+    from .stages.corpus_stats import token_pmi
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return token_pmi(docs, min_support=5, k=50)
+
+
 def q_sessionize(sf_dir: str):
     """Behavioral-log sessionization: 30-min-gap sessions per user."""
     import ray.data as rd
@@ -813,6 +834,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_fingerprint,
         "token_topk": q_token_topk,
         "token_topk_sketch": q_token_topk_sketch,
+        "inverted_index": q_inverted_index,
+        "token_pmi": q_token_pmi,
         "sessionize": q_sessionize,
         "compact_documents": q_compact,
         "embed_documents": q_embed_documents,
@@ -890,6 +913,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_scd2": relational.scd2_user_state,
         "rel_transitions": relational.event_transitions,
         "rel_mode": relational.priority_mode_by_status,
+        "rel_json_extract": relational.props_sum_by_key,
+        "rel_corr": relational.corr_by_returnflag,
+        "rel_zscore": relational.event_value_anomalies,
         "grouped_ndistinct": q_grouped_ndistinct,
         "rolling_active": q_rolling_active,
         "value_percentiles": q_value_percentiles,
@@ -942,6 +968,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": oracles.multimodal_frames_sql(),
         "token_topk": oracles.token_topk_sql(100),
         "token_topk_sketch": oracles.token_topk_sketch_sql(100),
+        "inverted_index": oracles.inverted_index_sql(20),
+        "token_pmi": oracles.token_pmi_sql(5, 50),
         "compact_documents":
             "SELECT doc_id, text, lang, source FROM documents",
         "rel_salted_topk": oracles.salted_topk_sql(3),
@@ -998,6 +1026,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_scd2": oracles.scd2_user_state_sql(),
         "rel_transitions": oracles.event_transitions_sql(),
         "rel_mode": oracles.priority_mode_sql(),
+        "rel_json_extract": oracles.props_sum_by_key_sql(),
+        "rel_corr": oracles.corr_by_returnflag_sql(),
+        "rel_zscore": oracles.event_value_anomalies_sql(2.5),
         "grouped_ndistinct": oracles.grouped_ndistinct_sql(64),
         "rolling_active": oracles.rolling_distinct_sql(7, 64),
         "value_percentiles": oracles.value_percentiles_sql(

@@ -1522,3 +1522,142 @@ def priority_mode_by_status(sf_dir: str):
 
     return (counts.groupby("o_orderstatus")
             .map_groups(argmax, batch_format="pandas"))
+
+
+def props_sum_by_key(sf_dir: str):
+    """Semi-structured (JSON) field extraction + aggregate — the "parse the
+    event payload" stage every behavioral-log pipeline has.  The ``props``
+    column is a JSON string; the integer field ``k`` is pulled out with ONE
+    vectorized re2 kernel (``pc.extract_regex``), never ``json.loads`` per
+    row — at 100 TB the parse is the hot loop and stays in Arrow C++.
+    Rows whose props lack the key are dropped (defensive: none in the
+    synthetic table).  Output: per (event_type, decade bucket of k) row
+    count and value sum."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value", "props"])
+
+    def extract(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k"\s*:\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table({
+            "event_type": b["event_type"],
+            "k_bucket": pc.multiply(pc.floor(pc.divide(pc.cast(k, pa.float64()), 10.0)), 10.0),
+            "value": b["value"],
+        }).filter(pc.is_valid(k))
+        # per-block combiner: collapse to (type, bucket) partials
+        return pa.TableGroupBy(t, ["event_type", "k_bucket"]).aggregate(
+            [("value", "sum"), ([], "count_all")]
+        ).rename_columns(["event_type", "k_bucket", "sum_value", "n"])
+
+    out = (ds.map_batches(extract, batch_format="pyarrow")
+           .groupby(["event_type", "k_bucket"])
+           .aggregate(Sum("sum_value", alias_name="sum_value"),
+                      Sum("n", alias_name="n"))
+           .to_pandas())
+    out["k_bucket"] = out["k_bucket"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values(["event_type", "k_bucket"]).reset_index(drop=True)
+
+
+def corr_by_returnflag(sf_dir: str):
+    """Grouped Pearson correlation + least-squares fit (corr / regr_slope /
+    regr_intercept) via MERGEABLE sufficient statistics: each block emits one
+    (flag, n, Σx, Σy, Σxx, Σyy, Σxy) row from an Arrow hash group_by, a
+    native Sum groupby merges them, and the closed-form solve runs on the
+    vocabulary-sized result.  No second pass, no centering shuffle — the
+    classic "algebraic aggregate" shape that distributes for free."""
+    import numpy as np
+
+    ds = _lineitem(sf_dir, ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = pc.cast(b["l_quantity"], pa.float64())
+        y = b["l_extendedprice"]
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": pa.array([1] * b.num_rows, pa.int64()),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x), "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y),
+        })
+        return pa.TableGroupBy(t, "l_returnflag").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")]
+        ).rename_columns(["l_returnflag", "n", "sx", "sy", "sxx", "syy",
+                          "sxy"])
+
+    stats = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("l_returnflag")
+             .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                        Sum("sy", alias_name="sy"),
+                        Sum("sxx", alias_name="sxx"),
+                        Sum("syy", alias_name="syy"),
+                        Sum("sxy", alias_name="sxy"))
+             .to_pandas())
+    n = stats["n"].to_numpy(np.float64)
+    sx, sy = stats["sx"].to_numpy(), stats["sy"].to_numpy()
+    sxx, syy, sxy = stats["sxx"].to_numpy(), stats["syy"].to_numpy(), \
+        stats["sxy"].to_numpy()
+    cov_n2 = n * sxy - sx * sy
+    varx_n2 = n * sxx - sx * sx
+    vary_n2 = n * syy - sy * sy
+    slope = cov_n2 / varx_n2
+    return pd.DataFrame({
+        "l_returnflag": stats["l_returnflag"],
+        "n": stats["n"].astype("int64"),
+        "corr_qty_price": np.round(cov_n2 / np.sqrt(varx_n2 * vary_n2), 6),
+        "slope": np.round(slope, 6),
+        "intercept": np.round((sy - slope * sx) / n, 4),
+    }).sort_values("l_returnflag").reset_index(drop=True)
+
+
+def event_value_anomalies(sf_dir: str, *, z_threshold: float = 2.5):
+    """Grouped z-score anomaly detection: pass 1 computes per-event_type
+    sufficient statistics (n, Σv, Σv²) with the combiner shape; the
+    vocabulary-sized (mean, std) table is broadcast once via ``ray.put`` and
+    pass 2 standardizes + filters each block vectorized.  The per-group
+    stats never shuffle the fact rows — only blocks' partial rows move."""
+    import numpy as np
+
+    cols = ["event_id", "event_type", "value"]
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def partials(b: pa.Table) -> pa.Table:
+        v = b["value"]
+        t = pa.table({
+            "event_type": b["event_type"],
+            "n": pa.array([1] * b.num_rows, pa.int64()),
+            "sv": v, "svv": pc.multiply(v, v),
+        })
+        return pa.TableGroupBy(t, "event_type").aggregate(
+            [("n", "sum"), ("sv", "sum"), ("svv", "sum")]
+        ).rename_columns(["event_type", "n", "sv", "svv"])
+
+    stats = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("n", alias_name="n"), Sum("sv", alias_name="sv"),
+                        Sum("svv", alias_name="svv"))
+             .to_pandas())
+    n = stats["n"].to_numpy(np.float64)
+    mean = stats["sv"].to_numpy() / n
+    std = np.sqrt(stats["svv"].to_numpy() / n - mean * mean)  # population
+    lookup_ref = ray.put({t: (m, s) for t, m, s in
+                          zip(stats["event_type"], mean, std)})
+
+    def standardize(b: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        types = b["event_type"].to_pylist()
+        m = np.fromiter((lookup[t][0] for t in types), np.float64,
+                        len(types))
+        s = np.fromiter((lookup[t][1] for t in types), np.float64,
+                        len(types))
+        z = (b["value"].to_numpy(zero_copy_only=False) - m) / s
+        keep = np.abs(z) >= z_threshold
+        return pa.table({
+            "event_id": b["event_id"].filter(pa.array(keep)),
+            "event_type": b["event_type"].filter(pa.array(keep)),
+            "value": b["value"].filter(pa.array(keep)),
+            "z": pa.array(np.round(z[keep], 6), pa.float64()),
+        })
+
+    return ds.map_batches(standardize, batch_format="pyarrow")

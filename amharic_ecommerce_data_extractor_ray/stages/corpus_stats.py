@@ -343,3 +343,111 @@ def trending_tokens(corpus_ds, *, k: int = 3, date_col: str = "message_date",
     return (corpus_ds.select_columns([date_col, text_col])
             .map_batches(partial, batch_format="pyarrow")
             .groupby(date_col).map_groups(topk, batch_format="pandas"))
+
+
+def inverted_index(docs_ds, *, id_col: str = "doc_id",
+                   text_col: str = "text", max_postings: int = 20):
+    """Inverted index build (token → document-frequency + capped posting
+    list) — the retrieval-side artifact of a corpus pipeline.
+
+    Shape: per-batch DISTINCT (token, doc_id) via Arrow hash ``group_by``
+    (the combiner: a token repeated in a doc contributes one row), ONE
+    groupby(token) co-locates each posting list, and the per-group merge
+    emits ``df`` (exact, from the pre-deduped rows) plus the first
+    ``max_postings`` doc ids ascending as a comma string.  Capping bounds
+    the output row; a full-posting-list variant would write the exploded
+    (token, doc_id) table as token-partitioned Parquet instead of strings
+    (same shuffle, no per-row giant value)."""
+    import numpy as np
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ids, toks = [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            for tok in set((t or "").split()):
+                ids.append(i)
+                toks.append(tok)
+        t = pa.table({"token": pa.array(toks, pa.string()),
+                      id_col: pa.array(ids, pa.int64())})
+        return pa.TableGroupBy(t, ["token", id_col]).aggregate([]) \
+            .rename_columns(["token", id_col])
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy(np.int64))
+        return pd.DataFrame([{
+            "token": g["token"].iloc[0],
+            "df": len(ids),
+            "postings": ",".join(map(str, ids[:max_postings])),
+        }])
+
+    return (docs_ds.map_batches(pairs, batch_format="pyarrow")
+            .groupby("token").map_groups(merge, batch_format="pandas"))
+
+
+def token_pmi(docs_ds, *, text_col: str = "text", min_support: int = 5,
+              k: int = 50):
+    """Pointwise-mutual-information token co-occurrence (collocation mining,
+    Church & Hanks 1990) — top-k token pairs by PMI with a document-count
+    support floor.
+
+    Two passes, both combiner-shaped:
+      1. document frequencies via one vocab-sized groupby; vocabulary +
+         doc count broadcast once via ``ray.put``.
+      2. per-batch binary doc×term matrix against the broadcast vocab and a
+         single ``Mᵀ·M`` matmul → the block's vocab×vocab co-occurrence
+         counts; only the nonzero upper triangle leaves the worker, merged
+         by a native Sum groupby.  No per-pair Python loops: the matmul IS
+         the pair enumeration, and partials are vocabulary²-bounded (not
+         corpus-bounded) — the same trick as embedding-cosine dedup.
+
+    PMI = ln(n_ab·N / (df_a·df_b)) over document-level (not positional)
+    co-occurrence; deterministic order (pmi desc, token_a, token_b)."""
+    import numpy as np
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    def df_partials(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in b[text_col].to_pylist():
+            c.update(set((t or "").split()))
+        toks = sorted(c)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "df": pa.array([c[t] for t in toks], pa.int64())})
+
+    df_tbl = (docs_ds.map_batches(df_partials, batch_format="pyarrow")
+              .groupby("token").aggregate(Sum("df", alias_name="df"))
+              .to_pandas().sort_values("token").reset_index(drop=True))
+    n_docs = docs_ds.count()
+    vocab = {t: i for i, t in enumerate(df_tbl["token"])}
+    vocab_ref = ray.put(vocab)
+
+    def cooc_partials(b: pa.Table) -> pa.Table:
+        v = ray.get(vocab_ref)
+        m = np.zeros((b.num_rows, len(v)), np.float32)
+        for r, t in enumerate(b[text_col].to_pylist()):
+            for tok in set((t or "").split()):
+                m[r, v[tok]] = 1.0
+        co = m.T @ m                     # vocab×vocab, the pair enumeration
+        iu = np.triu_indices(len(v), k=1)
+        n = co[iu].astype(np.int64)
+        nz = n > 0
+        return pa.table({"ia": pa.array(iu[0][nz], pa.int64()),
+                         "ib": pa.array(iu[1][nz], pa.int64()),
+                         "n_ab": pa.array(n[nz], pa.int64())})
+
+    co = (docs_ds.map_batches(cooc_partials, batch_format="pyarrow")
+          .groupby(["ia", "ib"]).aggregate(Sum("n_ab", alias_name="n_ab"))
+          .to_pandas())
+    co = co[co["n_ab"] >= min_support]
+    toks = df_tbl["token"].to_numpy()
+    dfs = df_tbl["df"].to_numpy(np.float64)
+    pmi = np.log(co["n_ab"].to_numpy(np.float64) * float(n_docs)
+                 / (dfs[co["ia"]] * dfs[co["ib"]]))
+    out = pd.DataFrame({
+        "token_a": toks[co["ia"]], "token_b": toks[co["ib"]],
+        "n_ab": co["n_ab"].to_numpy(np.int64), "pmi": pmi,
+    }).sort_values(["pmi", "token_a", "token_b"],
+                   ascending=[False, True, True]).head(k)
+    out["pmi"] = out["pmi"].round(6)
+    return out.reset_index(drop=True)

@@ -1,0 +1,67 @@
+"""Round-3 batch 3: inverted index and PMI collocation mining."""
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, texts):
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+
+
+def test_inverted_index_semantics(ray_session, tmp_path):
+    _write_docs(tmp_path, ["a b a", "b c", "a", ""])
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import (
+        inverted_index)
+
+    docs = rd.read_parquet(str(tmp_path / "documents.parquet"))
+    out = (inverted_index(docs, max_postings=2).to_pandas()
+           .sort_values("token").reset_index(drop=True))
+    # 'a' appears in docs 0 and 2 (repeat inside doc 0 counted once)
+    assert out.values.tolist() == [
+        ["a", 2, "0,2"], ["b", 2, "0,1"], ["c", 1, "1"]]
+
+
+def test_inverted_index_caps_postings(ray_session, tmp_path):
+    _write_docs(tmp_path, ["x"] * 30)
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import (
+        inverted_index)
+
+    docs = rd.read_parquet(str(tmp_path / "documents.parquet"))
+    out = inverted_index(docs, max_postings=5).to_pandas()
+    assert out["df"].iloc[0] == 30                    # df is exact
+    assert out["postings"].iloc[0] == "0,1,2,3,4"     # list is capped
+
+
+def test_token_pmi_matches_direct_computation(ray_session, tmp_path):
+    # 'a b' co-occur in every doc; 'a c' in half; 'b c' in half
+    _write_docs(tmp_path, ["a b c", "a b", "a b c", "a b"])
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import (
+        token_pmi)
+
+    docs = rd.read_parquet(str(tmp_path / "documents.parquet"))
+    out = token_pmi(docs, min_support=1, k=10)
+    got = {(r.token_a, r.token_b): (r.n_ab, r.pmi)
+           for r in out.itertuples()}
+    # pmi(a,b) = ln(4*4/(4*4)) = 0 ; pmi(a,c) = ln(2*4/(4*2)) = 0
+    # pmi(b,c) = ln(2*4/(4*2)) = 0
+    assert got[("a", "b")] == (4, 0.0)
+    assert got[("a", "c")] == (2, 0.0)
+    # skewed corpus: c rarer alone than with b
+    _write_docs(tmp_path, ["b c", "b c", "a", "a b"])
+    docs = rd.read_parquet(str(tmp_path / "documents.parquet"))
+    out = token_pmi(docs, min_support=1, k=10)
+    row = out[(out.token_a == "b") & (out.token_b == "c")].iloc[0]
+    assert row["n_ab"] == 2
+    assert abs(row["pmi"] - round(math.log(2 * 4 / (3 * 2)), 6)) < 1e-9
