@@ -914,6 +914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_transitions": relational.event_transitions,
         "rel_mode": relational.priority_mode_by_status,
         "rel_json_extract": relational.props_sum_by_key,
+        "rel_returned_items": relational.returned_item_report,
+        "rel_large_orders": relational.large_volume_customers,
         "rel_corr": relational.corr_by_returnflag,
         "rel_zscore": relational.event_value_anomalies,
         "grouped_ndistinct": q_grouped_ndistinct,
@@ -1027,6 +1029,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_transitions": oracles.event_transitions_sql(),
         "rel_mode": oracles.priority_mode_sql(),
         "rel_json_extract": oracles.props_sum_by_key_sql(),
+        "rel_returned_items": oracles.returned_item_report_sql(20),
+        "rel_large_orders": oracles.large_volume_customers_sql(250.0),
         "rel_corr": oracles.corr_by_returnflag_sql(),
         "rel_zscore": oracles.event_value_anomalies_sql(2.5),
         "grouped_ndistinct": oracles.grouped_ndistinct_sql(64),

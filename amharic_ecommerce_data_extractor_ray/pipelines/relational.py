@@ -1661,3 +1661,100 @@ def event_value_anomalies(sf_dir: str, *, z_threshold: float = 2.5):
         })
 
     return ds.map_batches(standardize, batch_format="pyarrow")
+
+
+def returned_item_report(sf_dir: str, *, k: int = 20,
+                         num_partitions: int = 16):
+    """TPC-H Q10 shape: revenue lost to returned items per customer, top-k.
+    lineitem(filter R) → per-block revenue partials keyed by order (the
+    combiner collapses multi-line orders BEFORE the join shuffle) →
+    DISTRIBUTED hash join to orders (fact⋈fact) → custkey groupby →
+    distributed join to customer (fact-scale at 100×) → nation name via a
+    25-row broadcast dict.  Only order-grained partials ever shuffle."""
+    li = _lineitem(sf_dir, ["l_orderkey", "l_returnflag", "l_extendedprice",
+                            "l_discount"])
+
+    def rev_partials(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        t = pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "revenue": pc.multiply(b["l_extendedprice"],
+                                   pc.subtract(pa.scalar(1.0),
+                                               b["l_discount"])),
+        })
+        return pa.TableGroupBy(t, "l_orderkey").aggregate(
+            [("revenue", "sum")]).rename_columns(["l_orderkey", "revenue"])
+
+    per_order = (li.map_batches(rev_partials, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("revenue", alias_name="revenue")))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    per_cust = (per_order.join(orders, join_type="inner",
+                               num_partitions=num_partitions,
+                               on=("l_orderkey",), right_on=("o_orderkey",))
+                .groupby("o_custkey")
+                .aggregate(Sum("revenue", alias_name="revenue")))
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name", "c_nationkey"])
+    joined = per_cust.join(cust, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("o_custkey",), right_on=("c_custkey",))
+
+    nation = {r["n_nationkey"]: r["n_name"] for r in
+              rd.read_parquet(f"{sf_dir}/nation.parquet").take_all()}
+    pdf = joined.to_pandas()
+    pdf["n_name"] = pdf["c_nationkey"].map(nation)
+    pdf["revenue"] = pdf["revenue"].round(4)
+    pdf = (pdf.sort_values(["revenue", "o_custkey"], ascending=[False, True])
+           .head(k)
+           .rename(columns={"o_custkey": "c_custkey"}))
+    return pdf[["c_custkey", "c_name", "n_name", "revenue"]] \
+        .reset_index(drop=True)
+
+
+def large_volume_customers(sf_dir: str, *, min_qty: float = 250.0,
+                           num_partitions: int = 16):
+    """TPC-H Q18 shape (HAVING over a fact aggregate + join-back): orders
+    whose total lineitem quantity exceeds ``min_qty``, decorated with
+    customer name and order header.  The HAVING filter runs where the
+    aggregate lives — a vectorized post-groupby batch filter — so only the
+    few surviving orders join back to orders/customer."""
+    li = _lineitem(sf_dir, ["l_orderkey", "l_quantity"])
+
+    def qty_partials(b: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(b, "l_orderkey").aggregate(
+            [("l_quantity", "sum")]).rename_columns(["l_orderkey", "sum_qty"])
+
+    # The HAVING filter leaves most aggregate blocks empty (survivors are
+    # ~1% of orders); compact them before the join — empty schema-less
+    # blocks break the Arrow hash join, and sparse blocks waste join tasks.
+    big = (li.map_batches(qty_partials, batch_format="pyarrow")
+           .groupby("l_orderkey").aggregate(Sum("sum_qty",
+                                                alias_name="sum_qty"))
+           .map_batches(lambda b: b.filter(pc.greater(b["sum_qty"],
+                                                      min_qty)),
+                        batch_format="pyarrow")
+           .repartition(num_partitions))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_totalprice"])
+    j1 = big.join(orders, join_type="inner", num_partitions=num_partitions,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    j2 = j1.join(cust, join_type="inner", num_partitions=num_partitions,
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    pdf = j2.to_pandas()
+    pdf["o_orderdate"] = pdf["o_orderdate"].astype(str).str[:10]
+    pdf["sum_qty"] = pdf["sum_qty"].round(2)
+    pdf = pdf.rename(columns={"l_orderkey": "o_orderkey"})
+    pdf = pdf[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+               "o_totalprice", "sum_qty"]]
+    return (pdf.sort_values(["sum_qty", "o_orderkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))

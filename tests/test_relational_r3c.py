@@ -62,3 +62,48 @@ def test_zscore_matches_pandas(ray_session):
     expect = set(ev.loc[z.abs() >= 2.0, "event_id"])
     assert set(out["event_id"]) == expect
     assert (out["z"].abs() >= 2.0).all()
+
+
+def test_returned_items_semantics(ray_session, tmp_path):
+    # two customers; cust 1 has one returned line, cust 2 two returned lines
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "l_returnflag": pa.array(["R", "N", "R", "R"], pa.string()),
+        "l_extendedprice": pa.array([100.0, 999.0, 50.0, 60.0], pa.float64()),
+        "l_discount": pa.array([0.1, 0.0, 0.0, 0.5], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 20, 20], pa.int64()),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 20], pa.int64()),
+        "c_name": pa.array(["cust10", "cust20"], pa.string()),
+        "c_nationkey": pa.array([0, 1], pa.int64()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["AAA", "BBB"], pa.string()),
+    }), tmp_path / "nation.parquet")
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        returned_item_report)
+
+    out = returned_item_report(str(tmp_path), k=10, num_partitions=2)
+    # cust10: 100*0.9 = 90 ; cust20: 50 + 60*0.5 = 80
+    assert out.values.tolist() == [
+        [10, "cust10", "AAA", 90.0], [20, "cust20", "BBB", 80.0]]
+
+
+def test_large_orders_having_filter(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        large_volume_customers)
+
+    out = large_volume_customers(SF, min_qty=250.0, num_partitions=4)
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_orderkey", "l_quantity"]).to_pandas()
+    expect = li.groupby("l_orderkey")["l_quantity"].sum()
+    expect = set(expect[expect > 250.0].index)
+    assert set(out["o_orderkey"]) == expect
+    assert (out["sum_qty"] > 250.0).all()
+    # sorted by sum_qty desc with orderkey tie-break
+    assert out["sum_qty"].is_monotonic_decreasing or len(out) <= 1
