@@ -793,6 +793,30 @@ def q_doc_repetition(sf_dir: str):
                               "top_bigram_frac"])
 
 
+def q_exact_quantiles(sf_dir: str):
+    """Exact p50/p95/p99 of events.value via histogram locate + bin refine
+    (no global sort)."""
+    import ray.data as rd
+
+    from .stages.sketch import exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return exact_quantiles(ds, col="value", quantiles=(0.5, 0.95, 0.99),
+                           lo=VPCT_LO, hi=VPCT_HI, bins=VPCT_BINS)
+
+
+def q_doc_entropy(sf_dir: str):
+    """Token-distribution Shannon entropy per document (quality signal)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        lambda b: textstats.entropy_batch(b, text_col="text"),
+        batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "n_tokens", "token_entropy"])
+
+
 def q_multimodal_frames(sf_dir: str):
     """Video frame-sampling plumbing (deterministic fake decode; rows-only
     check — the frame features are hash-derived, not SQL-expressible)."""
@@ -899,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degrees": kg.kg_degrees,
         "kg_cooccurrence": kg.kg_cooccurrence,
         "kg_pagerank": kg.kg_pagerank,
+        "kg_link_prediction": kg.kg_link_prediction,
         # round-3 batch 2: sequence / window-frame / outer-join / graph /
         # quality-filter coverage
         "rel_funnel": relational.event_funnel,
@@ -923,6 +948,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles": q_value_percentiles,
         "fuzzy_pairs": q_fuzzy_pairs,
         "doc_repetition": q_doc_repetition,
+        "doc_entropy": q_doc_entropy,
+        "rel_ntile": relational.value_deciles,
+        "exact_quantiles": q_exact_quantiles,
     }
 
 
@@ -1016,6 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": oracles.kg_degrees_sql(),
         "kg_cooccurrence": oracles.kg_cooccurrence_sql(),
         "kg_pagerank": oracles.kg_pagerank_sql(),
+        "kg_link_prediction": oracles.kg_link_prediction_sql(2, 50),
         "rel_funnel": oracles.event_funnel_sql(24),
         "rel_moving_avg": oracles.daily_moving_avg_sql(7),
         "rel_full_outer": oracles.customers_year_outer_sql(1995, 2000),
@@ -1039,4 +1068,7 @@ def oracle_sql() -> dict[str, str]:
             VPCT_LO, VPCT_HI, VPCT_BINS),
         "fuzzy_pairs": oracles.fuzzy_pairs_sql(),
         "doc_repetition": oracles.doc_repetition_sql(),
+        "doc_entropy": oracles.doc_entropy_sql(),
+        "rel_ntile": oracles.value_deciles_sql(10),
+        "exact_quantiles": oracles.exact_quantiles_sql((0.5, 0.95, 0.99)),
     }

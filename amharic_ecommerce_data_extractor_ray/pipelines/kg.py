@@ -357,3 +357,58 @@ def build_kg_from_corpus(corpus_factory, out_dir: str, *,
     stats["scorecard"] = {"rows": len(sc)}
     manifest = write_manifest(out_dir, sf_dir, stats)
     return manifest
+
+
+def kg_link_prediction(sf_dir: str, *, min_common: int = 2, k: int = 50,
+                       max_entity_fanout: int = 4096):
+    """Link prediction over the bipartite KG: vendor pairs scored by the
+    Jaccard similarity of their entity neighborhoods (common-neighbors
+    family, Liben-Nowell & Kleinberg 2003) — "vendors with overlapping
+    catalogs", the recommendation edge the co-mention table doesn't give.
+
+    Shape: the (vendor, entity) incidence list is vocabulary-sized, never
+    corpus-sized.  Per-vendor degrees come from one groupby and broadcast
+    via ``ray.put``; candidate pairs are emitted per entity bucket
+    (``groupby(entity).map_groups``), so only entities SHARED by ≥2 vendors
+    generate work, and a ``max_entity_fanout`` guard raises with guidance on
+    degenerate hub entities (the same posture as the dedup bucket caps —
+    cap² pair explosion must be an explicit choice, not a silent OOM)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    inc = kg_edges(sf_dir).select_columns(["subj", "dst_id"])
+
+    deg = (inc.groupby("subj").aggregate(Count(alias_name="d")).to_pandas())
+    deg_ref = ray.put(dict(zip(deg["subj"], deg["d"].astype(int))))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        vs = np.sort(g["subj"].unique())
+        if len(vs) > max_entity_fanout:
+            raise ValueError(
+                f"entity {g['dst_id'].iloc[0]!r} is shared by {len(vs)} "
+                f"vendors (> max_entity_fanout={max_entity_fanout}); "
+                "raise the cap or pre-filter hub entities before link "
+                "prediction")
+        if len(vs) < 2:
+            return pd.DataFrame({"vendor_a": [], "vendor_b": [], "n": []})
+        ia, ib = np.triu_indices(len(vs), k=1)
+        return pd.DataFrame({"vendor_a": vs[ia], "vendor_b": vs[ib],
+                             "n": np.ones(len(ia), np.int64)})
+
+    common = (inc.groupby("dst_id").map_groups(pairs, batch_format="pandas")
+              .groupby(["vendor_a", "vendor_b"])
+              .aggregate(Sum("n", alias_name="n_common"))
+              .to_pandas())
+    common = common[common["n_common"] >= min_common]
+    degs = ray.get(deg_ref)
+    da = common["vendor_a"].map(degs).to_numpy(np.float64)
+    db = common["vendor_b"].map(degs).to_numpy(np.float64)
+    n = common["n_common"].to_numpy(np.float64)
+    common = common.assign(
+        n_common=common["n_common"].astype("int64"),
+        jaccard=np.floor(n / (da + db - n) * 1e6 + 0.5) / 1e6)
+    return (common.sort_values(["jaccard", "vendor_a", "vendor_b"],
+                               ascending=[False, True, True])
+            .head(k).reset_index(drop=True))

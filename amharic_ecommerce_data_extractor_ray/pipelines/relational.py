@@ -1758,3 +1758,38 @@ def large_volume_customers(sf_dir: str, *, min_qty: float = 250.0,
     return (pdf.sort_values(["sum_qty", "o_orderkey"],
                             ascending=[False, True])
             .reset_index(drop=True))
+
+
+def value_deciles(sf_dir: str, *, n_buckets: int = 10):
+    """Exact NTILE bucketing per group: each event_type's values are split
+    into ``n_buckets`` rank buckets (SQL NTILE semantics: the first
+    ``n % buckets`` buckets take the extra row), reported as per-bucket
+    count / min / max — the rank-statistics family the histogram-sketch
+    quantiles approximate.
+
+    Partitioning assumption (same as the window operators): one GROUP's
+    rows fit a worker, so the per-group sort is local after the groupby
+    co-locates the key.  Ties order by (value, event_id) so bucket
+    assignment is deterministic on both sides."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def buckets(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"])
+        n = len(g)
+        q, r = divmod(n, n_buckets)
+        sizes = np.r_[np.full(r, q + 1, np.int64), np.full(n_buckets - r, q,
+                                                           np.int64)]
+        sizes = sizes[sizes > 0]
+        tile = np.repeat(np.arange(1, len(sizes) + 1), sizes)
+        v = g["value"].to_numpy()
+        out = pd.DataFrame({"tile": tile, "value": v}).groupby("tile").agg(
+            n=("value", "size"), min_value=("value", "min"),
+            max_value=("value", "max")).reset_index()
+        out.insert(0, "event_type", g["event_type"].iloc[0])
+        return out
+
+    return (ds.groupby("event_type")
+            .map_groups(buckets, batch_format="pandas"))

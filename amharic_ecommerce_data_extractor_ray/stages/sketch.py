@@ -401,3 +401,95 @@ def rolling_distinct(ds, *, ts_col: str, id_col: str, window_days: int = 7,
     return pa.table({"day": pa.array(out_day, pa.string()),
                      "approx_distinct": pa.array(out_est, pa.float64()),
                      "k": pa.array([k] * len(out_day), pa.int64())})
+
+
+def exact_quantiles(ds, *, col: str, quantiles: tuple[float, ...],
+                    lo: float, hi: float, bins: int = 1024,
+                    max_refine_rows: int = 5_000_000):
+    """EXACT distributed quantiles without a global sort — the two-phase
+    locate/refine pattern: phase 1 is the mergeable histogram sketch (driver
+    receives ONE O(bins) vector), which pins each target rank to a bin;
+    phase 2 re-scans with a vectorized filter for JUST those bins (expected
+    n/bins rows each) and selects the exact within-bin rank locally.
+
+    Rank semantics: the k-th smallest with k = ceil(q·n), 1-indexed — the
+    discrete quantile a SQL ``row_number() = ceil(q*n)`` mirror computes.
+    Skew guard: if the refine set exceeds ``max_refine_rows`` (every target
+    bin degenerate), raise with guidance to raise ``bins`` — at 1000× the
+    refine must stay a small fraction of the data or it IS the sort."""
+    import math
+
+    counts = histogram_counts(ds, col=col, lo=lo, hi=hi, bins=bins)
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    w = (hi - lo) / bins
+
+    targets = []   # (q, k, bin_idx, rank_in_bin)
+    need_bins = set()
+    for q in quantiles:
+        k = max(1, int(math.ceil(q * n)))
+        i = int(np.searchsorted(cum, k, side="left"))  # first cum >= k
+        prev = int(cum[i - 1]) if i > 0 else 0
+        targets.append((q, k, i, k - prev))
+        need_bins.add(i)
+
+    refine_total = int(counts[sorted(need_bins)].sum())
+    if refine_total > max_refine_rows:
+        raise ValueError(
+            f"refine set is {refine_total} rows (> {max_refine_rows}); "
+            "raise `bins` so target bins are narrower, or raise "
+            "max_refine_rows explicitly")
+
+    bin_list = sorted(need_bins)
+
+    def in_bins(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[col].to_numpy(zero_copy_only=False), np.float64)
+        idx = np.clip(np.floor((np.clip(x, lo, hi) - lo) / w),
+                      0, bins - 1).astype(np.int64)
+        keep = np.isin(idx, bin_list)
+        return pa.table({col: pa.array(x[keep], pa.float64()),
+                         "bin": pa.array(idx[keep], pa.int64())})
+
+    refine = (ds.select_columns([col])
+              .map_batches(in_bins, batch_format="pyarrow")
+              .to_pandas())
+    out_q, out_v = [], []
+    for q, k, i, r in targets:
+        vals = np.sort(refine.loc[refine["bin"] == i, col].to_numpy())
+        out_q.append(q)
+        out_v.append(float(vals[r - 1]))
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "exact": pa.array(out_v, pa.float64())})
+
+
+def histogram_counts(ds, *, col: str, lo: float, hi: float,
+                     bins: int = 1024) -> np.ndarray:
+    """The shared phase-1 histogram fold: per-block bincount partials merged
+    by a distributed AggregateFn; the driver receives one O(bins) vector."""
+    from ray.data.aggregate import AggregateFn
+
+    w = (hi - lo) / bins
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.asarray(b[col].to_numpy(zero_copy_only=False), np.float64)
+        idx = np.clip(np.floor((np.clip(x, lo, hi) - lo) / w),
+                      0, bins - 1).astype(np.int64)
+        return pa.table({"hist": pa.array([np.bincount(
+            idx, minlength=bins).tolist()], pa.list_(pa.int64()))})
+
+    def _acc(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        for row in block["hist"].to_pylist():
+            acc = acc + np.asarray(row, dtype=np.int64)
+        return acc
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(bins, dtype=np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=_acc,
+        finalize=lambda acc: acc.tolist(),
+        name="hist",
+    )
+    return np.asarray(
+        (ds.select_columns([col])
+         .map_batches(partial, batch_format="pyarrow")
+         .aggregate(agg))["hist"], dtype=np.int64)

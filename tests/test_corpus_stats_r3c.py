@@ -65,3 +65,30 @@ def test_token_pmi_matches_direct_computation(ray_session, tmp_path):
     row = out[(out.token_a == "b") & (out.token_b == "c")].iloc[0]
     assert row["n_ab"] == 2
     assert abs(row["pmi"] - round(math.log(2 * 4 / (3 * 2)), 6)) < 1e-9
+
+
+def test_entropy_uniform_vs_degenerate(ray_session):
+    import pyarrow as pa
+
+    from amharic_ecommerce_data_extractor_ray.stages.textstats import (
+        entropy_batch)
+
+    b = pa.table({"text": pa.array(["a b c d", "x x x x", "y"], pa.string())})
+    out = entropy_batch(b)
+    ents = out["token_entropy"].to_pylist()
+    assert abs(ents[0] - round(math.log(4), 6)) < 1e-9   # uniform: ln 4
+    assert ents[1] == 0.0                                # degenerate
+    assert ents[2] == 0.0                                # single token
+    assert out["n_tokens"].to_pylist() == [4, 4, 1]
+
+
+def test_link_prediction_guard_and_jaccard(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import (
+        kg_link_prediction)
+
+    out = kg_link_prediction("/root/testdata/sf0.001", min_common=1, k=500)
+    # jaccard in (0, 1], deterministic ordering
+    assert (out["jaccard"] > 0).all() and (out["jaccard"] <= 1).all()
+    assert (out["vendor_a"] < out["vendor_b"]).all()
+    js = out["jaccard"].to_numpy()
+    assert (js[:-1] >= js[1:]).all()

@@ -107,3 +107,19 @@ def test_large_orders_having_filter(ray_session):
     assert (out["sum_qty"] > 250.0).all()
     # sorted by sum_qty desc with orderkey tie-break
     assert out["sum_qty"].is_monotonic_decreasing or len(out) <= 1
+
+
+def test_value_deciles_ntile_semantics(ray_session, tmp_path):
+    # 7 rows, 3 buckets: NTILE sizes 3,2,2
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "event_type": pa.array(["t"] * 7, pa.string()),
+        "value": pa.array([5.0, 1.0, 3.0, 2.0, 7.0, 6.0, 4.0], pa.float64()),
+    }), tmp_path / "events.parquet")
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        value_deciles)
+
+    out = (value_deciles(str(tmp_path), n_buckets=3).to_pandas()
+           .sort_values("tile").reset_index(drop=True))
+    assert out[["tile", "n", "min_value", "max_value"]].values.tolist() == [
+        [1, 3, 1.0, 3.0], [2, 2, 4.0, 5.0], [3, 2, 6.0, 7.0]]

@@ -210,3 +210,38 @@ def test_rolling_distinct_calendar_window(ray_session, tmp_path):
     assert out.loc["2024-01-02", "approx_distinct"] == direct(range(1, 15))
     # Jan 10 window [Jan 4, Jan 10] excludes both earlier days
     assert out.loc["2024-01-10", "approx_distinct"] == direct(range(100, 105))
+
+
+def test_exact_quantiles_match_numpy_kth(ray_session):
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.sketch import (
+        exact_quantiles)
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/events.parquet", columns=["value"])
+    out = exact_quantiles(ds, col="value", quantiles=(0.5, 0.95),
+                          lo=0.0, hi=512.0, bins=64).to_pandas()
+    vals = np.sort(pq.read_table(f"{sf}/events.parquet",
+                                 columns=["value"])["value"].to_numpy())
+    for q, got in zip(out["q"], out["exact"]):
+        k = max(1, math.ceil(q * len(vals)))
+        assert got == vals[k - 1]
+
+
+def test_exact_quantiles_skew_guard(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.sketch import (
+        exact_quantiles)
+
+    ds = rd.from_pandas(pd.DataFrame({"value": [1.0] * 1000}))
+    with pytest.raises(ValueError, match="refine set"):
+        exact_quantiles(ds, col="value", quantiles=(0.5,), lo=0.0, hi=512.0,
+                        bins=8, max_refine_rows=10)
