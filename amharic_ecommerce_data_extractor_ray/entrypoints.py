@@ -793,6 +793,18 @@ def q_doc_repetition(sf_dir: str):
                               "top_bigram_frac"])
 
 
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (grouped vector mean, exploded to
+    flat (label, dim, centroid) rows)."""
+    import ray.data as rd
+
+    from .stages.similarity import label_centroids
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    return label_centroids(ds)
+
+
 def q_exact_quantiles(sf_dir: str):
     """Exact p50/p95/p99 of events.value via histogram locate + bin refine
     (no global sort)."""
@@ -951,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": q_doc_entropy,
         "rel_ntile": relational.value_deciles,
         "exact_quantiles": q_exact_quantiles,
+        "label_centroids": q_label_centroids,
     }
 
 
@@ -1071,4 +1084,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_entropy": oracles.doc_entropy_sql(),
         "rel_ntile": oracles.value_deciles_sql(10),
         "exact_quantiles": oracles.exact_quantiles_sql((0.5, 0.95, 0.99)),
+        "label_centroids": oracles.label_centroids_sql(6),
     }

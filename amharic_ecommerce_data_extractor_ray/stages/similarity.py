@@ -303,3 +303,49 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 10, *, n_clusters=16,
     partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
     return partials.groupby("query_id").map_groups(merge_query,
                                                    batch_format="pandas")
+
+
+def label_centroids(emb_ds, *, label_col: str = "label",
+                    emb_col: str = "embedding", round_to: int = 6):
+    """Grouped vector mean (per-label centroid) — the class-prototype /
+    cluster-update primitive of embedding pipelines (k-means M-step,
+    prototype classifiers, per-language anchors).
+
+    Mergeable-partials shape: each block folds its rows into ≤ |labels|
+    partial rows of (label, n, Σvec) with ONE zero-copy reshape + a
+    factorized ``np.add.at`` scatter — no per-row Python.  A
+    groupby(label).map_groups merges partials (labels-sized table), and the
+    centroid explodes to (label, dim, centroid) rows so the result is flat
+    relational data, not nested lists."""
+
+    def partials(b: pa.Table) -> pa.Table:
+        emb = b[emb_col]
+        arr = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) \
+            else emb
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        d = len(arr[0])
+        m = flat.reshape(-1, d).astype(np.float64)
+        labels = b[label_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(labels)
+        sums = np.zeros((len(uniq), d), np.float64)
+        np.add.at(sums, codes, m)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq, pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vs = np.sum(np.stack(g["vsum"].to_numpy()), axis=0)
+        n = int(g["n"].sum())
+        c = np.round(vs / n, round_to)
+        return pd.DataFrame({
+            "label": int(g["label"].iloc[0]),
+            "dim": np.arange(1, len(c) + 1, dtype=np.int64),
+            "n": n,
+            "centroid": c,
+        })
+
+    return (emb_ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("label").map_groups(merge, batch_format="pandas"))

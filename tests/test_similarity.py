@@ -136,3 +136,27 @@ def test_multi_table_lsh_closes_recall_cliff(ray_session):
     r1, r8 = mean_recall(1), mean_recall(8)
     assert r8 >= r1, (r1, r8)
     assert r8 >= 0.5, (r1, r8)  # measured: 0.24 single-table vs 0.71 at L=8
+
+
+def test_label_centroids_match_numpy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import (
+        label_centroids)
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    out = label_centroids(ds).to_pandas()
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["label", "embedding"])
+    m = np.asarray(t["embedding"].to_pylist(), np.float64)
+    labels = np.asarray(t["label"].to_pylist())
+    for lbl in np.unique(labels):
+        want = np.round(m[labels == lbl].mean(axis=0), 6)
+        got = (out[out["label"] == lbl].sort_values("dim")["centroid"]
+               .to_numpy())
+        assert np.array_equal(got, want)
+        assert (out[out["label"] == lbl]["n"] == (labels == lbl).sum()).all()
