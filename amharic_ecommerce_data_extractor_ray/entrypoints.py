@@ -793,6 +793,30 @@ def q_doc_repetition(sf_dir: str):
                               "top_bigram_frac"])
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling (A-ES) over orders: heavier
+    o_totalprice wins proportionally more often, shard-stable."""
+    import ray.data as rd
+
+    from .stages.corpus_stats import weighted_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    return weighted_sample(ds, key_col="o_orderkey",
+                           weight_col="o_totalprice", k=100)
+
+
+def q_label_affinity(sf_dir: str):
+    """Pairwise cosine similarity between per-label embedding centroids."""
+    import ray.data as rd
+
+    from .stages.similarity import label_affinity
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+    return label_affinity(ds)
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroids (grouped vector mean, exploded to
     flat (label, dim, centroid) rows)."""
@@ -964,6 +988,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_ntile": relational.value_deciles,
         "exact_quantiles": q_exact_quantiles,
         "label_centroids": q_label_centroids,
+        "label_affinity": q_label_affinity,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -1085,4 +1111,6 @@ def oracle_sql() -> dict[str, str]:
         "rel_ntile": oracles.value_deciles_sql(10),
         "exact_quantiles": oracles.exact_quantiles_sql((0.5, 0.95, 0.99)),
         "label_centroids": oracles.label_centroids_sql(6),
+        "label_affinity": oracles.label_affinity_sql(6),
+        "weighted_sample": oracles.weighted_sample_sql(100),
     }

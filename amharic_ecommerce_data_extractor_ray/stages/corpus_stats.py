@@ -451,3 +451,38 @@ def token_pmi(docs_ds, *, text_col: str = "text", min_support: int = 5,
                    ascending=[False, True, True]).head(k)
     out["pmi"] = out["pmi"].round(6)
     return out.reset_index(drop=True)
+
+
+def weighted_sample(ds, *, key_col: str, weight_col: str, k: int = 100):
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row draws a reproducible pseudo-uniform
+    ``u`` from the md5 of its key and survives by the top-k of
+    ``u^(1/w)`` — heavier rows win proportionally more often, yet the
+    draw is shard-stable and re-runnable (no RNG state, no seed drift
+    across cluster sizes).
+
+    Scale shape: the score is a pure per-row kernel; each block keeps only
+    its local top-k, so the final sort/limit shuffles O(k × blocks) rows —
+    the same partial-top-k contract as brute-force ANN."""
+    import numpy as np
+
+    from .dedup import _stable_u64
+
+    M = 1 << 32
+
+    def score_topk(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        u = np.fromiter(((_stable_u64(str(kk)) % M + 0.5) / M
+                         for kk in keys), np.float64, len(keys))
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        wkey = u ** (1.0 / w)
+        order = np.argsort(-wkey)[:k]
+        t = b.take(pa.array(np.sort(order)))
+        return t.append_column("wkey", pa.array(wkey[np.sort(order)],
+                                                pa.float64()))
+
+    top = (ds.map_batches(score_topk, batch_format="pyarrow")
+           .sort(["wkey", key_col], descending=[True, False]).limit(k)
+           .to_pandas())
+    top["wkey"] = top["wkey"].round(6)
+    return top

@@ -349,3 +349,24 @@ def label_centroids(emb_ds, *, label_col: str = "label",
 
     return (emb_ds.map_batches(partials, batch_format="pyarrow")
             .groupby("label").map_groups(merge, batch_format="pandas"))
+
+
+def label_affinity(emb_ds, *, round_to: int = 6):
+    """Pairwise cosine similarity BETWEEN label centroids — the
+    class-confusability / cluster-affinity matrix consumers read after a
+    prototype pass.  The distributed work is ``label_centroids`` (block
+    partials + per-label merge); the |labels|²/2 pair compute runs on the
+    resulting vocabulary-sized table (one driver-side matmul over a
+    ≤ labels × dim matrix, NOT over the corpus).  Cosine is computed from
+    the ROUNDED centroids so the SQL mirror is bit-comparable."""
+    cent = label_centroids(emb_ds).to_pandas()
+    piv = cent.pivot(index="label", columns="dim", values="centroid")
+    labels = piv.index.to_numpy(np.int64)
+    m = piv.to_numpy(np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+    cos = (m @ m.T) / np.outer(norms, norms)
+    ia, ib = np.triu_indices(len(labels), k=1)
+    return pd.DataFrame({
+        "label_a": labels[ia], "label_b": labels[ib],
+        "cosine": np.round(cos[ia, ib], round_to),
+    }).sort_values(["label_a", "label_b"]).reset_index(drop=True)

@@ -92,3 +92,44 @@ def test_link_prediction_guard_and_jaccard(ray_session):
     assert (out["vendor_a"] < out["vendor_b"]).all()
     js = out["jaccard"].to_numpy()
     assert (js[:-1] >= js[1:]).all()
+
+
+def test_weighted_sample_bias_and_determinism(ray_session, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    n = 2000
+    # half the keys carry 50x the weight -> they should dominate the sample
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(n, dtype=np.int64),
+        "o_totalprice": np.where(np.arange(n) % 2 == 0, 500.0, 10.0),
+    })
+    pq.write_table(pa.Table.from_pandas(df), tmp_path / "orders.parquet")
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import (
+        weighted_sample)
+
+    ds = rd.read_parquet(str(tmp_path / "orders.parquet"))
+    out1 = weighted_sample(ds, key_col="o_orderkey",
+                           weight_col="o_totalprice", k=100)
+    out2 = weighted_sample(ds, key_col="o_orderkey",
+                           weight_col="o_totalprice", k=100)
+    assert out1.equals(out2)                       # deterministic
+    heavy = (out1["o_orderkey"] % 2 == 0).mean()
+    assert heavy > 0.8                             # weight bias visible
+    assert out1["wkey"].is_monotonic_decreasing
+
+
+def test_label_affinity_self_consistency(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import (
+        label_affinity)
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["label", "embedding"])
+    out = label_affinity(ds)
+    assert len(out) == 45                          # C(10, 2) pairs
+    assert (out["cosine"].abs() <= 1.0 + 1e-9).all()
+    assert (out["label_a"] < out["label_b"]).all()
