@@ -793,6 +793,35 @@ def q_doc_repetition(sf_dir: str):
                               "top_bigram_frac"])
 
 
+def q_top_domains(sf_dir: str):
+    """URL-domain rollup over the message corpus: mentions + distinct
+    vendor channels per domain."""
+    from ray.data.aggregate import Count, Sum
+
+    from .pipelines import kg as kgmod
+
+    per_channel = (kgmod.corpus_ds(sf_dir)
+                   .select_columns(["repo", "content"])
+                   .map_batches(textstats.top_domains_batch,
+                                batch_format="pyarrow")
+                   .groupby(["repo", "domain"])
+                   .aggregate(Sum("n", alias_name="n")))
+    return (per_channel.groupby("domain")
+            .aggregate(Sum("n", alias_name="n_mentions"),
+                       Count(alias_name="n_vendors")))
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """Int8 symmetric quantization of unit-normalized embeddings."""
+    import ray.data as rd
+
+    from .stages.similarity import quantize_embeddings
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return quantize_embeddings(ds)
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sampling (A-ES) over orders: heavier
     o_totalprice wins proportionally more often, shard-stable."""
@@ -990,6 +1019,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "label_affinity": q_label_affinity,
         "weighted_sample": q_weighted_sample,
+        "rel_revenue_share": relational.nation_revenue_share,
+        "rel_robust_means": relational.robust_means,
+        "top_domains": q_top_domains,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -1113,4 +1146,8 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": oracles.label_centroids_sql(6),
         "label_affinity": oracles.label_affinity_sql(6),
         "weighted_sample": oracles.weighted_sample_sql(100),
+        "rel_revenue_share": oracles.nation_revenue_share_sql(),
+        "rel_robust_means": oracles.robust_means_sql(),
+        "top_domains": oracles.top_domains_sql(),
+        "quantize_embeddings": oracles.quantize_embeddings_sql(127),
     }

@@ -1793,3 +1793,81 @@ def value_deciles(sf_dir: str, *, n_buckets: int = 10):
 
     return (ds.groupby("event_type")
             .map_groups(buckets, batch_format="pandas"))
+
+
+def nation_revenue_share(sf_dir: str, *, num_partitions: int = 16):
+    """Ratio-to-report: each nation's order revenue as a share of its
+    REGION's total — the percent-of-total window family.  The fact scan
+    collapses to per-customer partials inside blocks, joins customer
+    distributed (fact-scale at 100×), and the share division runs on the
+    25-row nation table with region totals from one driver-side fold of
+    that vocabulary-sized result."""
+    import numpy as np
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(b, "o_custkey").aggregate(
+            [("o_totalprice", "sum")]).rename_columns(
+                ["o_custkey", "rev"])
+
+    per_cust = (orders.map_batches(partials, batch_format="pyarrow")
+                .groupby("o_custkey").aggregate(Sum("rev",
+                                                    alias_name="rev")))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    per_nation = (per_cust.join(cust, join_type="inner",
+                                num_partitions=num_partitions,
+                                on=("o_custkey",), right_on=("c_custkey",))
+                  .groupby("c_nationkey")
+                  .aggregate(Sum("rev", alias_name="revenue"))
+                  .to_pandas())
+
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    out = (per_nation.merge(nation, left_on="c_nationkey",
+                            right_on="n_nationkey")
+           .merge(region, left_on="n_regionkey", right_on="r_regionkey"))
+    region_tot = out.groupby("r_name")["revenue"].transform("sum")
+    out["share"] = np.floor(out["revenue"] / region_tot * 1e6 + 0.5) / 1e6
+    out["revenue"] = out["revenue"].round(4)
+    out = out[["r_name", "n_name", "revenue", "share"]]
+    return out.sort_values(["r_name", "n_name"]).reset_index(drop=True)
+
+
+def robust_means(sf_dir: str):
+    """Grouped geometric + harmonic means — the robust-statistics pair the
+    arithmetic Mean aggregate misses, both ALGEBRAIC once rewritten as
+    sufficient statistics (Σ ln x and Σ 1/x), so they merge for free like
+    any Sum."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_totalprice"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = b["o_totalprice"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "n": pa.array([1] * b.num_rows, pa.int64()),
+            "sln": pa.array(np.log(x), pa.float64()),
+            "sinv": pa.array(1.0 / x, pa.float64()),
+        })
+        return pa.TableGroupBy(t, "o_orderpriority").aggregate(
+            [("n", "sum"), ("sln", "sum"), ("sinv", "sum")]
+        ).rename_columns(["o_orderpriority", "n", "sln", "sinv"])
+
+    stats = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("o_orderpriority")
+             .aggregate(Sum("n", alias_name="n"),
+                        Sum("sln", alias_name="sln"),
+                        Sum("sinv", alias_name="sinv"))
+             .to_pandas())
+    n = stats["n"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "o_orderpriority": stats["o_orderpriority"],
+        "n": stats["n"].astype("int64"),
+        "geo_mean": np.round(np.exp(stats["sln"].to_numpy() / n), 4),
+        "harm_mean": np.round(n / stats["sinv"].to_numpy(), 4),
+    }).sort_values("o_orderpriority").reset_index(drop=True)

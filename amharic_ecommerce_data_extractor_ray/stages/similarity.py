@@ -370,3 +370,32 @@ def label_affinity(emb_ds, *, round_to: int = 6):
         "label_a": labels[ia], "label_b": labels[ib],
         "cosine": np.round(cos[ia, ib], round_to),
     }).sort_values(["label_a", "label_b"]).reset_index(drop=True)
+
+
+def quantize_embeddings(emb_ds, *, id_col: str = "vec_id",
+                        emb_col: str = "embedding", bits_scale: int = 127):
+    """Int8 symmetric quantization of unit-normalized embeddings — the
+    storage/ANN-compression stage (code = round(v/‖v‖ · 127), half away
+    from zero so the SQL mirror is exact).  Pure per-row Arrow/numpy batch
+    kernel, flat (vec_id, dim, code) output; at 100 TB this is the stage
+    that shrinks the vector corpus 4× before indexing."""
+
+    def kernel(b: pa.Table) -> pa.Table:
+        emb = b[emb_col]
+        arr = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) \
+            else emb
+        d = len(arr[0])
+        m = arr.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(-1, d).astype(np.float64)
+        norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        x = m / norms * bits_scale
+        codes = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), len(ids)),
+                            pa.int64()),
+            "code": pa.array(codes.ravel(), pa.int64()),
+        })
+
+    return emb_ds.map_batches(kernel, batch_format="pyarrow")

@@ -197,3 +197,36 @@ def entropy_batch(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return (batch
             .append_column("n_tokens", pa.array(n_tok, pa.int64()))
             .append_column("token_entropy", pa.array(ent, pa.float64())))
+
+
+_URL_RE = None
+
+
+def top_domains_batch(batch: pa.Table, *, text_col: str = "content",
+                      channel_col: str = "repo") -> pa.Table:
+    """Per-block URL-domain partials: findall over each message with ONE
+    module-compiled regex (the pattern is RE2-compatible so the DuckDB
+    ``regexp_extract_all`` oracle matches byte-for-byte), scheme stripped,
+    pre-aggregated to (channel, domain, n) inside the block.  The global
+    rollup (mentions + distinct channels) is a vocabulary-sized groupby."""
+    import re
+
+    global _URL_RE
+    if _URL_RE is None:
+        _URL_RE = re.compile(
+            r"(https?://[A-Za-z0-9.\-]+|www\.[A-Za-z0-9.\-]+)")
+    from collections import Counter
+
+    c: Counter = Counter()
+    for repo, text in zip(batch[channel_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+        for u in _URL_RE.findall(text or ""):
+            d = u[8:] if u.startswith("https://") else \
+                u[7:] if u.startswith("http://") else u
+            c[(repo, d)] += 1
+    keys = sorted(c)
+    return pa.table({
+        channel_col: pa.array([k[0] for k in keys], pa.string()),
+        "domain": pa.array([k[1] for k in keys], pa.string()),
+        "n": pa.array([c[k] for k in keys], pa.int64()),
+    })

@@ -133,3 +133,42 @@ def test_label_affinity_self_consistency(ray_session):
     assert len(out) == 45                          # C(10, 2) pairs
     assert (out["cosine"].abs() <= 1.0 + 1e-9).all()
     assert (out["label_a"] < out["label_b"]).all()
+
+
+def test_top_domains_extraction(ray_session):
+    import pyarrow as pa
+
+    from amharic_ecommerce_data_extractor_ray.stages.textstats import (
+        top_domains_batch)
+
+    b = pa.table({
+        "repo": pa.array(["v1", "v1", "v2"], pa.string()),
+        "content": pa.array([
+            "see https://t.me/shop and www.example.com now",
+            "https://t.me/shop again",
+            "http://foo.bar/x path ignored",
+        ], pa.string()),
+    })
+    out = top_domains_batch(b).to_pylist()
+    got = {(r["repo"], r["domain"]): r["n"] for r in out}
+    assert got == {("v1", "t.me"): 2, ("v1", "www.example.com"): 1,
+                   ("v2", "foo.bar"): 1}
+
+
+def test_quantize_embeddings_roundtrip(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import (
+        quantize_embeddings)
+
+    vecs = [[3.0, 4.0], [-1.0, 1.0]]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    }))
+    out = quantize_embeddings(ds).to_pandas().sort_values(
+        ["vec_id", "dim"]).reset_index(drop=True)
+    # [3,4]/5*127 = [76.2, 101.6] -> [76, 102]; [-1,1]/sqrt2*127 -> ±90
+    assert out["code"].tolist() == [76, 102, -90, 90]
