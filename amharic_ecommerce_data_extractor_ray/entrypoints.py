@@ -793,6 +793,16 @@ def q_doc_repetition(sf_dir: str):
                               "top_bigram_frac"])
 
 
+def q_bigram_lm(sf_dir: str):
+    """Add-1-smoothed bigram LM estimation over documents (top-100)."""
+    import ray.data as rd
+
+    from .stages.corpus_stats import bigram_lm
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bigram_lm(docs, k_smooth=1.0, topn=100)
+
+
 def q_top_domains(sf_dir: str):
     """URL-domain rollup over the message corpus: mentions + distinct
     vendor channels per domain."""
@@ -1023,6 +1033,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_robust_means": relational.robust_means,
         "top_domains": q_top_domains,
         "quantize_embeddings": q_quantize_embeddings,
+        "bigram_lm": q_bigram_lm,
+        "rel_day_over_day": relational.day_over_day,
     }
 
 
@@ -1150,4 +1162,6 @@ def oracle_sql() -> dict[str, str]:
         "rel_robust_means": oracles.robust_means_sql(),
         "top_domains": oracles.top_domains_sql(),
         "quantize_embeddings": oracles.quantize_embeddings_sql(127),
+        "bigram_lm": oracles.bigram_lm_sql(1.0, 100),
+        "rel_day_over_day": oracles.day_over_day_sql(),
     }

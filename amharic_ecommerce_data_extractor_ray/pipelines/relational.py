@@ -1871,3 +1871,37 @@ def robust_means(sf_dir: str):
         "geo_mean": np.round(np.exp(stats["sln"].to_numpy() / n), 4),
         "harm_mean": np.round(n / stats["sinv"].to_numpy(), 4),
     }).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def day_over_day(sf_dir: str):
+    """Change detection: daily order counts/revenue with day-over-day
+    percent change — the lag-window family over a DATE-bounded (hence
+    vocabulary-sized) aggregate.  The fact scan collapses per block to
+    (day, n, rev) partials; the final lag/pct runs on the ≤|days| table."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate", "o_totalprice"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "day": b["o_orderdate"],
+            "n": pa.array([1] * b.num_rows, pa.int64()),
+            "rev": b["o_totalprice"],
+        })
+        return pa.TableGroupBy(t, "day").aggregate(
+            [("n", "sum"), ("rev", "sum")]
+        ).rename_columns(["day", "n", "rev"])
+
+    daily = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n"),
+                                       Sum("rev", alias_name="rev"))
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    prev = daily["n"].shift(1)
+    diff = (daily["n"] - prev) / prev
+    daily["pct_change"] = np.sign(diff) * np.floor(
+        np.abs(diff) * 1e6 + 0.5) / 1e6
+    daily["day"] = daily["day"].astype(str).str[:10]
+    daily["rev"] = daily["rev"].round(4)
+    # first day has no predecessor on either side — drop it, not NaN-match
+    return daily[prev.notna()].reset_index(drop=True)

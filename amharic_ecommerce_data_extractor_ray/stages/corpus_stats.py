@@ -486,3 +486,83 @@ def weighted_sample(ds, *, key_col: str, weight_col: str, k: int = 100):
            .to_pandas())
     top["wkey"] = top["wkey"].round(6)
     return top
+
+
+def bigram_lm(docs_ds, *, text_col: str = "text", k_smooth: float = 1.0,
+              topn: int = 100):
+    """Bigram language model estimation with add-k (Laplace) smoothing —
+    the n-gram-LM / next-token-statistics pass of a corpus pipeline:
+    P(b|a) = (c(a,b) + k) / (c(a·) + k·V) over within-document adjacent
+    token pairs.
+
+    Combiner shape: per-block bigram AND unigram-prefix counts come from
+    one vectorized explode (factorized codes, no per-doc loop), each
+    merged by a native Sum groupby; V (vocabulary size of bigram prefixes'
+    successors = distinct tokens) is the count of the unigram table.  Only
+    vocabulary-sized tables shuffle.  Output: top-n bigrams by (count desc,
+    pair asc) with the smoothed conditional probability."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        tl = pa.compute.split_pattern(b[text_col], pattern=" ")
+        counts = pa.compute.list_value_length(tl).to_numpy(
+            zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(b)), counts)
+        flat = tl.combine_chunks().flatten() if isinstance(
+            tl, pa.ChunkedArray) else tl.flatten()
+        toks = flat.to_pandas().to_numpy()
+        if len(toks) < 2:
+            return pa.table({"tok_a": pa.array([], pa.string()),
+                             "tok_b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = doc_idx[:-1] == doc_idx[1:]
+        df = pd.DataFrame({"tok_a": toks[:-1][same],
+                           "tok_b": toks[1:][same]})
+        g = df.groupby(["tok_a", "tok_b"], sort=True).size()
+        return pa.table({
+            "tok_a": pa.array(g.index.get_level_values(0), pa.string()),
+            "tok_b": pa.array(g.index.get_level_values(1), pa.string()),
+            "n": pa.array(g.to_numpy(np.int64), pa.int64()),
+        })
+
+    bigrams = (docs_ds.map_batches(pair_partials, batch_format="pyarrow")
+               .groupby(["tok_a", "tok_b"])
+               .aggregate(Sum("n", alias_name="n")))
+
+    def uni_partials(b: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for t in b[text_col].to_pylist():
+            # split(" ") exactly mirrors SQL string_split (keeps empties)
+            toks = (t or "").split(" ")
+            c.update(toks[:-1])         # prefix occurrences c(a·)
+            for tok in toks:
+                c[("__VOCAB__", tok)] = 1
+        pref = sorted(t for t in c if isinstance(t, str))
+        vocab = {t[1] for t in c if isinstance(t, tuple)}
+        return pa.table({
+            "tok": pa.array(pref + sorted(vocab), pa.string()),
+            "kind": pa.array(["p"] * len(pref) + ["v"] * len(vocab),
+                             pa.string()),
+            "n": pa.array([c[t] for t in pref] + [1] * len(vocab),
+                          pa.int64()),
+        })
+
+    uni = (docs_ds.map_batches(uni_partials, batch_format="pyarrow")
+           .groupby(["tok", "kind"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    prefix_counts = dict(zip(uni.loc[uni["kind"] == "p", "tok"],
+                             uni.loc[uni["kind"] == "p", "n"]))
+    vocab_size = int((uni["kind"] == "v").sum())
+
+    top = (bigrams.sort(["n", "tok_a", "tok_b"],
+                        descending=[True, False, False]).limit(topn)
+           .to_pandas())
+    ca = top["tok_a"].map(prefix_counts).to_numpy(np.float64)
+    p = (top["n"].to_numpy(np.float64) + k_smooth) / \
+        (ca + k_smooth * vocab_size)
+    top["prob"] = np.floor(p * 1e6 + 0.5) / 1e6
+    top["n"] = top["n"].astype("int64")
+    return top.reset_index(drop=True)

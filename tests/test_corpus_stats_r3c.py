@@ -172,3 +172,18 @@ def test_quantize_embeddings_roundtrip(ray_session):
         ["vec_id", "dim"]).reset_index(drop=True)
     # [3,4]/5*127 = [76.2, 101.6] -> [76, 102]; [-1,1]/sqrt2*127 -> ±90
     assert out["code"].tolist() == [76, 102, -90, 90]
+
+
+def test_bigram_lm_smoothing(ray_session, tmp_path):
+    _write_docs(tmp_path, ["a b", "a b", "a c"])
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import (
+        bigram_lm)
+
+    docs = rd.read_parquet(str(tmp_path / "documents.parquet"))
+    out = bigram_lm(docs, k_smooth=1.0, topn=10)
+    got = {(r.tok_a, r.tok_b): (r.n, r.prob) for r in out.itertuples()}
+    # V = 3 (a, b, c); c(a.) = 3
+    assert got[("a", "b")] == (2, round((2 + 1) / (3 + 3), 6))
+    assert got[("a", "c")] == (1, round((1 + 1) / (3 + 3), 6))

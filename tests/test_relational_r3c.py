@@ -123,3 +123,20 @@ def test_value_deciles_ntile_semantics(ray_session, tmp_path):
            .sort_values("tile").reset_index(drop=True))
     assert out[["tile", "n", "min_value", "max_value"]].values.tolist() == [
         [1, 3, 1.0, 3.0], [2, 2, 4.0, 5.0], [3, 2, 6.0, 7.0]]
+
+
+def test_day_over_day_pct_change(ray_session, tmp_path):
+    import pandas as pd
+
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(pd.to_datetime(
+            ["2024-01-01"] * 2 + ["2024-01-02"] * 4 + ["2024-01-03"] * 3),
+            pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0] * 9, pa.float64()),
+    }), tmp_path / "orders.parquet")
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        day_over_day)
+
+    out = day_over_day(str(tmp_path))
+    assert out["day"].tolist() == ["2024-01-02", "2024-01-03"]
+    assert out["pct_change"].tolist() == [1.0, -0.25]
