@@ -361,13 +361,22 @@ def inverted_index(docs_ds, *, id_col: str = "doc_id",
     import numpy as np
 
     def pairs(b: pa.Table) -> pa.Table:
-        ids, toks = [], []
-        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            for tok in set((t or "").split()):
-                ids.append(i)
-                toks.append(tok)
-        t = pa.table({"token": pa.array(toks, pa.string()),
-                      id_col: pa.array(ids, pa.int64())})
+        import pyarrow.compute as pc
+
+        # one vectorized explode (same \s+ split the SQL oracle uses), no
+        # per-row Python: doc ids repeat by list length, empties filtered,
+        # per-doc DISTINCT via Arrow hash group_by
+        tl = pc.split_pattern_regex(b[text_col], pattern=r"\s+")
+        n_tok = pc.list_value_length(tl).to_numpy(zero_copy_only=False)
+        ids = np.repeat(b[id_col].to_numpy(zero_copy_only=False), n_tok)
+        flat = tl.combine_chunks().flatten() if isinstance(
+            tl, pa.ChunkedArray) else tl.flatten()
+        keep = pc.not_equal(flat, "")
+        t = pa.table({
+            "token": flat.filter(keep),
+            id_col: pa.array(ids[keep.to_numpy(zero_copy_only=False)],
+                             pa.int64()),
+        })
         return pa.TableGroupBy(t, ["token", id_col]).aggregate([]) \
             .rename_columns(["token", id_col])
 
@@ -407,29 +416,49 @@ def token_pmi(docs_ds, *, text_col: str = "text", min_support: int = 5,
     from ray.data.aggregate import Sum
 
     def df_partials(b: pa.Table) -> pa.Table:
-        from collections import Counter
-        c: Counter = Counter()
-        for t in b[text_col].to_pylist():
-            c.update(set((t or "").split()))
-        toks = sorted(c)
-        return pa.table({"token": pa.array(toks, pa.string()),
-                         "df": pa.array([c[t] for t in toks], pa.int64())})
+        import pyarrow.compute as pc
+
+        # vectorized explode -> per-doc DISTINCT -> per-token df, all in
+        # Arrow hash group_by (no Counter loop)
+        tl = pc.split_pattern_regex(b[text_col], pattern=r"\s+")
+        n_tok = pc.list_value_length(tl).to_numpy(zero_copy_only=False)
+        d = np.repeat(np.arange(b.num_rows, dtype=np.int64), n_tok)
+        flat = tl.combine_chunks().flatten() if isinstance(
+            tl, pa.ChunkedArray) else tl.flatten()
+        keep = pc.not_equal(flat, "")
+        t = pa.table({"token": flat.filter(keep),
+                      "d": pa.array(d[keep.to_numpy(zero_copy_only=False)],
+                                    pa.int64())})
+        dist = pa.TableGroupBy(t, ["token", "d"]).aggregate([])
+        return pa.TableGroupBy(dist, "token").aggregate(
+            [("d", "count")]).rename_columns(["token", "df"])
 
     df_tbl = (docs_ds.map_batches(df_partials, batch_format="pyarrow")
               .groupby("token").aggregate(Sum("df", alias_name="df"))
               .to_pandas().sort_values("token").reset_index(drop=True))
     n_docs = docs_ds.count()
-    vocab = {t: i for i, t in enumerate(df_tbl["token"])}
-    vocab_ref = ray.put(vocab)
+    vocab_ref = ray.put(pa.array(df_tbl["token"], pa.string()))
 
     def cooc_partials(b: pa.Table) -> pa.Table:
-        v = ray.get(vocab_ref)
-        m = np.zeros((b.num_rows, len(v)), np.float32)
-        for r, t in enumerate(b[text_col].to_pylist()):
-            for tok in set((t or "").split()):
-                m[r, v[tok]] = 1.0
+        import pyarrow.compute as pc
+
+        # vectorized: explode once, map tokens to vocab codes with ONE
+        # Arrow index_in, scatter the binary doc x term matrix with fancy
+        # indexing (duplicate (doc, code) writes are idempotent 1.0s)
+        vocab_arr = ray.get(vocab_ref)
+        nv = len(vocab_arr)
+        tl = pc.split_pattern_regex(b[text_col], pattern=r"\s+")
+        n_tok = pc.list_value_length(tl).to_numpy(zero_copy_only=False)
+        d = np.repeat(np.arange(b.num_rows, dtype=np.int64), n_tok)
+        flat = tl.combine_chunks().flatten() if isinstance(
+            tl, pa.ChunkedArray) else tl.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        codes = pc.index_in(flat, value_set=vocab_arr) \
+            .to_numpy(zero_copy_only=False)
+        m = np.zeros((b.num_rows, nv), np.float32)
+        m[d[keep], codes[keep].astype(np.int64)] = 1.0
         co = m.T @ m                     # vocab×vocab, the pair enumeration
-        iu = np.triu_indices(len(v), k=1)
+        iu = np.triu_indices(nv, k=1)
         n = co[iu].astype(np.int64)
         nz = n > 0
         return pa.table({"ia": pa.array(iu[0][nz], pa.int64()),
@@ -532,21 +561,29 @@ def bigram_lm(docs_ds, *, text_col: str = "text", k_smooth: float = 1.0,
                .aggregate(Sum("n", alias_name="n")))
 
     def uni_partials(b: pa.Table) -> pa.Table:
-        from collections import Counter
-        c: Counter = Counter()
-        for t in b[text_col].to_pylist():
-            # split(" ") exactly mirrors SQL string_split (keeps empties)
-            toks = (t or "").split(" ")
-            c.update(toks[:-1])         # prefix occurrences c(a·)
-            for tok in toks:
-                c[("__VOCAB__", tok)] = 1
-        pref = sorted(t for t in c if isinstance(t, str))
-        vocab = {t[1] for t in c if isinstance(t, tuple)}
+        # vectorized: one explode (split(" ") == SQL string_split, keeps
+        # empties), prefix = tokens whose successor is in the same doc,
+        # both rollups via C-level pandas groupbys — no Counter loop
+        tl = pa.compute.split_pattern(b[text_col], pattern=" ")
+        counts = pa.compute.list_value_length(tl).to_numpy(
+            zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(b)), counts)
+        flat = tl.combine_chunks().flatten() if isinstance(
+            tl, pa.ChunkedArray) else tl.flatten()
+        toks = flat.to_pandas().to_numpy()
+        if len(toks) == 0:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "kind": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = doc_idx[:-1] == doc_idx[1:] if len(toks) > 1 else \
+            np.zeros(0, dtype=bool)
+        pref = pd.Series(toks[:-1][same]).value_counts()
+        vocab = pd.unique(toks)
         return pa.table({
-            "tok": pa.array(pref + sorted(vocab), pa.string()),
+            "tok": pa.array(list(pref.index) + list(vocab), pa.string()),
             "kind": pa.array(["p"] * len(pref) + ["v"] * len(vocab),
                              pa.string()),
-            "n": pa.array([c[t] for t in pref] + [1] * len(vocab),
+            "n": pa.array(list(pref.to_numpy()) + [1] * len(vocab),
                           pa.int64()),
         })
 
