@@ -1035,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": q_quantize_embeddings,
         "bigram_lm": q_bigram_lm,
         "rel_day_over_day": relational.day_over_day,
+        "data_profile": relational.data_profile,
     }
 
 
@@ -1164,4 +1165,5 @@ def oracle_sql() -> dict[str, str]:
         "quantize_embeddings": oracles.quantize_embeddings_sql(127),
         "bigram_lm": oracles.bigram_lm_sql(1.0, 100),
         "rel_day_over_day": oracles.day_over_day_sql(),
+        "data_profile": oracles.data_profile_sql(),
     }

@@ -1905,3 +1905,99 @@ def day_over_day(sf_dir: str):
     daily["rev"] = daily["rev"].round(4)
     # first day has no predecessor on either side — drop it, not NaN-match
     return daily[prev.notna()].reset_index(drop=True)
+
+
+def data_profile(sf_dir: str, *, num_partitions: int = 16):
+    """Data-validation / profiling suite — the expectation checks a 100 TB
+    ingest runs before anything downstream trusts the tables: row counts,
+    null counts, range violations, domain min/max, distinct-key
+    cardinalities and referential orphans, reported as one
+    (table_name, metric, value) row each.
+
+    Shape: one column-pruned scan per table folds per-block partials (one
+    Arrow kernel per metric) into a single scalar row via native Sum/Min/
+    Max merges; FK orphan counts reuse the distributed reduce-side ANTI
+    join (key columns only are shuffled).  Everything the driver sees is
+    metric-count sized."""
+    import numpy as np
+
+    from ..stages.joins import hash_anti_join
+
+    rows: list[tuple[str, str, float]] = []
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+
+    def o_partials(b: pa.Table) -> pa.Table:
+        tp = b["o_totalprice"]
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "n_null_price": pa.array([tp.null_count], pa.int64()),
+            "n_nonpos_price": pa.array(
+                [int(pc.sum(pc.less_equal(tp, 0.0)).as_py() or 0)],
+                pa.int64()),
+            "min_price": pa.array([pc.min(tp).as_py()], pa.float64()),
+            "max_price": pa.array([pc.max(tp).as_py()], pa.float64()),
+        })
+
+    om = (orders.map_batches(o_partials, batch_format="pyarrow")
+          .aggregate(Sum("n", alias_name="n"),
+                     Sum("n_null_price", alias_name="n_null_price"),
+                     Sum("n_nonpos_price", alias_name="n_nonpos_price"),
+                     Min("min_price", alias_name="min_price"),
+                     Max("max_price", alias_name="max_price")))
+    rows += [("orders", "row_count", float(om["n"])),
+             ("orders", "null_o_totalprice", float(om["n_null_price"])),
+             ("orders", "nonpositive_o_totalprice",
+              float(om["n_nonpos_price"])),
+             ("orders", "min_o_totalprice", round(float(om["min_price"]), 4)),
+             ("orders", "max_o_totalprice", round(float(om["max_price"]), 4))]
+
+    # distinct customers referenced (two-level groupby keeps it combiner-y)
+    n_cust = (orders.groupby("o_custkey").aggregate(Count(alias_name="c"))
+              .count())
+    rows.append(("orders", "distinct_o_custkey", float(n_cust)))
+
+    cust_keys = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey"]) \
+        .map_batches(lambda b: b.rename_columns(["o_custkey"]),
+                     batch_format="pyarrow")
+    orphans = hash_anti_join(orders.select_columns(["o_custkey"]), cust_keys,
+                             on="o_custkey",
+                             num_partitions=num_partitions).count()
+    rows.append(("orders", "orphan_o_custkey", float(orphans)))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity", "l_discount"])
+
+    def l_partials(b: pa.Table) -> pa.Table:
+        disc = b["l_discount"]
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "n_bad_disc": pa.array(
+                [int(pc.sum(pc.or_(pc.less(disc, 0.0),
+                                   pc.greater(disc, 1.0))).as_py() or 0)],
+                pa.int64()),
+            "n_nonpos_qty": pa.array(
+                [int(pc.sum(pc.less_equal(b["l_quantity"], 0.0)).as_py()
+                     or 0)], pa.int64()),
+        })
+
+    lm = (li.map_batches(l_partials, batch_format="pyarrow")
+          .aggregate(Sum("n", alias_name="n"),
+                     Sum("n_bad_disc", alias_name="n_bad_disc"),
+                     Sum("n_nonpos_qty", alias_name="n_nonpos_qty")))
+    order_keys = orders.select_columns(["o_orderkey"]).map_batches(
+        lambda b: b.rename_columns(["l_orderkey"]), batch_format="pyarrow")
+    li_orphans = hash_anti_join(li.select_columns(["l_orderkey"]),
+                                order_keys, on="l_orderkey",
+                                num_partitions=num_partitions).count()
+    rows += [("lineitem", "row_count", float(lm["n"])),
+             ("lineitem", "discount_out_of_range", float(lm["n_bad_disc"])),
+             ("lineitem", "nonpositive_l_quantity",
+              float(lm["n_nonpos_qty"])),
+             ("lineitem", "orphan_l_orderkey", float(li_orphans))]
+
+    out = pd.DataFrame(rows, columns=["table_name", "metric", "value"])
+    return out.sort_values(["table_name", "metric"]).reset_index(drop=True)

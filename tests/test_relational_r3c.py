@@ -140,3 +140,32 @@ def test_day_over_day_pct_change(ray_session, tmp_path):
     out = day_over_day(str(tmp_path))
     assert out["day"].tolist() == ["2024-01-02", "2024-01-03"]
     assert out["pct_change"].tolist() == [1.0, -0.25]
+
+
+def test_data_profile_flags_violations(ray_session, tmp_path):
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 10, 99], pa.int64()),   # 99 is orphan
+        "o_totalprice": pa.array([5.0, -1.0, None], pa.float64()),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10], pa.int64()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 7], pa.int64()),         # 7 is orphan
+        "l_quantity": pa.array([2.0, 0.0], pa.float64()),
+        "l_discount": pa.array([0.5, 1.5], pa.float64()),   # 1.5 invalid
+    }), tmp_path / "lineitem.parquet")
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        data_profile)
+
+    out = data_profile(str(tmp_path), num_partitions=2)
+    got = {(r.table_name, r.metric): r.value for r in out.itertuples()}
+    assert got[("orders", "row_count")] == 3
+    assert got[("orders", "null_o_totalprice")] == 1
+    assert got[("orders", "nonpositive_o_totalprice")] == 1
+    assert got[("orders", "orphan_o_custkey")] == 1
+    assert got[("orders", "distinct_o_custkey")] == 2
+    assert got[("lineitem", "discount_out_of_range")] == 1
+    assert got[("lineitem", "nonpositive_l_quantity")] == 1
+    assert got[("lineitem", "orphan_l_orderkey")] == 1
