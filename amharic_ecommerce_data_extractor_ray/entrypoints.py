@@ -1036,6 +1036,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm": q_bigram_lm,
         "rel_day_over_day": relational.day_over_day,
         "data_profile": relational.data_profile,
+        "rel_missing_days": relational.missing_days,
+        "rel_table_diff": relational.table_diff,
     }
 
 
@@ -1166,4 +1168,6 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm": oracles.bigram_lm_sql(1.0, 100),
         "rel_day_over_day": oracles.day_over_day_sql(),
         "data_profile": oracles.data_profile_sql(),
+        "rel_missing_days": oracles.missing_days_sql(),
+        "rel_table_diff": oracles.table_diff_sql(),
     }

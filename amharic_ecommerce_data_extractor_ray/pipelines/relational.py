@@ -2001,3 +2001,89 @@ def data_profile(sf_dir: str, *, num_partitions: int = 16):
 
     out = pd.DataFrame(rows, columns=["table_name", "metric", "value"])
     return out.sort_values(["table_name", "metric"]).reset_index(drop=True)
+
+
+def missing_days(sf_dir: str):
+    """Calendar-gap detection: days inside the table's [min, max] date span
+    with ZERO orders — the completeness check a daily-partitioned ingest
+    runs before publishing.  The fact scan folds to a date-bounded
+    (day, n) table; the calendar scaffold and the anti-select run on that
+    vocabulary-sized result (≤ span days, never corpus rows)."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderdate"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({"day": b["o_orderdate"],
+                      "n": pa.array([1] * b.num_rows, pa.int64())})
+        return pa.TableGroupBy(t, "day").aggregate(
+            [("n", "sum")]).rename_columns(["day", "n"])
+
+    daily = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    days = pd.to_datetime(daily["day"]).dt.normalize()
+    full = pd.date_range(days.min(), days.max(), freq="D")
+    present = set(days)
+    missing = [d for d in full if d not in present]
+    return pd.DataFrame({
+        "day": [str(d)[:10] for d in missing],
+    })
+
+
+def table_diff(sf_dir: str, *, num_partitions: int = 16):
+    """Snapshot reconciliation: diff two versions of a keyed table into
+    added / removed / changed / unchanged row counts — the regression gate
+    a pipeline runs between yesterday's and today's output.  The "new"
+    version is derived deterministically from orders (keys ≡ 0 mod 101
+    dropped, prices of keys ≡ 0 mod 97 bumped) so the oracle can rebuild
+    both sides.
+
+    Shape: both versions are tagged and co-shuffled by key ONCE (the same
+    tagged-union trick as the dedup survivor join); each key group compares
+    its two payload fingerprints vectorized.  Only (key, side, fingerprint)
+    rows move — payloads never shuffle twice."""
+    import numpy as np
+
+    base = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"])
+
+    def old_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b["o_orderkey"],
+            "fp": b["o_totalprice"],
+            "side": pa.array(["old"] * b.num_rows, pa.string()),
+        })
+
+    def new_side(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        keep = (k % 101) != 0
+        k = k[keep]
+        price = b["o_totalprice"].to_numpy(zero_copy_only=False)[keep]
+        price = np.where(k % 97 == 0, np.round(price + 1.0, 4), price)
+        return pa.table({
+            "k": pa.array(k, pa.int64()),
+            "fp": pa.array(price, pa.float64()),
+            "side": pa.array(["new"] * len(k), pa.string()),
+        })
+
+    tagged = base.map_batches(old_side, batch_format="pyarrow").union(
+        base.map_batches(new_side, batch_format="pyarrow"))
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        sides = set(g["side"])
+        if sides == {"old"}:
+            status = "removed"
+        elif sides == {"new"}:
+            status = "added"
+        else:
+            o = g.loc[g["side"] == "old", "fp"].iloc[0]
+            n = g.loc[g["side"] == "new", "fp"].iloc[0]
+            status = "unchanged" if o == n else "changed"
+        return pd.DataFrame({"status": [status], "n": [1]})
+
+    counts = (tagged.groupby("k")
+              .map_groups(classify, batch_format="pandas")
+              .groupby("status").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    counts["n"] = counts["n"].astype("int64")
+    return counts.sort_values("status").reset_index(drop=True)

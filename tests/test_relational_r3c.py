@@ -169,3 +169,31 @@ def test_data_profile_flags_violations(ray_session, tmp_path):
     assert got[("lineitem", "discount_out_of_range")] == 1
     assert got[("lineitem", "nonpositive_l_quantity")] == 1
     assert got[("lineitem", "orphan_l_orderkey")] == 1
+
+
+def test_missing_days_gap(ray_session, tmp_path):
+    import pandas as pd
+
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(pd.to_datetime(
+            ["2024-01-01", "2024-01-02", "2024-01-05"]), pa.timestamp("us")),
+    }), tmp_path / "orders.parquet")
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        missing_days)
+
+    out = missing_days(str(tmp_path))
+    assert out["day"].tolist() == ["2024-01-03", "2024-01-04"]
+
+
+def test_table_diff_statuses(ray_session, tmp_path):
+    # keys: 97 -> changed (price bump), 101 -> removed, others unchanged
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 97, 101, 194], pa.int64()),
+        "o_totalprice": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+    }), tmp_path / "orders.parquet")
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        table_diff)
+
+    out = table_diff(str(tmp_path))
+    got = dict(zip(out["status"], out["n"]))
+    assert got == {"changed": 2, "removed": 1, "unchanged": 1}
