@@ -856,6 +856,18 @@ def q_label_affinity(sf_dir: str):
     return label_affinity(ds)
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed k-means (Lloyd's, k=8, 3 iterations, deterministic
+    init) over the embedding corpus."""
+    import ray.data as rd
+
+    from .stages.similarity import kmeans
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return kmeans(ds, k=8, n_iter=3)
+
+
 def q_label_centroids(sf_dir: str):
     """Per-label embedding centroids (grouped vector mean, exploded to
     flat (label, dim, centroid) rows)."""
@@ -1038,6 +1050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "data_profile": relational.data_profile,
         "rel_missing_days": relational.missing_days,
         "rel_table_diff": relational.table_diff,
+        "kmeans": q_kmeans,
     }
 
 
@@ -1170,4 +1183,5 @@ def oracle_sql() -> dict[str, str]:
         "data_profile": oracles.data_profile_sql(),
         "rel_missing_days": oracles.missing_days_sql(),
         "rel_table_diff": oracles.table_diff_sql(),
+        "kmeans": oracles.kmeans_sql(8, 3),
     }

@@ -399,3 +399,84 @@ def quantize_embeddings(emb_ds, *, id_col: str = "vec_id",
         })
 
     return emb_ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def kmeans(emb_ds, *, k: int = 8, n_iter: int = 3,
+           id_col: str = "vec_id", emb_col: str = "embedding",
+           round_to: int = 6):
+    """Distributed k-means (Lloyd's algorithm, fixed ``n_iter`` iterations,
+    deterministic init = the vectors with ``vec_id < k``) — the third
+    distributed ITERATIVE algorithm next to connected-components and
+    PageRank, and the clustering primitive of embedding curation
+    (near-dup blocking, diversity sampling, IVF coarse quantizers).
+
+    Per iteration: centroids broadcast ONCE via ``ray.put``; the assign
+    step is one numpy distance matmul per batch; the update step emits
+    ≤ k partial rows (cid, n, Σvec) per block — the SAME mergeable-partials
+    shape as ``label_centroids`` — merged by a per-cid map_groups.  Only
+    k-sized tables shuffle; the corpus is re-scanned once per iteration
+    (at 100 TB: cache the normalized matrix per block or checkpoint the
+    assignment column instead of re-reading raw parquet).
+
+    Distances are ``Σ_dim (x-c)²`` with dim-order summation to stay
+    comparable with the SQL mirror; ties break to the lowest cid.  Empty
+    clusters drop (both sides).  Output: (cid, dim, centroid, n_members)
+    after the LAST update step."""
+
+    def to_mat(b: pa.Table):
+        arr = b[emb_col].combine_chunks() if isinstance(
+            b[emb_col], pa.ChunkedArray) else b[emb_col]
+        d = len(arr[0])
+        return arr.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(-1, d).astype(np.float64)
+
+    import pyarrow.compute as pc
+
+    init = (emb_ds.map_batches(
+        lambda b: b.filter(pc.less(b[id_col], k)), batch_format="pyarrow")
+        .to_pandas().sort_values(id_col))
+    centroids = np.asarray([np.asarray(v, np.float64)
+                            for v in init[emb_col]])
+    cids = np.arange(len(centroids), dtype=np.int64)
+
+    for _ in range(n_iter):
+        cent_ref = ray.put((cids, centroids))
+
+        def update_partials(b: pa.Table) -> pa.Table:
+            cur_cids, cur_c = ray.get(cent_ref)
+            m = to_mat(b)
+            # (n, k) squared distances, dim-order sum like the SQL mirror
+            d2 = ((m[:, None, :] - cur_c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)          # first min = lowest cid
+            codes, uniq = pd.factorize(cur_cids[assign])
+            sums = np.zeros((len(uniq), m.shape[1]), np.float64)
+            np.add.at(sums, codes, m)
+            counts = np.bincount(codes, minlength=len(uniq))
+            return pa.table({
+                "cid": pa.array(uniq, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+                "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+            })
+
+        merged = (emb_ds.map_batches(update_partials,
+                                     batch_format="pyarrow")
+                  .groupby("cid")
+                  .map_groups(lambda g: pd.DataFrame({
+                      "cid": [int(g["cid"].iloc[0])],
+                      "n": [int(g["n"].sum())],
+                      "vsum": [np.sum(np.stack(g["vsum"].to_numpy()),
+                                      axis=0).tolist()],
+                  }), batch_format="pandas")
+                  .to_pandas().sort_values("cid"))
+        cids = merged["cid"].to_numpy(np.int64)
+        centroids = np.stack(merged["vsum"].to_numpy()) / \
+            merged["n"].to_numpy(np.float64)[:, None]
+        sizes = merged["n"].to_numpy(np.int64)
+
+    d = centroids.shape[1]
+    return pd.DataFrame({
+        "cid": np.repeat(cids, d),
+        "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(cids)),
+        "n_members": np.repeat(sizes, d),
+        "centroid": np.round(centroids, round_to).ravel(),
+    })

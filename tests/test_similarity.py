@@ -160,3 +160,31 @@ def test_label_centroids_match_numpy(ray_session):
                .to_numpy())
         assert np.array_equal(got, want)
         assert (out[out["label"] == lbl]["n"] == (labels == lbl).sum()).all()
+
+
+def test_kmeans_converges_to_plants(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import kmeans
+
+    # two well-separated planted clusters in 4D; ids 0/1 land one in each
+    rng = np.random.RandomState(7)
+    a = rng.normal(0.0, 0.05, (30, 4)) + np.array([1, 0, 0, 0])
+    bb = rng.normal(0.0, 0.05, (30, 4)) + np.array([-1, 0, 0, 0])
+    vecs = np.empty((60, 4))
+    vecs[0::2] = a
+    vecs[1::2] = bb
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+    }), tmp_path / "embeddings.parquet")
+
+    ds = rd.read_parquet(str(tmp_path / "embeddings.parquet"))
+    out = kmeans(ds, k=2, n_iter=5)
+    assert sorted(out["n_members"].unique().tolist()) == [30]  # 30 each
+    c = out.pivot(index="cid", columns="dim", values="centroid").to_numpy()
+    # centroids recover the planted means to within the cluster noise
+    assert abs(abs(c[:, 0]) - 1.0).max() < 0.05
