@@ -606,6 +606,54 @@ def q_approx_ndistinct(sf_dir: str):
     return approx_ndistinct(docs, "text")
 
 
+def q_approx_ndistinct_hll(sf_dir: str):
+    """HyperLogLog COUNT(DISTINCT text) over documents — the constant-
+    memory mergeable companion to the KMV sketch; the oracle recomputes
+    every register and the corrected estimate in pure SQL."""
+    import ray.data as rd
+
+    from .stages.sketch import approx_ndistinct_hll
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return approx_ndistinct_hll(docs, "text")
+
+
+def q_countmin_topk(sf_dir: str):
+    """Count-min-sketch token frequency estimates (top-100 by estimate):
+    distributed matrix fold → broadcast once → vectorized vocab scoring."""
+    import ray.data as rd
+
+    from .stages.sketch import countmin_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return countmin_topk(docs, text_col="text", k=100)
+
+
+def q_token_chunks(sf_dir: str):
+    """Fixed-window token chunking (window 32, stride 24) — the training
+    sequence-prep explode; fully vectorized Arrow gather."""
+    import ray.data as rd
+
+    from .stages.seqprep import token_chunks
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return token_chunks(docs, window=32, stride=24)
+
+
+def q_doc_perplexity(sf_dir: str):
+    """Per-document perplexity under the corpus's own add-1 unigram LM —
+    the CCNet-style LM quality filter; vocab meets docs in a distributed
+    hash join, never a driver collect."""
+    import ray.data as rd
+
+    from .stages.seqprep import doc_perplexity
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return doc_perplexity(docs, k_smooth=1.0)
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -964,6 +1012,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "curate_documents": q_curate,
         "approx_ndistinct": q_approx_ndistinct,
+        "approx_ndistinct_hll": q_approx_ndistinct_hll,
+        "countmin_topk": q_countmin_topk,
+        "token_chunks": q_token_chunks,
+        "doc_perplexity": q_doc_perplexity,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
@@ -1093,6 +1145,10 @@ def oracle_sql() -> dict[str, str]:
         # generator's docstring for the mirrored arithmetic)
         "doc_fingerprint": oracles.fingerprint_sql(),
         "approx_ndistinct": oracles.approx_ndistinct_sql(),
+        "approx_ndistinct_hll": oracles.approx_ndistinct_hll_sql(),
+        "countmin_topk": oracles.countmin_topk_sql(100),
+        "token_chunks": oracles.token_chunks_sql(32, 24),
+        "doc_perplexity": oracles.doc_perplexity_sql(1.0),
         "dedup_ngram": oracles.ngram_jaccard_sql(),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),
         "multimodal_frames": oracles.multimodal_frames_sql(),

@@ -356,3 +356,88 @@ def upsert_merge(base_ds, delta_ds, *, key: str, version_col: str,
             .map_batches(tag, batch_format="pyarrow")
             .groupby("_part")
             .map_groups(resolve, batch_format="pandas"))
+
+
+def _arrow_types(ds) -> dict[str, pa.DataType]:
+    """Arrow type per column of a Dataset (pandas-blocked inputs fall back
+    to numpy→arrow inference, matching _hash_filter_join)."""
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return {n: base.field(n).type for n in base.names}
+    return {n: (pa.string() if t in (str, object)
+                else pa.from_numpy_dtype(np.dtype(t)))
+            for n, t in zip(schema.names, schema.types)}
+
+
+def hash_lookup_join(left_ds, right_ds, *, on: str,
+                     num_partitions: int = 16):
+    """Reduce-side INNER lookup join: every left row gains the payload
+    columns of its matching right row(s).  The hardened replacement for
+    ``Dataset.join`` when either side's key range is small or skewed —
+    Ray 2.49's hash-shuffle join finalizes empty partitions to
+    zero-column blocks pyarrow rejects (see dedup.connected_components).
+
+    Shape: tagged union co-shuffled by a hash BUCKET of the key (pandas
+    siphash — string and integer keys alike) into ``num_partitions``
+    groups, then ONE vectorized pandas merge per bucket.  Shuffle volume
+    is |left| + |right| rows, exactly like a co-partitioned hash join.
+
+    Partitioning assumption: one bucket (|left|/P + |right|/P rows) fits a
+    worker; raise ``num_partitions`` for bigger tables.  Right-side key
+    multiplicity multiplies output rows (standard inner-join semantics).
+    """
+    import pyarrow.compute as _pc
+
+    left_names = list(left_ds.schema().names)
+    right_names = list(right_ds.schema().names)
+    value_cols = [c for c in right_names if c != on]
+    clash = set(value_cols) & set(left_names)
+    if clash:
+        raise ValueError(f"column name clash {sorted(clash)}; rename the "
+                         "right-side payload columns before joining")
+    types = {**_arrow_types(left_ds),
+             **{c: t for c, t in _arrow_types(right_ds).items()
+                if c in value_cols}}
+    out_names = left_names + value_cols
+    out_schema = pa.schema([(n, types[n]) for n in out_names])
+    _MARK = "_lkp_side"
+
+    def _part(arr) -> pa.Array:
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        h = pd.util.hash_array(np.asarray(a.to_pandas(), dtype=object))
+        return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {n: b[n] for n in left_names}
+        cols.update({c: pa.nulls(b.num_rows, types[c]) for c in value_cols})
+        cols["_part"] = _part(b[on])
+        cols[_MARK] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {n: (b[n] if n in right_names
+                    else pa.nulls(b.num_rows, types[n]))
+                for n in out_names}
+        cols["_part"] = _part(b[on])
+        cols[_MARK] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        return pa.table(cols)
+
+    def bucket_merge(t: pa.Table) -> pa.Table:
+        left = (t.filter(_pc.equal(t[_MARK], 0))
+                .select(left_names).to_pandas())
+        right = (t.filter(_pc.equal(t[_MARK], 1))
+                 .select([on] + value_cols).to_pandas())
+        out = left.merge(right, on=on, how="inner")
+        return pa.Table.from_pandas(out[out_names], schema=out_schema,
+                                    preserve_index=False)
+
+    tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
+              .union(right_ds.map_batches(tag_right,
+                                          batch_format="pyarrow")))
+    return (tagged.groupby("_part")
+            .map_groups(bucket_merge, batch_format="pyarrow")
+            # pin blocks to Arrow: group-less partitions emit empty PANDAS
+            # blocks that break later arrow-only stages (see
+            # dedup.connected_components)
+            .map_batches(lambda b: b, batch_format="pyarrow"))

@@ -1,0 +1,198 @@
+"""Training-sequence preparation operators: fixed-window token chunking
+(the "split long documents into context windows" pass every LLM training
+pipeline runs before packing) and corpus-LM perplexity scoring (the
+classic quality filter — score each document under a smoothed unigram
+model estimated from the corpus itself, CCNet-style).
+
+Both are expressed Ray-Data-first:
+
+- chunking is a stateless vectorized explode (`map_batches` over Arrow;
+  one re2 split + numpy offset arithmetic + an Arrow `take` gather —
+  token strings never round-trip through Python objects);
+- perplexity is two passes wired as dataflow, with the token-probability
+  table joined back via a DISTRIBUTED hash join (`Dataset.join`) rather
+  than a driver-side broadcast, so the vocabulary never has to fit on one
+  node (at 100 TB a web-scale vocab runs to 10^8+ types).
+
+Reference anchor: the reference tokenizes with whitespace semantics
+(`src/data_preprocessing/text_preprocessor.py:201-233`); these operators
+reuse the plain whitespace token stream the rest of the corpus-stats
+suite (token_topk, tfidf_topk) standardizes on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _ws_tokens(col: pa.ChunkedArray | pa.Array):
+    """Whitespace token stream with empties removed: (flat Arrow string
+    array, int64 per-doc token counts).  Vectorized — one re2 split over
+    the column, offset arithmetic for the rest; tokens stay in Arrow."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.fill_null(arr, "")
+    lists = pc.split_pattern_regex(arr, pattern=r"\s+")
+    flat = lists.flatten()
+    offs = np.asarray(lists.offsets, dtype=np.int64)
+    mask = pc.not_equal(flat, "")
+    mask_np = mask.to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(len(arr), dtype=np.int64), np.diff(offs))
+    n = np.bincount(doc_of[mask_np], minlength=len(arr)).astype(np.int64)
+    return flat.filter(mask), n
+
+
+def chunk_batch(batch: pa.Table, *, text_col: str = "text",
+                id_col: str = "doc_id", window: int = 32,
+                stride: int = 24) -> pa.Table:
+    """Explode each document into fixed-size token windows.
+
+    Window starts run 0, stride, 2·stride, … while start < n_tokens; each
+    chunk is tokens[start : start+window] re-joined with single spaces.
+    Overlap (stride < window) is the standard trick that keeps training
+    examples from losing cross-boundary context.  Empty documents emit no
+    chunks.
+
+    Fully vectorized: the overlapping slices are materialized by one
+    np.repeat/cumsum gather (`pc.take` on the flat token array), rebuilt
+    as an Arrow list column, and joined with `pc.binary_join` — no Python
+    loop over rows, chunks, or tokens."""
+    flat, n = _ws_tokens(batch[text_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_flat_off = np.concatenate([[0], np.cumsum(n)])[:-1]
+
+    n_chunks = -(-n // stride)  # ceil; empty docs stay 0
+    total = int(n_chunks.sum())
+    if total == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "chunk_id": pa.array([], pa.int64()),
+                         "start": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "chunk_text": pa.array([], pa.string())})
+    doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), n_chunks)
+    chunk_off = np.concatenate([[0], np.cumsum(n_chunks)])[:-1]
+    chunk_id = np.arange(total, dtype=np.int64) - chunk_off[doc_idx]
+    start = chunk_id * stride
+    length = np.minimum(window, n[doc_idx] - start)
+
+    tok_off = np.concatenate([[0], np.cumsum(length)])
+    within = np.arange(int(tok_off[-1]), dtype=np.int64) \
+        - np.repeat(tok_off[:-1], length)
+    gather = np.repeat(doc_flat_off[doc_idx] + start, length) + within
+    chunk_lists = pa.ListArray.from_arrays(
+        pa.array(tok_off, pa.int32()),
+        pc.take(flat, pa.array(gather, pa.int64())))
+    return pa.table({
+        id_col: pa.array(ids[doc_idx], pa.int64()),
+        "chunk_id": pa.array(chunk_id, pa.int64()),
+        "start": pa.array(start, pa.int64()),
+        "n_tokens": pa.array(length, pa.int64()),
+        "chunk_text": pc.binary_join(chunk_lists, " "),
+    })
+
+
+def token_chunks(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 window: int = 32, stride: int = 24):
+    """Dataset-level chunker: one stateless map_batches stage, streaming.
+    Output (doc_id, chunk_id, start, n_tokens, chunk_text), sorted for the
+    deterministic gate; at scale drop the sort and write partitioned."""
+    out = docs_ds.map_batches(
+        lambda b: chunk_batch(b, text_col=text_col, id_col=id_col,
+                              window=window, stride=stride),
+        batch_format="pyarrow")
+    return out.sort([id_col, "chunk_id"])
+
+
+def doc_term_counts_batch(batch: pa.Table, *, text_col: str = "text",
+                          id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, token, c) term counts.  Exact per document because each
+    document is one row — no cross-batch combine needed.  One Arrow C++
+    hash group_by per batch; no Python token handling."""
+    flat, n = _ws_tokens(batch[text_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "token": pa.array([], pa.string()),
+                         "c": pa.array([], pa.int64())})
+    doc_of = np.repeat(np.arange(len(n), dtype=np.int64), n)
+    t = pa.table({"d": pa.array(doc_of, pa.int64()), "token": flat})
+    g = t.group_by(["d", "token"]).aggregate([("d", "count")])
+    d = g["d"].to_numpy(zero_copy_only=False)
+    return pa.table({id_col: pa.array(ids[d], pa.int64()),
+                     "token": g["token"],
+                     "c": pc.cast(g["d_count"], pa.int64())})
+
+
+def doc_perplexity(docs_ds, *, text_col: str = "text",
+                   id_col: str = "doc_id", k_smooth: float = 1.0,
+                   num_partitions: int = 16):
+    """Per-document perplexity under the add-k-smoothed unigram LM
+    estimated from the corpus itself (the CCNet/Gopher-style LM quality
+    signal, with the corpus standing in for an external clean LM).
+
+    p(t) = (count(t) + k) / (N + k·V);  ppl(d) = exp(−Σ c·ln p / Σ c).
+
+    Scale shape: the vocabulary comes from a combiner groupby (per-batch
+    Arrow hash-count partials → native Sum), per-doc term vectors meet it
+    in a DISTRIBUTED hash join keyed on token — no driver collect, no
+    vocab broadcast — then one groupby(doc_id) merges the weighted
+    log-probs.  Only two scalars (N, V) touch the driver.  The corpus is
+    deliberately re-scanned (column-pruned) for the second pass instead of
+    materialized: at 100 TB a second streaming read beats pinning the
+    whole corpus in the object store."""
+    from ray.data.aggregate import Sum
+
+    def vocab_partials(b: pa.Table) -> pa.Table:
+        flat, _ = _ws_tokens(b[text_col])
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = (pa.table({"token": flat}).group_by("token")
+             .aggregate([("token", "count")]))
+        return pa.table({"token": g["token"],
+                         "n": pc.cast(g["token_count"], pa.int64())})
+
+    vocab = (docs_ds.map_batches(vocab_partials, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("n", alias_name="n"))
+             .materialize())  # vocabulary-sized; two consumers below
+    n_total = float(vocab.aggregate(Sum("n", alias_name="N"))["N"])
+    v_size = float(vocab.count())
+
+    terms = docs_ds.map_batches(
+        lambda b: doc_term_counts_batch(b, text_col=text_col,
+                                        id_col=id_col),
+        batch_format="pyarrow")
+    # reduce-side lookup join (joins.hash_lookup_join): attaches the raw
+    # vocab count n to every (doc, token) term; log-probs are computed
+    # post-join from the two broadcast scalars (N, V).  Dataset.join is
+    # avoided — Ray 2.49 finalizes empty partitions to zero-column blocks
+    # (see dedup.connected_components).
+    from .joins import hash_lookup_join
+
+    joined = hash_lookup_join(terms, vocab, on="token",
+                              num_partitions=num_partitions)
+
+    def weight(b: pa.Table) -> pa.Table:
+        c = b["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = np.log((n + k_smooth) / (n_total + k_smooth * v_size))
+        return pa.table({id_col: b[id_col],
+                         "c": b["c"],
+                         "wlp": pa.array(c * lp, pa.float64())})
+
+    agg = (joined.map_batches(weight, batch_format="pyarrow")
+           .groupby(id_col)
+           .aggregate(Sum("c", alias_name="n_tokens"),
+                      Sum("wlp", alias_name="sum_logp")))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = b["sum_logp"].to_numpy(zero_copy_only=False)
+        ppl = np.round(np.exp(-s / nt), 6)
+        return pa.table({id_col: b[id_col],
+                         "n_tokens": pc.cast(b["n_tokens"], pa.int64()),
+                         "ppl": pa.array(ppl, pa.float64())})
+
+    return (agg.map_batches(finalize, batch_format="pyarrow")
+            .sort(id_col))

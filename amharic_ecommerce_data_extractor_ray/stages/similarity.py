@@ -319,6 +319,10 @@ def label_centroids(emb_ds, *, label_col: str = "label",
     relational data, not nested lists."""
 
     def partials(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "vsum": pa.array([], pa.list_(pa.float64()))})
         emb = b[emb_col]
         arr = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) \
             else emb
@@ -381,6 +385,10 @@ def quantize_embeddings(emb_ds, *, id_col: str = "vec_id",
     that shrinks the vector corpus 4× before indexing."""
 
     def kernel(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
         emb = b[emb_col]
         arr = emb.combine_chunks() if isinstance(emb, pa.ChunkedArray) \
             else emb
@@ -444,6 +452,11 @@ def kmeans(emb_ds, *, k: int = 8, n_iter: int = 3,
 
         def update_partials(b: pa.Table) -> pa.Table:
             cur_cids, cur_c = ray.get(cent_ref)
+            if b.num_rows == 0:
+                return pa.table({
+                    "cid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64()))})
             m = to_mat(b)
             # (n, k) squared distances, dim-order sum like the SQL mirror
             d2 = ((m[:, None, :] - cur_c[None, :, :]) ** 2).sum(axis=2)

@@ -493,3 +493,183 @@ def histogram_counts(ds, *, col: str, lo: float, hi: float,
         (ds.select_columns([col])
          .map_batches(partial, batch_format="pyarrow")
          .aggregate(agg))["hist"], dtype=np.int64)
+
+
+def _bit_length_u64(w: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (log2 via float64 would
+    mis-round near powers of two above 2^53)."""
+    bl = np.zeros(w.shape, dtype=np.int64)
+    v = w.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(shift))
+        bl[m] += shift
+        v[m] >>= np.uint64(shift)
+    bl[w > 0] += 1
+    return bl
+
+
+def hll_partials_batch(batch: pa.Table, *, col: str, p: int) -> pa.Table:
+    """One row per batch: the 2^p HyperLogLog register maxima (Flajolet et
+    al., "HyperLogLog: the analysis of a near-optimal cardinality
+    estimation algorithm", AofA 2007).  Same md5-derived 64-bit hash as
+    the KMV sketch so the DuckDB oracle can recompute every register in
+    pure SQL: register = h >> (64-p); rank = leading-zeros-of-low-bits + 1
+    = (64-p) - bit_length(h mod 2^(64-p)) + 1."""
+    m = 1 << p
+    vals = {_h64(v if v is not None else "") for v in batch[col].to_pylist()}
+    regs = np.zeros(m, dtype=np.int64)
+    if vals:
+        h = np.fromiter(vals, dtype=np.uint64, count=len(vals))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        wlow = h & np.uint64((1 << (64 - p)) - 1)
+        rho = (64 - p) - _bit_length_u64(wlow) + 1
+        np.maximum.at(regs, idx, rho)
+    return pa.table({"hll": pa.array([regs.tolist()], pa.list_(pa.int64()))})
+
+
+def hll_estimate(regs: np.ndarray, p: int) -> float:
+    """Standard HLL estimator with the small-range (linear counting)
+    correction; 64-bit hashes make the large-range correction moot."""
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / float(np.sum(np.power(2.0, -regs.astype(np.float64))))
+    zeros = float(np.count_nonzero(regs == 0))
+    if raw <= 2.5 * m and zeros > 0:
+        return m * np.log(m / zeros)
+    return raw
+
+
+def approx_ndistinct_hll(ds, col: str, *, p: int = 12):
+    """Distributed approximate COUNT(DISTINCT col) via HyperLogLog: the
+    constant-size (2^p registers) alternative to the KMV sketch above —
+    the merge is an elementwise register max, so the shuffle payload is
+    O(2^p) per block and the distributed AggregateFn fold hands the driver
+    exactly one merged register vector.  KMV wins on simplicity and exact
+    small counts; HLL wins on memory (1 int per register vs k 64-bit
+    minima) and is the industry default — both shapes belong in the
+    toolbox.  Returns a one-row pyarrow Table (approx_ndistinct, p)."""
+    from ray.data.aggregate import AggregateFn
+
+    m = 1 << p
+
+    def _acc(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        for row in block["hll"].to_pylist():
+            acc = np.maximum(acc, np.asarray(row, dtype=np.int64))
+        return acc
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(m, dtype=np.int64),
+        merge=lambda a, b: np.maximum(a, b),
+        accumulate_block=_acc,
+        finalize=lambda acc: acc.tolist(),
+        name="hll",
+    )
+    merged = np.asarray(
+        (ds.select_columns([col])
+         .map_batches(lambda b: hll_partials_batch(b, col=col, p=p),
+                      batch_format="pyarrow")
+         .aggregate(agg))["hll"], dtype=np.int64)
+    est = hll_estimate(merged, p)
+    return pa.table({"approx_ndistinct": pa.array([round(est, 1)],
+                                                  pa.float64()),
+                     "p": pa.array([p], pa.int64())})
+
+
+def countmin_partials_batch(batch: pa.Table, *, text_col: str, depth: int,
+                            width: int) -> pa.Table:
+    """One row per batch: the flattened depth×width count-min matrix
+    (Cormode & Muthukrishnan, "An improved data stream summary: the
+    count-min sketch", J.Alg 2005).  Row-r hash of token t is
+    md5_u64(f"{r}|{t}") mod width — recomputable in DuckDB, so the oracle
+    rebuilds the identical matrix in SQL.  Work per batch is one Arrow
+    hash-count plus depth vocab-sized vector ops."""
+    import pyarrow.compute as _pc
+
+    arr = batch[text_col].combine_chunks() \
+        if isinstance(batch[text_col], pa.ChunkedArray) else batch[text_col]
+    lists = _pc.split_pattern_regex(_pc.fill_null(arr, ""), pattern=r"\s+")
+    flat = lists.flatten()
+    flat = flat.filter(_pc.not_equal(flat, ""))
+    mat = np.zeros((depth, width), dtype=np.int64)
+    if len(flat):
+        g = (pa.table({"token": flat}).group_by("token")
+             .aggregate([("token", "count")]))
+        toks = g["token"].to_pylist()
+        cnts = np.asarray(g["token_count"].to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        for r in range(depth):
+            pos = np.fromiter((_h64(f"{r}|{t}") % width for t in toks),
+                              dtype=np.int64, count=len(toks))
+            np.add.at(mat[r], pos, cnts)
+    return pa.table({"cm": pa.array([mat.ravel().tolist()],
+                                    pa.list_(pa.int64()))})
+
+
+def countmin_topk(docs_ds, *, text_col: str = "text", k: int = 100,
+                  depth: int = 4, width: int = 2048):
+    """Count-min-estimated token frequencies: build the sketch with one
+    distributed AggregateFn fold (merge = matrix add, driver sees one
+    depth×width matrix), broadcast it once via ray.put, then score the
+    (vocabulary-sized) distinct-token table against it in map_batches.
+    Output: top-k tokens by estimated count (est desc, token asc) —
+    estimates are upper bounds (est ≥ true), biased high on hash
+    collisions, which is exactly what the oracle recomputes."""
+    import ray
+    from ray.data.aggregate import AggregateFn, Sum
+
+    sz = depth * width
+
+    def _acc(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        for row in block["cm"].to_pylist():
+            acc = acc + np.asarray(row, dtype=np.int64)
+        return acc
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(sz, dtype=np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=_acc,
+        finalize=lambda acc: acc.tolist(),
+        name="cm",
+    )
+    docs_ds = docs_ds.materialize()  # sketch pass + vocab pass share the scan
+    mat = np.asarray(
+        (docs_ds.map_batches(
+            lambda b: countmin_partials_batch(b, text_col=text_col,
+                                              depth=depth, width=width),
+            batch_format="pyarrow")
+         .aggregate(agg))["cm"], dtype=np.int64).reshape(depth, width)
+    mat_ref = ray.put(mat)
+
+    def vocab_partials(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        arr = b[text_col].combine_chunks() \
+            if isinstance(b[text_col], pa.ChunkedArray) else b[text_col]
+        lists = _pc.split_pattern_regex(_pc.fill_null(arr, ""),
+                                        pattern=r"\s+")
+        flat = lists.flatten()
+        flat = flat.filter(_pc.not_equal(flat, ""))
+        if not len(flat):
+            return pa.table({"token": pa.array([], pa.string()),
+                             "one": pa.array([], pa.int64())})
+        u = pc.unique(flat)
+        return pa.table({"token": u,
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    def estimate(b: pa.Table) -> pa.Table:
+        import ray as _ray
+        m = _ray.get(mat_ref)
+        toks = b["token"].to_pylist()
+        est = np.full(len(toks), np.iinfo(np.int64).max, dtype=np.int64)
+        for r in range(depth):
+            pos = np.fromiter((_h64(f"{r}|{t}") % width for t in toks),
+                              dtype=np.int64, count=len(toks))
+            est = np.minimum(est, m[r, pos])
+        return pa.table({"token": b["token"],
+                         "n_est": pa.array(est, pa.int64())})
+
+    vocab = (docs_ds.map_batches(vocab_partials, batch_format="pyarrow")
+             .groupby("token").aggregate(Sum("one", alias_name="one"))
+             .select_columns(["token"]))
+    return (vocab.map_batches(estimate, batch_format="pyarrow")
+            .sort(["n_est", "token"], descending=[True, False])
+            .limit(k))
