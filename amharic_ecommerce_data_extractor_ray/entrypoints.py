@@ -654,6 +654,47 @@ def q_doc_perplexity(sf_dir: str):
     return doc_perplexity(docs, k_smooth=1.0)
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL interchange round-trip (S3/S4 format-coverage analog):
+    documents → ds.write_json under /tmp → ds.read_json; the oracle checks
+    byte-preservation of every row, unicode text included."""
+    import tempfile
+
+    import ray.data as rd
+
+    out = tempfile.mkdtemp(prefix="jsonl_docs_")
+    (rd.read_parquet(f"{sf_dir}/documents.parquet",
+                     columns=["doc_id", "text", "lang", "source"])
+     .write_json(out))
+    return rd.read_json(out).select_columns(["doc_id", "text", "lang",
+                                             "source"])
+
+
+def q_pq_codes(sf_dir: str):
+    """Product-quantization codebooks + codes over the embeddings table
+    (2 subspaces × 16 centroids, 2 Lloyd's iterations, deterministic)."""
+    import ray.data as rd
+
+    from .stages.similarity import pq_codes
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return pq_codes(emb, m_subspaces=2, k_codes=16, n_iter=2)
+
+
+def q_pack_bins(sf_dir: str):
+    """Greedy first-fit sequence packing of docs into 256-token bins,
+    parallel per source group (order-sensitive scan replayed by a
+    recursive-CTE oracle)."""
+    import ray.data as rd
+
+    from .stages.seqprep import pack_bins
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+    return pack_bins(docs, budget=256)
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -1016,6 +1057,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_topk": q_countmin_topk,
         "token_chunks": q_token_chunks,
         "doc_perplexity": q_doc_perplexity,
+        "pack_bins": q_pack_bins,
+        "pq_codes": q_pq_codes,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
+        "rel_waiting_suppliers": relational.waiting_suppliers,
+        "rel_window_dedup": relational.window_dedup_events,
+        "rel_gap_fill": relational.gap_fill_locf,
+        "rel_small_qty_revenue": relational.small_quantity_revenue,
+        "rel_priority_exists": relational.priority_order_counts,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
@@ -1149,6 +1198,14 @@ def oracle_sql() -> dict[str, str]:
         "countmin_topk": oracles.countmin_topk_sql(100),
         "token_chunks": oracles.token_chunks_sql(32, 24),
         "doc_perplexity": oracles.doc_perplexity_sql(1.0),
+        "pack_bins": oracles.pack_bins_sql(256),
+        "pq_codes": oracles.pq_codes_sql(2, 16, 2, 64),
+        "jsonl_roundtrip": oracles.jsonl_roundtrip_sql(),
+        "rel_waiting_suppliers": oracles.waiting_suppliers_sql(100),
+        "rel_window_dedup": oracles.window_dedup_events_sql(),
+        "rel_gap_fill": oracles.gap_fill_locf_sql(),
+        "rel_small_qty_revenue": oracles.small_quantity_revenue_sql(0.5),
+        "rel_priority_exists": oracles.priority_order_counts_sql(),
         "dedup_ngram": oracles.ngram_jaccard_sql(),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),
         "multimodal_frames": oracles.multimodal_frames_sql(),

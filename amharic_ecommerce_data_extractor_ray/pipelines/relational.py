@@ -2087,3 +2087,225 @@ def table_diff(sf_dir: str, *, num_partitions: int = 16):
               .to_pandas())
     counts["n"] = counts["n"].astype("int64")
     return counts.sort_values("status").reset_index(drop=True)
+
+
+def waiting_suppliers(sf_dir: str, *, num_partitions: int = 16,
+                      k: int = 100):
+    """TPC-H Q21 shape — correlated EXISTS + NOT EXISTS over a fact
+    self-relationship: suppliers whose returned line (l_returnflag='R') is
+    the ONLY return inside a multi-supplier order.
+
+    The two correlated subqueries collapse into per-order set algebra, so
+    the whole query is one keyed dataflow instead of three fact scans:
+    per-batch Arrow group_by combiner → global groupby(l_orderkey,
+    l_suppkey) Max(is_r) → order-level (n_supp, n_r_supp) counts attached
+    back with the reduce-side lookup join (joins.hash_lookup_join — the
+    fact key range here is order-sized, exactly the regime where Ray
+    2.49's native join trips on empty partitions) → vectorized qualify
+    filter → supplier-level Count.  The 10-row supplier dim attaches
+    driver-side (broadcast pattern, suppliers_by_region).
+    """
+    from ..stages.joins import hash_lookup_join
+
+    li = _lineitem(sf_dir, ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_suppkey": b["l_suppkey"],
+            "is_r": pc.cast(pc.equal(b["l_returnflag"], "R"), pa.int64()),
+        })
+        return (pa.TableGroupBy(t, ["l_orderkey", "l_suppkey"])
+                .aggregate([("is_r", "max")])
+                .rename_columns(["l_orderkey", "l_suppkey", "is_r"]))
+
+    per_os = (li.map_batches(partials, batch_format="pyarrow")
+              .groupby(["l_orderkey", "l_suppkey"])
+              .aggregate(Max("is_r", alias_name="is_r"))
+              .materialize())  # (order, supplier)-sized; two consumers
+    per_o = (per_os.groupby("l_orderkey")
+             .aggregate(Count(alias_name="n_supp"),
+                        Sum("is_r", alias_name="n_r_supp")))
+    joined = hash_lookup_join(per_os, per_o, on="l_orderkey",
+                              num_partitions=num_partitions)
+
+    def qualify(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.and_(pc.equal(b["is_r"], 1),
+                               pc.greater(b["n_supp"], 1)),
+                       pc.equal(b["n_r_supp"], 1))
+        return b.filter(keep).select(["l_suppkey"])
+
+    per_supp = (joined.map_batches(qualify, batch_format="pyarrow")
+                .groupby("l_suppkey")
+                .aggregate(Count(alias_name="numwait")))
+
+    import pyarrow.parquet as pq
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    names = dict(zip(sup["s_suppkey"].to_pylist(),
+                     sup["s_name"].to_pylist()))
+    pdf = per_supp.to_pandas()
+    pdf["s_name"] = pdf["l_suppkey"].map(names)
+    pdf["numwait"] = pdf["numwait"].astype("int64")
+    return (pdf.sort_values(["numwait", "s_name"],
+                            ascending=[False, True])
+            .head(k)[["s_name", "numwait"]].reset_index(drop=True))
+
+
+def window_dedup_events(sf_dir: str):
+    """Streaming-window deduplication: keep the FIRST event (lowest
+    event_id) per (user_id, event_type) per tumbling hour and count the
+    suppressed duplicates — the at-least-once-delivery cleanup every event
+    pipeline runs.  One groupby on the (key, window) composite; the window
+    bucket comes from the same vectorized floor_temporal kernel as
+    hourly_event_windows."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "ts"])
+
+    def add_window(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_type": b["event_type"],
+            "window_start": pc.strftime(hour, format="%Y-%m-%d %H:00:00"),
+            "event_id": b["event_id"],
+        })
+
+    out = (ds.map_batches(add_window, batch_format="pyarrow")
+           .groupby(["user_id", "event_type", "window_start"])
+           .aggregate(Min("event_id", alias_name="kept_event_id"),
+                      Count(alias_name="n_events")))
+    pdf = out.to_pandas()
+    pdf["n_dups"] = (pdf["n_events"] - 1).astype("int64")
+    pdf = pdf.drop(columns=["n_events"])
+    return (pdf.sort_values(["user_id", "event_type", "window_start"])
+            .reset_index(drop=True))
+
+
+def gap_fill_locf(sf_dir: str):
+    """Per-key calendar gap-fill with last-observation-carried-forward
+    (LOCF) — the time-series repair step between gap DETECTION
+    (missing_days) and downstream window math: each user's daily value
+    series is completed over their own [first, last] activity span,
+    missing days inheriting the previous observed day's value.
+
+    Shape: per-batch (user, day, Σvalue) Arrow combiner → one groupby
+    (user_id) whose per-group kernel is a vectorized searchsorted ffill
+    over the user's calendar span (same one-key-stream-per-worker
+    assumption as sessionize).  Output rows are span-sized, not
+    event-sized."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "day": pc.strftime(pc.floor_temporal(b["ts"], unit="day"),
+                               format="%Y-%m-%d"),
+            "v": b["value"],
+        })
+        return (pa.TableGroupBy(t, ["user_id", "day"])
+                .aggregate([("v", "sum")])
+                .rename_columns(["user_id", "day", "v"]))
+
+    daily = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby(["user_id", "day"])
+             .aggregate(Sum("v", alias_name="v")))
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day")
+        obs = pd.to_datetime(g["day"]).to_numpy()
+        full = pd.date_range(obs[0], obs[-1], freq="D")
+        # index of the last observed day ≤ each scaffold day
+        idx = np.searchsorted(obs, full.to_numpy(), side="right") - 1
+        vals = g["v"].to_numpy(np.float64)[idx]
+        filled = ~np.isin(full.to_numpy(), obs)
+        return pd.DataFrame({
+            "user_id": np.repeat(g["user_id"].iloc[0], len(full)),
+            "day": full.strftime("%Y-%m-%d"),
+            "value": np.round(vals, 6),
+            "filled": filled,
+        })
+
+    out = (daily.groupby("user_id")
+           .map_groups(fill, batch_format="pandas")
+           .map_batches(lambda b: b, batch_format="pyarrow"))
+    return out.sort(["user_id", "day"])
+
+
+def small_quantity_revenue(sf_dir: str, *, frac: float = 0.5,
+                           num_partitions: int = 16):
+    """TPC-H Q17 shape — correlated SCALAR subquery (compare each row to
+    its own group's aggregate), decorrelated into dataflow: per-part avg
+    quantity via a combiner groupby, attached back to every lineitem with
+    the reduce-side lookup join, then a vectorized below-threshold filter
+    and one global sum.  Lineitems with quantity < ``frac``·avg(part) are
+    the lost small-order revenue.
+
+    Output: one row (total_revenue, n_lines)."""
+    from ..stages.joins import hash_lookup_join
+
+    li = _lineitem(sf_dir, ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": b["l_partkey"], "q": b["l_quantity"]})
+        return (pa.TableGroupBy(t, "l_partkey")
+                .aggregate([("q", "sum"), ("q", "count")])
+                .rename_columns(["l_partkey", "q_sum", "n"]))
+
+    per_part = (li.map_batches(partials, batch_format="pyarrow")
+                .groupby("l_partkey")
+                .aggregate(Sum("q_sum", alias_name="q_sum"),
+                           Sum("n", alias_name="n")))
+
+    def threshold(b: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.cast(b["q_sum"], pa.float64()),
+                        pc.cast(b["n"], pa.float64()))
+        return pa.table({"l_partkey": b["l_partkey"],
+                         "thr": pc.multiply(avg, pa.scalar(frac))})
+
+    thr = per_part.map_batches(threshold, batch_format="pyarrow")
+    joined = hash_lookup_join(li, thr, on="l_partkey",
+                              num_partitions=num_partitions)
+
+    def qualify(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["l_quantity"], b["thr"])
+        b = b.filter(keep)
+        return pa.table({"rev": b["l_extendedprice"],
+                         "one": pa.array([1] * b.num_rows, pa.int64())})
+
+    agg = (joined.map_batches(qualify, batch_format="pyarrow")
+           .aggregate(Sum("rev", alias_name="rev"),
+                      Sum("one", alias_name="n_lines")))
+    return pa.table({
+        "total_revenue": pa.array([round(float(agg["rev"] or 0.0), 4)],
+                                  pa.float64()),
+        "n_lines": pa.array([int(agg["n_lines"] or 0)], pa.int64()),
+    })
+
+
+def priority_order_counts(sf_dir: str, *, num_partitions: int = 16):
+    """TPC-H Q4 shape — EXISTS semi join: orders with at least one
+    returned lineitem, counted by order priority.  The EXISTS collapses
+    to `joins.hash_semi_join` (right side = distinct returned order keys,
+    key-only shuffle) followed by one vocabulary-sized groupby."""
+    from ..stages.joins import hash_semi_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    returned = (_lineitem(sf_dir, ["l_orderkey", "l_returnflag"])
+                .map_batches(
+                    lambda b: (b.filter(pc.equal(b["l_returnflag"], "R"))
+                               .select(["l_orderkey"])
+                               .rename_columns(["o_orderkey"])),
+                    batch_format="pyarrow"))
+    kept = hash_semi_join(orders, returned, on="o_orderkey",
+                          num_partitions=num_partitions)
+    out = (kept.groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n_orders")))
+    pdf = out.to_pandas()
+    pdf["n_orders"] = pdf["n_orders"].astype("int64")
+    return pdf.sort_values("o_orderpriority").reset_index(drop=True)

@@ -196,3 +196,51 @@ def doc_perplexity(docs_ds, *, text_col: str = "text",
 
     return (agg.map_batches(finalize, batch_format="pyarrow")
             .sort(id_col))
+
+
+def pack_bins(docs_ds, *, budget: int = 256, group_col: str = "source",
+              text_col: str = "text", id_col: str = "doc_id"):
+    """Greedy first-fit-in-order sequence packing: within each group, docs
+    (in ascending id order) fill a bin until the next doc would overflow
+    ``budget`` tokens, then a new bin starts — the example-packing pass
+    that turns a chunked corpus into fixed-budget training batches without
+    splitting documents.  Oversized docs (> budget) get a bin of their own.
+
+    Packing is ORDER-SENSITIVE, hence sequential *by definition* — but
+    only within a group: groups pack in parallel via groupby(group_col)
+    .map_groups, the same per-key-stream shape (and the same partitioning
+    assumption: one group's doc list fits a worker) as sessionize.  Token
+    counts are pre-computed vectorized (map_batches) so the sequential
+    kernel touches two int columns, never text.
+
+    Output: (group_col, doc_id, n_tokens, bin) sorted; bin ids restart at
+    0 per group."""
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        _, n = _ws_tokens(b[text_col])
+        return pa.table({group_col: b[group_col],
+                         id_col: b[id_col],
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    def pack(g: "pd.DataFrame"):
+        import pandas as pd
+        g = g.sort_values(id_col)
+        n = g["n_tokens"].to_numpy()
+        bins = np.empty(len(n), dtype=np.int64)
+        cur_bin, fill = 0, 0
+        for i, tok in enumerate(n):
+            if fill + tok > budget and fill > 0:
+                cur_bin += 1
+                fill = 0
+            bins[i] = cur_bin
+            fill += tok
+        return pd.DataFrame({group_col: g[group_col].to_numpy(),
+                             id_col: g[id_col].to_numpy(),
+                             "n_tokens": n,
+                             "bin": bins})
+
+    out = (docs_ds.map_batches(count_tokens, batch_format="pyarrow")
+           .groupby(group_col)
+           .map_groups(pack, batch_format="pandas")
+           .map_batches(lambda b: b, batch_format="pyarrow"))
+    return out.sort([group_col, id_col])

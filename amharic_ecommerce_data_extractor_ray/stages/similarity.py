@@ -493,3 +493,120 @@ def kmeans(emb_ds, *, k: int = 8, n_iter: int = 3,
         "n_members": np.repeat(sizes, d),
         "centroid": np.round(centroids, round_to).ravel(),
     })
+
+
+def pq_codes(emb_ds, *, m_subspaces: int = 2, k_codes: int = 16,
+             n_iter: int = 2, id_col: str = "vec_id",
+             emb_col: str = "embedding"):
+    """Product-quantization codebook training + encoding (Jégou/Douze/
+    Schmid, TPAMI 2011 — the PQ half that completes ``ivf_topk``'s IVF
+    half): the embedding dimension is split into ``m_subspaces`` equal
+    slices, each slice gets its own ``k_codes``-centroid Lloyd's codebook
+    (same deterministic vec_id<k init / lowest-cid tie-break / dim-order
+    distance sums as ``kmeans``), and every vector is encoded as its
+    per-subspace nearest-centroid ids — the 4-32× compression that makes
+    a 100 TB vector corpus scannable from RAM (ADC scans read codes, not
+    floats).
+
+    Scale shape: ALL subspace codebooks train in one scan per iteration —
+    partials are keyed (m, cid), so a single mergeable groupby per
+    iteration carries ≤ m·k rows per block; centroids broadcast once per
+    iteration via ``ray.put``; the final encode pass is one more scan.
+    Output: (vec_id, m, code) flat rows, sorted."""
+    import pyarrow.compute as pc
+
+    def to_mat(b: pa.Table):
+        arr = b[emb_col].combine_chunks() if isinstance(
+            b[emb_col], pa.ChunkedArray) else b[emb_col]
+        d = len(arr[0])
+        return arr.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(-1, d).astype(np.float64)
+
+    init = (emb_ds.map_batches(
+        lambda b: b.filter(pc.less(b[id_col], k_codes)),
+        batch_format="pyarrow").to_pandas().sort_values(id_col))
+    full = np.asarray([np.asarray(v, np.float64) for v in init[emb_col]])
+    d = full.shape[1]
+    if d % m_subspaces:
+        raise ValueError(f"dim {d} not divisible by {m_subspaces}")
+    dsub = d // m_subspaces
+    # per-subspace live centroid sets (clusters may empty independently)
+    cids = [np.arange(len(full), dtype=np.int64)
+            for _ in range(m_subspaces)]
+    cents = [full[:, m * dsub:(m + 1) * dsub].copy()
+             for m in range(m_subspaces)]
+
+    def assign_sub(mat: np.ndarray, m: int, cur_cids, cur_c):
+        sub = mat[:, m * dsub:(m + 1) * dsub]
+        d2 = ((sub[:, None, :] - cur_c[None, :, :]) ** 2).sum(axis=2)
+        return cur_cids[np.argmin(d2, axis=1)]  # first min = lowest cid
+
+    for _ in range(n_iter):
+        ref = ray.put((cids, cents))
+
+        def update_partials(b: pa.Table) -> pa.Table:
+            cur_cids, cur_c = ray.get(ref)
+            if b.num_rows == 0:
+                return pa.table({
+                    "m": pa.array([], pa.int64()),
+                    "cid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64()))})
+            mat = to_mat(b)
+            out_m, out_cid, out_n, out_sum = [], [], [], []
+            for m in range(m_subspaces):
+                a = assign_sub(mat, m, cur_cids[m], cur_c[m])
+                codes, uniq = pd.factorize(a)
+                sums = np.zeros((len(uniq), dsub), np.float64)
+                np.add.at(sums, codes, mat[:, m * dsub:(m + 1) * dsub])
+                counts = np.bincount(codes, minlength=len(uniq))
+                out_m.append(np.full(len(uniq), m, np.int64))
+                out_cid.append(uniq)
+                out_n.append(counts.astype(np.int64))
+                out_sum.append(sums)
+            return pa.table({
+                "m": pa.array(np.concatenate(out_m), pa.int64()),
+                "cid": pa.array(np.concatenate(out_cid), pa.int64()),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+                "vsum": pa.array(np.concatenate(out_sum).tolist(),
+                                 pa.list_(pa.float64())),
+            })
+
+        merged = (emb_ds.map_batches(update_partials,
+                                     batch_format="pyarrow")
+                  .groupby(["m", "cid"])
+                  .map_groups(lambda g: pd.DataFrame({
+                      "m": [int(g["m"].iloc[0])],
+                      "cid": [int(g["cid"].iloc[0])],
+                      "n": [int(g["n"].sum())],
+                      "vsum": [np.sum(np.stack(g["vsum"].to_numpy()),
+                                      axis=0).tolist()],
+                  }), batch_format="pandas")
+                  .to_pandas().sort_values(["m", "cid"]))
+        cids = [merged.loc[merged["m"] == m, "cid"]
+                .to_numpy(np.int64) for m in range(m_subspaces)]
+        cents = [np.stack(merged.loc[merged["m"] == m, "vsum"].to_numpy())
+                 / merged.loc[merged["m"] == m, "n"]
+                 .to_numpy(np.float64)[:, None]
+                 for m in range(m_subspaces)]
+
+    ref = ray.put((cids, cents))
+
+    def encode(b: pa.Table) -> pa.Table:
+        cur_cids, cur_c = ray.get(ref)
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64()),
+                             "code": pa.array([], pa.int64())})
+        mat = to_mat(b)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = [pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "m": pa.array(np.full(len(ids), m, np.int64)),
+            "code": pa.array(assign_sub(mat, m, cur_cids[m], cur_c[m]),
+                             pa.int64()),
+        }) for m in range(m_subspaces)]
+        return pa.concat_tables(parts)
+
+    return (emb_ds.map_batches(encode, batch_format="pyarrow")
+            .sort([id_col, "m"]))

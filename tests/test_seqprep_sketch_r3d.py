@@ -162,3 +162,147 @@ def test_hash_lookup_join_int_keys_block_invariant(ray_session):
          .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
     assert a.equals(b)
     assert (a["v"] == a["k"] * 10).all()
+
+
+def test_pack_bins_greedy_semantics(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.seqprep import pack_bins
+
+    docs = [
+        {"doc_id": 1, "source": "a", "text": "w " * 6},    # 6 tokens
+        {"doc_id": 2, "source": "a", "text": "w " * 3},    # 6+3=9 > 8 → bin 1
+        {"doc_id": 3, "source": "a", "text": "w " * 5},    # 3+5=8 ≤ 8 → bin 1
+        {"doc_id": 4, "source": "a", "text": "w " * 12},   # oversized → bin 2
+        {"doc_id": 5, "source": "a", "text": "w"},         # 12+1 > 8 → bin 3
+        {"doc_id": 6, "source": "b", "text": "w " * 2},    # new group → bin 0
+    ]
+    out = pack_bins(rd.from_items(docs), budget=8,
+                    group_col="source").to_pandas()
+    assert out["bin"].tolist() == [0, 1, 1, 2, 3, 0]
+    assert out["n_tokens"].tolist() == [6, 3, 5, 12, 1, 2]
+
+
+def test_pack_bins_block_invariance(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.seqprep import pack_bins
+
+    docs = [{"doc_id": i, "source": f"s{i % 3}",
+             "text": "tok " * ((i * 13) % 40)} for i in range(90)]
+    a = pack_bins(rd.from_items(docs), budget=64).to_pandas()
+    b = pack_bins(rd.from_items(docs).repartition(16), budget=64).to_pandas()
+    assert a.equals(b)
+    # every bin except a group's last is filled past budget by the NEXT doc:
+    # within (source, bin), token sums never exceed budget unless singleton
+    sums = a.groupby(["source", "bin"]).agg(n=("n_tokens", "sum"),
+                                            c=("n_tokens", "size"))
+    assert ((sums["n"] <= 64) | (sums["c"] == 1)).all()
+
+
+def test_window_dedup_and_waiting_suppliers_shapes(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        waiting_suppliers, window_dedup_events)
+
+    sf = "/root/testdata/sf0.001"
+    wd = window_dedup_events(sf)
+    assert (wd["n_dups"] >= 0).all()
+    # kept id is the min of its group by construction; spot-check dup rows
+    assert wd["kept_event_id"].is_unique
+    ws = waiting_suppliers(sf)
+    assert list(ws.columns) == ["s_name", "numwait"]
+    assert ws["numwait"].is_monotonic_decreasing
+
+
+def test_pq_codes_reconstruction_beats_random(ray_session):
+    """PQ codes must (a) be block-invariant, (b) reconstruct vectors
+    better than a shuffled code assignment — i.e. the codebooks learned
+    something."""
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import pq_codes
+
+    rng = np.random.default_rng(7)
+    # 4 latent clusters per subspace half
+    base = rng.normal(size=(8, 16))
+    vecs = base[rng.integers(0, 8, size=200)] + \
+        rng.normal(scale=0.05, size=(200, 16))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(200)]
+    a = pq_codes(rd.from_items(rows), m_subspaces=2, k_codes=8,
+                 n_iter=2).to_pandas()
+    b = pq_codes(rd.from_items(rows).repartition(16), m_subspaces=2,
+                 k_codes=8, n_iter=2).to_pandas()
+    assert a.equals(b)
+    assert len(a) == 400  # 200 vecs × 2 subspaces
+    # vectors closer than ~4× the noise radius in subspace 0 should
+    # (almost always — Lloyd's from k=8 seeds may split one latent
+    # cluster) share a code
+    codes = a.pivot(index="vec_id", columns="m", values="code")
+    d0 = np.linalg.norm(vecs[:, None, :8] - vecs[None, :, :8], axis=2)
+    same0 = codes[0].to_numpy()[:, None] == codes[0].to_numpy()[None, :]
+    close = (d0 < 0.2) & ~np.eye(200, dtype=bool)
+    assert same0[close].mean() > 0.9
+
+
+def test_gap_fill_locf_semantics(ray_session):
+    import pandas as pd
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        gap_fill_locf)
+
+    out = gap_fill_locf("/root/testdata/sf0.001")
+    g = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    # spans are contiguous per user
+    for uid, grp in g.groupby("user_id"):
+        days = pd.to_datetime(grp["day"])
+        assert (days.diff().dropna() == pd.Timedelta(days=1)).all()
+        # first day of each user is always observed, never filled
+        assert not grp.iloc[0]["filled"]
+    # filled rows carry the previous row's value
+    g2 = g.reset_index(drop=True)
+    filled_idx = g2.index[g2["filled"]]
+    for i in filled_idx:
+        assert g2.loc[i, "value"] == g2.loc[i - 1, "value"]
+        assert g2.loc[i, "user_id"] == g2.loc[i - 1, "user_id"]
+
+
+def test_jsonl_roundtrip_preserves_bytes(ray_session):
+    import pyarrow.parquet as pq
+
+    from amharic_ecommerce_data_extractor_ray.entrypoints import (
+        q_jsonl_roundtrip)
+
+    got = (q_jsonl_roundtrip("/root/testdata/sf0.001").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = (pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "text", "lang", "source"])
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(want)
+
+
+def test_q17_q4_shapes_vs_duckdb(ray_session):
+    """Direct engine-vs-DuckDB differential for the two decorrelated
+    subquery shapes (same check the driver gate runs, pinned in-tests)."""
+    import duckdb
+
+    from amharic_ecommerce_data_extractor_ray.oracles import (
+        priority_order_counts_sql, small_quantity_revenue_sql)
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        priority_order_counts, small_quantity_revenue)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+
+    got = small_quantity_revenue(sf).to_pandas()
+    want = con.execute(small_quantity_revenue_sql(0.5)).df()
+    assert got["n_lines"][0] == want["n_lines"][0] > 0
+    assert abs(got["total_revenue"][0] - want["total_revenue"][0]) < 1e-6
+
+    got4 = priority_order_counts(sf)
+    want4 = (con.execute(priority_order_counts_sql()).df()
+             .sort_values("o_orderpriority").reset_index(drop=True))
+    assert got4.equals(want4)
