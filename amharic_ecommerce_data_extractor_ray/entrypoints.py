@@ -682,6 +682,19 @@ def q_pq_codes(sf_dir: str):
     return pq_codes(emb, m_subspaces=2, k_codes=16, n_iter=2)
 
 
+def q_similarity_pq_adc(sf_dir: str):
+    """PQ asymmetric-distance top-k (the search path over the compressed
+    codes corpus — completes the IVF-PQ story with the ADC scan)."""
+    import ray.data as rd
+
+    from .stages.similarity import pq_adc_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return pq_adc_topk(emb, SIM_QUERY_IDS, k=SIM_K, m_subspaces=2,
+                       k_codes=16, n_iter=2)
+
+
 def q_pack_bins(sf_dir: str):
     """Greedy first-fit sequence packing of docs into 256-token bins,
     parallel per source group (order-sensitive scan replayed by a
@@ -1059,6 +1072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_perplexity": q_doc_perplexity,
         "pack_bins": q_pack_bins,
         "pq_codes": q_pq_codes,
+        "similarity_pq_adc": q_similarity_pq_adc,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "rel_waiting_suppliers": relational.waiting_suppliers,
         "rel_window_dedup": relational.window_dedup_events,
@@ -1200,6 +1214,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_perplexity": oracles.doc_perplexity_sql(1.0),
         "pack_bins": oracles.pack_bins_sql(256),
         "pq_codes": oracles.pq_codes_sql(2, 16, 2, 64),
+        "similarity_pq_adc": oracles.pq_adc_topk_sql(SIM_QUERY_IDS, SIM_K,
+                                                      2, 16, 2, 64),
         "jsonl_roundtrip": oracles.jsonl_roundtrip_sql(),
         "rel_waiting_suppliers": oracles.waiting_suppliers_sql(100),
         "rel_window_dedup": oracles.window_dedup_events_sql(),

@@ -495,24 +495,11 @@ def kmeans(emb_ds, *, k: int = 8, n_iter: int = 3,
     })
 
 
-def pq_codes(emb_ds, *, m_subspaces: int = 2, k_codes: int = 16,
-             n_iter: int = 2, id_col: str = "vec_id",
-             emb_col: str = "embedding"):
-    """Product-quantization codebook training + encoding (Jégou/Douze/
-    Schmid, TPAMI 2011 — the PQ half that completes ``ivf_topk``'s IVF
-    half): the embedding dimension is split into ``m_subspaces`` equal
-    slices, each slice gets its own ``k_codes``-centroid Lloyd's codebook
-    (same deterministic vec_id<k init / lowest-cid tie-break / dim-order
-    distance sums as ``kmeans``), and every vector is encoded as its
-    per-subspace nearest-centroid ids — the 4-32× compression that makes
-    a 100 TB vector corpus scannable from RAM (ADC scans read codes, not
-    floats).
-
-    Scale shape: ALL subspace codebooks train in one scan per iteration —
-    partials are keyed (m, cid), so a single mergeable groupby per
-    iteration carries ≤ m·k rows per block; centroids broadcast once per
-    iteration via ``ray.put``; the final encode pass is one more scan.
-    Output: (vec_id, m, code) flat rows, sorted."""
+def _pq_train(emb_ds, *, m_subspaces: int, k_codes: int, n_iter: int,
+              id_col: str, emb_col: str):
+    """Train the per-subspace PQ codebooks (shared by pq_codes and
+    pq_adc_topk).  Returns (dsub, cids, cents): the subspace width, the
+    per-subspace live centroid-id arrays, and the centroid matrices."""
     import pyarrow.compute as pc
 
     def to_mat(b: pa.Table):
@@ -590,6 +577,44 @@ def pq_codes(emb_ds, *, m_subspaces: int = 2, k_codes: int = 16,
                  .to_numpy(np.float64)[:, None]
                  for m in range(m_subspaces)]
 
+    return dsub, cids, cents
+
+
+def _pq_mat(b: pa.Table, emb_col: str) -> np.ndarray:
+    arr = b[emb_col].combine_chunks() if isinstance(
+        b[emb_col], pa.ChunkedArray) else b[emb_col]
+    d = len(arr[0])
+    return arr.flatten().to_numpy(zero_copy_only=False) \
+        .reshape(-1, d).astype(np.float64)
+
+
+def _pq_assign(mat: np.ndarray, m: int, dsub: int, cur_cids, cur_c):
+    sub = mat[:, m * dsub:(m + 1) * dsub]
+    d2 = ((sub[:, None, :] - cur_c[None, :, :]) ** 2).sum(axis=2)
+    return cur_cids[np.argmin(d2, axis=1)]  # first min = lowest cid
+
+
+def pq_codes(emb_ds, *, m_subspaces: int = 2, k_codes: int = 16,
+             n_iter: int = 2, id_col: str = "vec_id",
+             emb_col: str = "embedding"):
+    """Product-quantization codebook training + encoding (Jégou/Douze/
+    Schmid, TPAMI 2011 — the PQ half that completes ``ivf_topk``'s IVF
+    half): the embedding dimension is split into ``m_subspaces`` equal
+    slices, each slice gets its own ``k_codes``-centroid Lloyd's codebook
+    (same deterministic vec_id<k init / lowest-cid tie-break / dim-order
+    distance sums as ``kmeans``), and every vector is encoded as its
+    per-subspace nearest-centroid ids — the 4-32× compression that makes
+    a 100 TB vector corpus scannable from RAM (ADC scans read codes, not
+    floats).
+
+    Scale shape: ALL subspace codebooks train in one scan per iteration —
+    partials are keyed (m, cid), so a single mergeable groupby per
+    iteration carries ≤ m·k rows per block; centroids broadcast once per
+    iteration via ``ray.put``; the final encode pass is one more scan.
+    Output: (vec_id, m, code) flat rows, sorted."""
+    dsub, cids, cents = _pq_train(emb_ds, m_subspaces=m_subspaces,
+                                  k_codes=k_codes, n_iter=n_iter,
+                                  id_col=id_col, emb_col=emb_col)
     ref = ray.put((cids, cents))
 
     def encode(b: pa.Table) -> pa.Table:
@@ -598,15 +623,107 @@ def pq_codes(emb_ds, *, m_subspaces: int = 2, k_codes: int = 16,
             return pa.table({id_col: pa.array([], pa.int64()),
                              "m": pa.array([], pa.int64()),
                              "code": pa.array([], pa.int64())})
-        mat = to_mat(b)
+        mat = _pq_mat(b, emb_col)
         ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         parts = [pa.table({
             id_col: pa.array(ids, pa.int64()),
             "m": pa.array(np.full(len(ids), m, np.int64)),
-            "code": pa.array(assign_sub(mat, m, cur_cids[m], cur_c[m]),
-                             pa.int64()),
+            "code": pa.array(_pq_assign(mat, m, dsub, cur_cids[m],
+                                        cur_c[m]), pa.int64()),
         }) for m in range(m_subspaces)]
         return pa.concat_tables(parts)
 
     return (emb_ds.map_batches(encode, batch_format="pyarrow")
             .sort([id_col, "m"]))
+
+
+def pq_adc_topk(emb_ds, query_ids: list[int], k: int = 10, *,
+                m_subspaces: int = 2, k_codes: int = 16, n_iter: int = 2,
+                id_col: str = "vec_id", emb_col: str = "embedding",
+                round_to: int = 6):
+    """Approximate top-k by PQ asymmetric distance computation (ADC,
+    Jégou et al. TPAMI 2011): the search path that makes the PQ codes
+    USEFUL — each query precomputes an (m_subspaces × k_codes) table of
+    squared distances to every codebook centroid, and a corpus vector's
+    approximate distance is just M table lookups summed, read from its
+    stored CODES (2-32 ints), never its floats.
+
+    Scale shape: the corpus is encoded ONCE into a materialized
+    codes dataset (the 4-32×-compressed scan target); the per-query
+    distance tables broadcast via ``ray.put`` (m·k·n_queries doubles);
+    the ADC scan is one vectorized numpy gather + per-batch partial top-k
+    per query — shuffle volume O(n_queries × k × n_blocks), like
+    brute_force_topk, but the scan reads codes instead of embeddings.
+
+    Output: (query_id, neighbor_id, adc_dist) — k rows per query, ranked
+    by (distance asc, neighbor_id asc); self-match included."""
+    dsub, cids, cents = _pq_train(emb_ds, m_subspaces=m_subspaces,
+                                  k_codes=k_codes, n_iter=n_iter,
+                                  id_col=id_col, emb_col=emb_col)
+    ref = ray.put((cids, cents))
+
+    def encode_wide(b: pa.Table) -> pa.Table:
+        cur_cids, cur_c = ray.get(ref)
+        if b.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             **{f"c{m}": pa.array([], pa.int64())
+                                for m in range(m_subspaces)}})
+        mat = _pq_mat(b, emb_col)
+        ids = b[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {id_col: pa.array(ids, pa.int64())}
+        for m in range(m_subspaces):
+            cols[f"c{m}"] = pa.array(
+                _pq_assign(mat, m, dsub, cur_cids[m], cur_c[m]), pa.int64())
+        return pa.table(cols)
+
+    # the compressed corpus: codes only, materialized once, scanned per query
+    codes_ds = emb_ds.map_batches(encode_wide,
+                                  batch_format="pyarrow").materialize()
+
+    # per-query distance tables (indexed by raw cid — cids are a subset of
+    # 0..k_codes-1, so a dense (k_codes,) table per subspace suffices)
+    qset = set(query_ids)
+    qtab = (emb_ds.map_batches(
+        lambda b: b.filter(pa.array([i in qset
+                                     for i in b[id_col].to_pylist()])),
+        batch_format="pyarrow").to_pandas().sort_values(id_col))
+    qmat = _to_matrix(qtab[emb_col])
+    qids = qtab[id_col].to_numpy(np.int64)
+    tables = np.full((len(qids), m_subspaces, k_codes), np.inf)
+    for m in range(m_subspaces):
+        qsub = qmat[:, m * dsub:(m + 1) * dsub]
+        d2 = ((qsub[:, None, :] - cents[m][None, :, :]) ** 2).sum(axis=2)
+        tables[:, m, cids[m]] = d2
+    tref = ray.put((qids, tables))
+
+    def adc_partial(b: pa.Table) -> pa.Table:
+        q_ids, tabs = ray.get(tref)
+        if b.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "adc_dist": pa.array([], pa.float64())})
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        # (nq, batch) distances: sum of per-subspace table gathers
+        dist = np.zeros((len(q_ids), len(ids)))
+        for m in range(m_subspaces):
+            code = b[f"c{m}"].to_numpy(zero_copy_only=False)
+            dist += tabs[:, m, :][:, code]
+        kk = min(k, len(ids))
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(q_ids)):
+            order = np.lexsort((ids, dist[qi]))[:kk]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_n.extend(ids[order].tolist())
+            out_d.extend(dist[qi][order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "adc_dist": pa.array(out_d, pa.float64()),
+        })
+
+    parts = (codes_ds.map_batches(adc_partial, batch_format="pyarrow")
+             .to_pandas())
+    out = (parts.sort_values(["query_id", "adc_dist", "neighbor_id"])
+           .groupby("query_id", sort=True).head(k).reset_index(drop=True))
+    out["adc_dist"] = out["adc_dist"].round(round_to)
+    return out

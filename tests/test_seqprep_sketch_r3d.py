@@ -306,3 +306,33 @@ def test_q17_q4_shapes_vs_duckdb(ray_session):
     want4 = (con.execute(priority_order_counts_sql()).df()
              .sort_values("o_orderpriority").reset_index(drop=True))
     assert got4.equals(want4)
+
+
+def test_pq_adc_recall_vs_brute_force(ray_session):
+    """ADC over 2×16 codebooks must retrieve a decent fraction of the true
+    top-10 (structured corpus → quantization preserves neighborhoods),
+    and must be invariant to block layout."""
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import (
+        brute_force_topk, pq_adc_topk)
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(16, 64))
+    vecs = base[rng.integers(0, 16, size=300)] + \
+        rng.normal(scale=0.1, size=(300, 64))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(300)]
+    ds = rd.from_items(rows)
+    qids = list(range(5))
+    adc = pq_adc_topk(ds, qids, k=10, m_subspaces=2, k_codes=16, n_iter=2)
+    bf = brute_force_topk(ds, qids, k=10).to_pandas()
+    recalls = []
+    for q in qids:
+        a = set(adc[adc["query_id"] == q]["neighbor_id"])
+        b = set(bf[bf["query_id"] == q]["neighbor_id"])
+        recalls.append(len(a & b) / 10)
+    assert np.mean(recalls) >= 0.5, recalls
+    adc2 = pq_adc_topk(ds.repartition(16), qids, k=10, m_subspaces=2,
+                       k_codes=16, n_iter=2)
+    assert adc.equals(adc2)
