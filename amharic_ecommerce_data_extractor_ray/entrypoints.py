@@ -1079,6 +1079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_gap_fill": relational.gap_fill_locf,
         "rel_small_qty_revenue": relational.small_quantity_revenue,
         "rel_priority_exists": relational.priority_order_counts,
+        "rel_pushdown_scan": relational.pushdown_scan,
+        "rel_partition_prune": relational.partitioned_write_prune,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
@@ -1222,6 +1224,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_gap_fill": oracles.gap_fill_locf_sql(),
         "rel_small_qty_revenue": oracles.small_quantity_revenue_sql(0.5),
         "rel_priority_exists": oracles.priority_order_counts_sql(),
+        "rel_pushdown_scan": oracles.pushdown_scan_sql(),
+        "rel_partition_prune": oracles.partitioned_write_prune_sql(),
         "dedup_ngram": oracles.ngram_jaccard_sql(),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),
         "multimodal_frames": oracles.multimodal_frames_sql(),

@@ -2309,3 +2309,54 @@ def priority_order_counts(sf_dir: str, *, num_partitions: int = 16):
     pdf = out.to_pandas()
     pdf["n_orders"] = pdf["n_orders"].astype("int64")
     return pdf.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def pushdown_scan(sf_dir: str):
+    """Predicate + projection pushdown AT THE READ: the row filter and
+    column list are handed to ``read_parquet`` itself, so non-matching
+    row-groups and unused columns never leave storage — there is no
+    post-read filter stage at all ("prune at the read").  Returns one row
+    (n_lines, total_revenue) for Q1-1995 shipments."""
+    import pyarrow.dataset as pads
+
+    lo = pd.Timestamp("1995-01-01")
+    hi = pd.Timestamp("1995-04-01")
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= pads.scalar(lo))
+               & (pads.field("l_shipdate") < pads.scalar(hi)))
+    agg = ds.aggregate(Count(alias_name="n_lines"),
+                       Sum("l_extendedprice", alias_name="rev"))
+    return pa.table({
+        "n_lines": pa.array([int(agg["n_lines"] or 0)], pa.int64()),
+        "total_revenue": pa.array([round(float(agg["rev"] or 0.0), 4)],
+                                  pa.float64()),
+    })
+
+
+def partitioned_write_prune(sf_dir: str, *, priority: str = "1-URGENT"):
+    """Hive-partitioned write + partition-PRUNED read-back — the resumable
+    output layout the 100 TB brief requires (one directory per key, a
+    failed run skips finished partitions) plus the read-side payoff:
+    re-reading ONE priority touches one directory, never the other four.
+
+    Returns (o_orderpriority, n_orders, total_price) for the pruned
+    partition, provably equal to filtering the source table."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="orders_by_priority_")
+    (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                     columns=["o_orderkey", "o_totalprice",
+                              "o_orderpriority"])
+     .write_parquet(out, partition_cols=["o_orderpriority"]))
+
+    part = rd.read_parquet(f"{out}/o_orderpriority={priority}")
+    agg = part.aggregate(Count(alias_name="n"),
+                         Sum("o_totalprice", alias_name="tp"))
+    return pa.table({
+        "o_orderpriority": pa.array([priority], pa.string()),
+        "n_orders": pa.array([int(agg["n"] or 0)], pa.int64()),
+        "total_price": pa.array([round(float(agg["tp"] or 0.0), 4)],
+                                pa.float64()),
+    })
