@@ -2172,15 +2172,24 @@ def window_dedup_events(sf_dir: str):
             "event_id": b["event_id"],
         })
 
-    out = (ds.map_batches(add_window, batch_format="pyarrow")
-           .groupby(["user_id", "event_type", "window_start"])
-           .aggregate(Min("event_id", alias_name="kept_event_id"),
-                      Count(alias_name="n_events")))
-    pdf = out.to_pandas()
-    pdf["n_dups"] = (pdf["n_events"] - 1).astype("int64")
-    pdf = pdf.drop(columns=["n_events"])
-    return (pdf.sort_values(["user_id", "event_type", "window_start"])
-            .reset_index(drop=True))
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b["user_id"],
+            "event_type": b["event_type"],
+            "window_start": b["window_start"],
+            "kept_event_id": pc.cast(b["kept_event_id"], pa.int64()),
+            "n_dups": pc.cast(pc.subtract(b["n_events"], 1), pa.int64()),
+        })
+
+    # output stays a Dataset end to end — at 100 TB the deduped (key,
+    # window) table is event-scale, so no driver collect; the sort is
+    # distributed (drop it and write partitioned in production)
+    return (ds.map_batches(add_window, batch_format="pyarrow")
+            .groupby(["user_id", "event_type", "window_start"])
+            .aggregate(Min("event_id", alias_name="kept_event_id"),
+                       Count(alias_name="n_events"))
+            .map_batches(finalize, batch_format="pyarrow")
+            .sort(["user_id", "event_type", "window_start"]))
 
 
 def gap_fill_locf(sf_dir: str):

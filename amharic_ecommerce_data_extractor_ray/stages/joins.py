@@ -403,9 +403,17 @@ def hash_lookup_join(left_ds, right_ds, *, on: str,
     out_schema = pa.schema([(n, types[n]) for n in out_names])
     _MARK = "_lkp_side"
 
+    _KNUTH = np.uint64(2654435761)
+
     def _part(arr) -> pa.Array:
         a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
-        h = pd.util.hash_array(np.asarray(a.to_pandas(), dtype=object))
+        if pa.types.is_integer(a.type):
+            # zero-copy vectorized path for integer keys (both sides cast
+            # to u64, so mixed int widths still co-locate)
+            col = a.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (col * _KNUTH) >> np.uint64(16)
+        else:
+            h = pd.util.hash_array(np.asarray(a.to_pandas(), dtype=object))
         return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
 
     def tag_left(b: pa.Table) -> pa.Table:

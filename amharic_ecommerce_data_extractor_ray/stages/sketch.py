@@ -631,7 +631,10 @@ def countmin_topk(docs_ds, *, text_col: str = "text", k: int = 100,
         finalize=lambda acc: acc.tolist(),
         name="cm",
     )
-    docs_ds = docs_ds.materialize()  # sketch pass + vocab pass share the scan
+    # the corpus is deliberately re-scanned (column-pruned) for the vocab
+    # pass instead of materialized: at 100 TB a second streaming read beats
+    # pinning the whole corpus in the object store (same call as
+    # seqprep.doc_perplexity)
     mat = np.asarray(
         (docs_ds.map_batches(
             lambda b: countmin_partials_batch(b, text_col=text_col,

@@ -205,7 +205,7 @@ def test_window_dedup_and_waiting_suppliers_shapes(ray_session):
         waiting_suppliers, window_dedup_events)
 
     sf = "/root/testdata/sf0.001"
-    wd = window_dedup_events(sf)
+    wd = window_dedup_events(sf).to_pandas()
     assert (wd["n_dups"] >= 0).all()
     # kept id is the min of its group by construction; spot-check dup rows
     assert wd["kept_event_id"].is_unique
