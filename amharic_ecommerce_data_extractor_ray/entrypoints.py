@@ -118,21 +118,30 @@ def q_bio_tags_model(sf_dir: str):
                        batch_size=256, concurrency=2))
 
     def explode(b: pa.Table) -> pa.Table:
-        mids = b["message_id"].to_pylist()
-        toks_col = b["tag_tokens"].to_pylist()
-        labs_col = b["tag_labels"].to_pylist()
-        out_mid, out_idx, out_tok, out_lab = [], [], [], []
-        for mid, toks, labs in zip(mids, toks_col, labs_col):
-            for i, (tok, lab) in enumerate(zip(toks or [], labs or [])):
-                out_mid.append(mid)
-                out_idx.append(i)
-                out_tok.append(tok)
-                out_lab.append(lab)
+        # vectorized list explode (offsets arithmetic — no Python loop over
+        # tokens; the model stage upstream is batched numpy already)
+        import numpy as np
+
+        empty = pa.scalar([], pa.list_(pa.string()))
+
+        def arr(col):
+            a = pc.fill_null(col, empty)
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) \
+                else a
+
+        toks = arr(b["tag_tokens"])
+        labs = arr(b["tag_labels"])
+        n = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+        mids = np.repeat(
+            b["message_id"].to_numpy(zero_copy_only=False), n)
+        offs = np.concatenate([[0], np.cumsum(n)])
+        idx = np.arange(int(offs[-1]), dtype=np.int64) \
+            - np.repeat(offs[:-1], n)
         return pa.table({
-            "message_id": pa.array(out_mid, pa.int64()),
-            "tok_idx": pa.array(out_idx, pa.int64()),
-            "token": pa.array(out_tok, pa.string()),
-            "label": pa.array(out_lab, pa.string()),
+            "message_id": pa.array(mids.astype(np.int64), pa.int64()),
+            "tok_idx": pa.array(idx, pa.int64()),
+            "token": toks.flatten(),
+            "label": labs.flatten(),
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
