@@ -175,25 +175,30 @@ def q_train_prep(sf_dir: str):
                .map_batches(tokenize_and_align_batch, batch_format="pyarrow"))
 
     def explode(b: pa.Table) -> pa.Table:
-        mids = b["message_id"].to_pylist()
-        pieces = b["pieces"].to_pylist()
-        iids = b["input_ids"].to_pylist()
-        labs = b["labels_aligned"].to_pylist()
-        out = {"message_id": [], "piece_idx": [], "piece": [],
-               "input_id": [], "label_id": []}
-        for mid, ps, ii, ll in zip(mids, pieces, iids, labs):
-            for i, (p, iid, lid) in enumerate(zip(ps, ii, ll)):
-                out["message_id"].append(mid)
-                out["piece_idx"].append(i)
-                out["piece"].append(p)
-                out["input_id"].append(iid)
-                out["label_id"].append(lid)
+        # vectorized multi-list explode (offsets arithmetic; the three list
+        # columns are aligned piece-for-piece by construction)
+        import numpy as np
+
+        def arr(col):
+            a = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+            return a
+
+        pieces = arr(b["pieces"])
+        iids = arr(b["input_ids"])
+        labs = arr(b["labels_aligned"])
+        n = np.diff(np.asarray(pieces.offsets, dtype=np.int64))
+        mids = np.repeat(
+            b["message_id"].to_numpy(zero_copy_only=False), n)
+        offs = np.concatenate([[0], np.cumsum(n)])
+        idx = np.arange(int(offs[-1]), dtype=np.int64) \
+            - np.repeat(offs[:-1], n)
         return pa.table({
-            "message_id": pa.array(out["message_id"], pa.int64()),
-            "piece_idx": pa.array(out["piece_idx"], pa.int64()),
-            "piece": pa.array(out["piece"], pa.string()),
-            "input_id": pa.array(out["input_id"], pa.int64()),
-            "label_id": pa.array(out["label_id"], pa.int64()),
+            "message_id": pa.array(mids.astype(np.int64), pa.int64()),
+            "piece_idx": pa.array(idx, pa.int64()),
+            "piece": pieces.flatten(),
+            "input_id": pc.cast(iids.flatten(), pa.int64()),
+            "label_id": pc.cast(labs.flatten(), pa.int64()),
         })
 
     return aligned.map_batches(explode, batch_format="pyarrow")
