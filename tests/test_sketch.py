@@ -120,7 +120,8 @@ def test_grouped_histogram_quantile_within_bin_of_exact(ray_session):
     assert len(out) == 4
     for g, scale in (("a", 50.0), ("b", 200.0)):
         for q in (0.5, 0.9):
-            est = float(out[(out["g"] == g) & (out["q"] == q)]["estimate"])
+            est = float(out[(out["g"] == g)
+                            & (out["q"] == q)]["estimate"].iloc[0])
             exact = float(np.quantile(
                 [r["v"] for r in rows if r["g"] == g], q))
             assert abs(est - exact) <= 2 * w, (g, q, est, exact)
