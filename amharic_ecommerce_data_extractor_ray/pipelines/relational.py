@@ -2369,3 +2369,62 @@ def partitioned_write_prune(sf_dir: str, *, priority: str = "1-URGENT"):
         "total_price": pa.array([round(float(agg["tp"] or 0.0), 4)],
                                 pa.float64()),
     })
+
+
+def ewma_daily(sf_dir: str, *, alpha: float = 0.3):
+    """Per-key exponentially-weighted moving average over the daily value
+    series (the classic streaming smoother: v_t = α·x_t + (1−α)·v_{t−1},
+    seeded with v_0 = x_0) — the stateful scan every monitoring/feature
+    pipeline runs after gap repair.
+
+    Shape: (user, day, Σvalue) combiner groupby → per-key ORDER-SENSITIVE
+    scan in map_groups (one short numpy-backed recurrence per user's
+    OBSERVED days; same one-key-stream assumption as sessionize/pack_bins).
+    The oracle replays the recurrence exactly with a RECURSIVE CTE, so the
+    float arithmetic matches operation for operation."""
+    import numpy as np
+
+    def _round6(x: "np.ndarray") -> "np.ndarray":
+        # half-away-from-zero at 6 dp — DuckDB round() semantics (numpy
+        # rounds half-to-even; EWMA values here are non-negative)
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": b["user_id"],
+            "day": pc.strftime(pc.floor_temporal(b["ts"], unit="day"),
+                               format="%Y-%m-%d"),
+            "v": b["value"],
+        })
+        return (pa.TableGroupBy(t, ["user_id", "day"])
+                .aggregate([("v", "sum")])
+                .rename_columns(["user_id", "day", "v"]))
+
+    daily = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby(["user_id", "day"])
+             .aggregate(Sum("v", alias_name="v")))
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day")
+        # round the daily sums BEFORE the recurrence: the engine's and the
+        # oracle's sums can differ in the last ulp (summation order), and
+        # the recurrence amplifies that onto rounding boundaries
+        x = _round6(g["v"].to_numpy(np.float64))
+        out = np.empty_like(x)
+        acc = x[0]
+        out[0] = acc
+        for i in range(1, len(x)):  # per-key series, order-sensitive scan
+            acc = alpha * x[i] + (1.0 - alpha) * acc
+            out[i] = acc
+        return pd.DataFrame({"user_id": g["user_id"].to_numpy(),
+                             "day": g["day"].to_numpy(),
+                             "value": x,
+                             "ewma": _round6(out)})
+
+    return (daily.groupby("user_id")
+            .map_groups(smooth, batch_format="pandas")
+            .map_batches(lambda b: b, batch_format="pyarrow")
+            .sort(["user_id", "day"]))

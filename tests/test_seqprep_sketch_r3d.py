@@ -355,3 +355,21 @@ def test_partition_prune_reads_one_directory(ray_session, tmp_path):
     assert out["n_orders"][0] == len(want)
     assert abs(out["total_price"][0]
                - round(want["o_totalprice"].sum(), 4)) < 1e-6
+
+
+def test_ewma_recurrence(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        ewma_daily)
+
+    out = ewma_daily("/root/testdata/sf0.001", alpha=0.3).to_pandas()
+    # v_0 = x_0; each subsequent smoothed value lies between the previous
+    # smoothed value and the day's raw value (convexity of the recurrence)
+    for _, g in out.groupby("user_id"):
+        g = g.sort_values("day")
+        assert g.iloc[0]["ewma"] == g.iloc[0]["value"]
+        prev = g["ewma"].shift(1).to_numpy()[1:]
+        cur = g["ewma"].to_numpy()[1:]
+        val = g["value"].to_numpy()[1:]
+        lo = np.minimum(prev, val) - 1e-6
+        hi = np.maximum(prev, val) + 1e-6
+        assert ((cur >= lo) & (cur <= hi)).all()
