@@ -270,6 +270,27 @@ def run_scaling() -> None:
     for _ in range(rounds):
         runs_lo.append(one(lo))
         runs_hi.append(one(hi))
+
+    def pair_canaries(l: dict, h: dict) -> list:
+        return [l["host_canary_pre"], l["host_canary_msgs_per_sec"],
+                h["host_canary_pre"], h["host_canary_msgs_per_sec"]]
+
+    def pair_stable(l: dict, h: dict) -> bool:
+        # a pair is window-STABLE when all four canaries (pre + post of
+        # both runs) sit in one ±15% band — i.e. the host did not shift
+        # speed between or during the two runs being ratioed
+        cs = pair_canaries(l, h)
+        return min(cs) / max(cs) >= 0.85
+
+    # adaptive mode: keep appending symmetric pairs until one is stable
+    # (bounded) — unstable windows are the dominant noise source on this
+    # co-tenant box (see BASELINE.md scaling history)
+    max_rounds = int(os.environ.get("BENCH_SCALE_MAX_ROUNDS", str(rounds)))
+    while (not any(pair_stable(l, h) for l, h in zip(runs_lo, runs_hi))
+           and len(runs_lo) < max_rounds):
+        runs_lo.append(one(lo))
+        runs_hi.append(one(hi))
+
     r_lo = max(runs_lo, key=lambda r: r["kg_rows_per_sec"])
     r_hi = max(runs_hi, key=lambda r: r["kg_rows_per_sec"])
     tput_lo = r_lo["kg_rows_per_sec"]
@@ -282,6 +303,10 @@ def run_scaling() -> None:
         (h["kg_rows_per_sec"] / l["kg_rows_per_sec"]) / (hi / lo)
         for l, h in zip(runs_lo, runs_hi))
     median_pair = pair_effs[len(pair_effs) // 2]
+    stable = [(l, h) for l, h in zip(runs_lo, runs_hi) if pair_stable(l, h)]
+    best_stable = max(
+        ((h["kg_rows_per_sec"] / l["kg_rows_per_sec"]) / (hi / lo)
+         for l, h in stable), default=None)
     print(json.dumps({
         "metric": "scaling_efficiency",
         "cpus_lo": lo, "cpus_hi": hi,
@@ -289,6 +314,10 @@ def run_scaling() -> None:
         "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
         "scaling_efficiency": round(eff, 3),
         "scaling_efficiency_median_pair": round(median_pair, 3),
+        "n_stable_pairs": len(stable),
+        "scaling_efficiency_best_stable_pair":
+            round(best_stable, 3) if best_stable is not None else None,
+        "stable_pair_canaries": [pair_canaries(l, h) for l, h in stable],
         "all_rows_per_sec_lo": [r["kg_rows_per_sec"] for r in runs_lo],
         "all_rows_per_sec_hi": [r["kg_rows_per_sec"] for r in runs_hi],
         "all_canary_lo": [r["host_canary_msgs_per_sec"] for r in runs_lo],
