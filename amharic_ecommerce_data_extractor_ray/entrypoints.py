@@ -709,6 +709,15 @@ def q_similarity_pq_adc(sf_dir: str):
                        k_codes=16, n_iter=2)
 
 
+def q_trainset_build(sf_dir: str):
+    """Composed LLM training-set builder: curate (quality + exact dedup)
+    -> survivor-corpus perplexity filter -> token chunking, one dataflow;
+    the oracle recomputes the whole chain in one statement."""
+    from .pipelines.trainset import build_trainset
+
+    return build_trainset(sf_dir, ppl_threshold=40.0, window=32, stride=24)
+
+
 def q_pack_bins(sf_dir: str):
     """Greedy first-fit sequence packing of docs into 256-token bins,
     parallel per source group (order-sensitive scan replayed by a
@@ -1085,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_chunks": q_token_chunks,
         "doc_perplexity": q_doc_perplexity,
         "pack_bins": q_pack_bins,
+        "trainset_build": q_trainset_build,
         "pq_codes": q_pq_codes,
         "similarity_pq_adc": q_similarity_pq_adc,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -1230,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "token_chunks": oracles.token_chunks_sql(32, 24),
         "doc_perplexity": oracles.doc_perplexity_sql(1.0),
         "pack_bins": oracles.pack_bins_sql(256),
+        "trainset_build": oracles.trainset_build_sql(),
         "pq_codes": oracles.pq_codes_sql(2, 16, 2, 64),
         "similarity_pq_adc": oracles.pq_adc_topk_sql(SIM_QUERY_IDS, SIM_K,
                                                       2, 16, 2, 64),

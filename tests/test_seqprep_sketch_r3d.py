@@ -373,3 +373,32 @@ def test_ewma_recurrence(ray_session):
         lo = np.minimum(prev, val) - 1e-6
         hi = np.maximum(prev, val) + 1e-6
         assert ((cur >= lo) & (cur <= hi)).all()
+
+
+def test_trainset_build_composition(ray_session):
+    """The composed pipeline must equal manually chaining its stages."""
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.curate import (
+        curate_dataset)
+    from amharic_ecommerce_data_extractor_ray.pipelines.trainset import (
+        build_trainset)
+    from amharic_ecommerce_data_extractor_ray.stages.seqprep import (
+        doc_perplexity)
+
+    sf = "/root/testdata/sf0.001"
+    out = build_trainset(sf, ppl_threshold=40.0).to_pandas()
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    surv = set(curate_dataset(docs).to_pandas()["doc_id"])
+    kept_docs = docs.map_batches(
+        lambda b: b.filter(
+            __import__("pyarrow").array(
+                [i in surv for i in b["doc_id"].to_pylist()])),
+        batch_format="pyarrow")
+    ppl = doc_perplexity(kept_docs).to_pandas()
+    allowed = set(ppl[ppl["ppl"] <= 40.0]["doc_id"])
+    assert set(out["doc_id"]) <= allowed
+    assert len(allowed - set(out["doc_id"])) == 0  # every kept doc chunks
+    # the ppl filter actually did something on this corpus
+    assert len(allowed) < len(surv)
