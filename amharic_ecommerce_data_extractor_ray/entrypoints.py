@@ -29,6 +29,10 @@ SIM_K = 10
 SIM_LSH_TABLES = 8
 SIM_LSH_PLANES = 4
 EMB_DEDUP_THRESHOLD = 0.4
+# exact substring-window dedup: run length in tokens (Lee et al. use 50
+# BPE tokens; the synthetic docs are ~55 tokens, so 8 keeps the pair set
+# non-empty at every sf)
+SUBSTR_WINDOW = 8
 
 
 # --------------------------------------------------------------- KG pipeline
@@ -806,6 +810,16 @@ def q_dedup_ngram(sf_dir: str):
     return dedup.ngram_jaccard_pairs(docs)
 
 
+
+
+def q_dedup_substring(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dedup.substring_window_pairs(docs, window=SUBSTR_WINDOW)
+
+
 def q_dedup_embedding(sf_dir: str):
     import ray.data as rd
 
@@ -813,6 +827,15 @@ def q_dedup_embedding(sf_dir: str):
     # 0.4: the synthetic embeddings top out near cos 0.51 — this exercises a
     # non-empty pair set at every sf (0.95 returned zero rows everywhere)
     return dedup.embedding_cosine_pairs(emb, threshold=EMB_DEDUP_THRESHOLD)
+
+
+def q_semdedup(sf_dir: str):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return similarity.semdedup_prune(emb, k=8, n_iter=3,
+                                     threshold=EMB_DEDUP_THRESHOLD)
 
 
 def q_similarity_topk(sf_dir: str):
@@ -1112,6 +1135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_best_survivors": q_dedup_best_survivors,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
+        "dedup_substring": q_dedup_substring,
+        "semdedup": q_semdedup,
         "dedup_embedding": q_dedup_embedding,
         # similarity search
         "similarity_topk": q_similarity_topk,
@@ -1171,6 +1196,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_returned_items": relational.returned_item_report,
         "rel_large_orders": relational.large_volume_customers,
         "rel_corr": relational.corr_by_returnflag,
+        "rel_moments": relational.grouped_moments,
+        "rel_custdist": relational.customer_order_distribution,
+        "rel_idle_rich": relational.idle_rich_customers,
         "rel_zscore": relational.event_value_anomalies,
         "grouped_ndistinct": q_grouped_ndistinct,
         "rolling_active": q_rolling_active,
@@ -1254,6 +1282,8 @@ def oracle_sql() -> dict[str, str]:
         "rel_pushdown_scan": oracles.pushdown_scan_sql(),
         "rel_partition_prune": oracles.partitioned_write_prune_sql(),
         "dedup_ngram": oracles.ngram_jaccard_sql(),
+        "dedup_substring": oracles.substring_dedup_sql(SUBSTR_WINDOW),
+        "semdedup": oracles.semdedup_sql(8, 3, EMB_DEDUP_THRESHOLD),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),
         "multimodal_frames": oracles.multimodal_frames_sql(),
         "token_topk": oracles.token_topk_sql(100),
@@ -1321,6 +1351,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_returned_items": oracles.returned_item_report_sql(20),
         "rel_large_orders": oracles.large_volume_customers_sql(250.0),
         "rel_corr": oracles.corr_by_returnflag_sql(),
+        "rel_moments": oracles.grouped_moments_sql(),
+        "rel_custdist": oracles.customer_order_distribution_sql(),
+        "rel_idle_rich": oracles.idle_rich_customers_sql(),
         "rel_zscore": oracles.event_value_anomalies_sql(2.5),
         "grouped_ndistinct": oracles.grouped_ndistinct_sql(64),
         "rolling_active": oracles.rolling_distinct_sql(7, 64),

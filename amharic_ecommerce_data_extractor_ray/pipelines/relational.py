@@ -2428,3 +2428,155 @@ def ewma_daily(sf_dir: str, *, alpha: float = 0.3):
             .map_groups(smooth, batch_format="pandas")
             .map_batches(lambda b: b, batch_format="pyarrow")
             .sort(["user_id", "day"]))
+
+
+def grouped_moments(sf_dir: str):
+    """Grouped higher moments (stddev, skewness, excess kurtosis) from
+    MERGEABLE power sums (n, Σx, Σx², Σx³, Σx⁴) — the algebraic-aggregate
+    family one step past corr_by_returnflag: each block emits one partial
+    row per group via Arrow hash group_by, native Sums merge them, and the
+    central-moment closed forms run on the vocabulary-sized result.
+    l_quantity ∈ [1, 50] keeps the power sums well-conditioned at any scale
+    (the cancellation-prone case would switch to streaming Welford merges)."""
+    import numpy as np
+
+    ds = _lineitem(sf_dir, ["l_returnflag", "l_quantity"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = pc.cast(b["l_quantity"], pa.float64())
+        x2 = pc.multiply(x, x)
+        t = pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "n": pa.array([1] * b.num_rows, pa.int64()),
+            "s1": x, "s2": x2,
+            "s3": pc.multiply(x2, x), "s4": pc.multiply(x2, x2),
+        })
+        return pa.TableGroupBy(t, "l_returnflag").aggregate(
+            [("n", "sum"), ("s1", "sum"), ("s2", "sum"),
+             ("s3", "sum"), ("s4", "sum")]
+        ).rename_columns(["l_returnflag", "n", "s1", "s2", "s3", "s4"])
+
+    stats = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("l_returnflag")
+             .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                        Sum("s2", alias_name="s2"), Sum("s3", alias_name="s3"),
+                        Sum("s4", alias_name="s4"))
+             .to_pandas())
+    n = stats["n"].to_numpy(np.float64)
+    s1, s2 = stats["s1"].to_numpy(), stats["s2"].to_numpy()
+    s3, s4 = stats["s3"].to_numpy(), stats["s4"].to_numpy()
+    mu = s1 / n
+    m2 = s2 / n - mu * mu
+    m3 = s3 / n - 3 * mu * s2 / n + 2 * mu ** 3
+    m4 = s4 / n - 4 * mu * s3 / n + 6 * mu * mu * s2 / n - 3 * mu ** 4
+    return pd.DataFrame({
+        "l_returnflag": stats["l_returnflag"],
+        "n": stats["n"].astype("int64"),
+        "mean_qty": np.round(mu, 6),
+        "std_qty": np.round(np.sqrt(m2), 6),
+        "skew_qty": np.round(m3 / m2 ** 1.5, 6),
+        "kurt_qty": np.round(m4 / (m2 * m2) - 3.0, 6),
+    }).sort_values("l_returnflag").reset_index(drop=True)
+
+
+def customer_order_distribution(sf_dir: str):
+    """TPC-H Q13 shape (customer distribution): how many customers placed
+    exactly k orders, INCLUDING the zero-order customers a plain inner join
+    loses.  Per-customer counts come from the combiner groupby; the
+    distribution is a second (tiny) groupby; the zero bucket is the
+    reduce-side ANTI join of the customer key column against the counted
+    keys — customers and orders never all-to-all together."""
+    from ..stages.joins import hash_anti_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def count_partials(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": b["o_custkey"],
+                      "n": pa.array([1] * b.num_rows, pa.int64())})
+        return pa.TableGroupBy(t, "o_custkey").aggregate(
+            [("n", "sum")]).rename_columns(["o_custkey", "n"])
+
+    counts = (orders.map_batches(count_partials, batch_format="pyarrow")
+              .groupby("o_custkey").aggregate(Sum("n", alias_name="c_count")))
+
+    dist = (counts.groupby("c_count").count()
+            .map_batches(lambda b: b.select(["c_count", "count()"])
+                         .rename_columns(["c_count", "custdist"]),
+                         batch_format="pyarrow").to_pandas())
+
+    cust_keys = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey"])
+    counted = counts.map_batches(
+        lambda b: b.select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow")
+    n_zero = hash_anti_join(cust_keys, counted, on="c_custkey").count()
+    if n_zero:
+        dist = pd.concat([dist, pd.DataFrame({"c_count": [0],
+                                              "custdist": [n_zero]})],
+                         ignore_index=True)
+    dist["c_count"] = dist["c_count"].astype("int64")
+    dist["custdist"] = dist["custdist"].astype("int64")
+    return (dist.sort_values(["custdist", "c_count"], ascending=[False, False])
+            .reset_index(drop=True))
+
+
+def idle_rich_customers(sf_dir: str, *, cutoff: str = "2000-06-01"):
+    """TPC-H Q22 shape (global-position anomaly): LAPSED rich customers —
+    no orders since ``cutoff``, account balance above the global average
+    POSITIVE balance — rolled up per nation.  The scalar subquery is a
+    one-row algebraic aggregate (it rides the driver), the recent-order key
+    set is read with the date predicate pushed INTO the parquet scan, the
+    no-recent-orders set is the reduce-side ANTI join on the key column
+    only, and the 25-row nation name map is a broadcast probe."""
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import hash_anti_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    # scalar: global avg positive balance (sum/count partials → one row)
+    def bal_partials(b: pa.Table) -> pa.Table:
+        pos = b.filter(pc.greater(b["c_acctbal"], 0.0))
+        return pa.table({"s": pa.array([pc.sum(pos["c_acctbal"]).as_py()
+                                        or 0.0], pa.float64()),
+                         "n": pa.array([pos.num_rows], pa.int64())})
+
+    agg = (cust.map_batches(bal_partials, batch_format="pyarrow")
+           .aggregate(Sum("s"), Sum("n")))
+    avg_bal = agg["sum(s)"] / agg["sum(n)"]
+
+    import pyarrow.dataset as pads
+
+    order_keys = (rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderdate")
+               >= pads.scalar(pd.Timestamp(cutoff)))
+        .map_batches(lambda b: b.rename_columns(["c_custkey"]),
+                     batch_format="pyarrow"))
+    rich = cust.map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"],
+                                      pa.scalar(avg_bal, pa.float64()))),
+        batch_format="pyarrow")
+    idle = hash_anti_join(rich, order_keys, on="c_custkey")
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    ref = ray.put((pc.cast(nation["n_nationkey"], pa.int64()).combine_chunks(),
+                   nation["n_name"].combine_chunks()))
+
+    def add_nation(b: pa.Table) -> pa.Table:
+        keys, names = ray.get(ref)
+        idx = pc.index_in(pc.cast(b["c_nationkey"], pa.int64()),
+                          value_set=keys)
+        return pa.table({"n_name": pc.take(names, idx),
+                         "c_acctbal": b["c_acctbal"]})
+
+    out = (idle.map_batches(add_nation, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Count(alias_name="numcust"),
+                      Sum("c_acctbal", alias_name="totacctbal"))
+           .to_pandas())
+    out["totacctbal"] = out["totacctbal"].round(2)
+    return out.sort_values("n_name").reset_index(drop=True)

@@ -752,3 +752,84 @@ def best_survivor_per_cluster(docs_ds, clusters_ds, *,
 
     return with_q.groupby("cluster_id").map_groups(argmax,
                                                    batch_format="pandas")
+
+
+# ------------------------------------------------- exact substring-window dedup
+
+def substring_window_pairs(docs_ds, *, text_col: str = "text",
+                           id_col: str = "doc_id", window: int = 8):
+    """Exact substring dedup: document pairs sharing ANY verbatim run of
+    ``window`` consecutive tokens (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022 — the ExactSubstr criterion;
+    reference analog: the repo's exact-text dedup in
+    src/data_ingestion/preprocess.py generalized from whole-message to
+    substring granularity).
+
+    Scale shape (100 TB): Lee et al. build a single-machine suffix array;
+    the distributed equivalent is a hash-window shuffle — per batch, each
+    doc's DISTINCT window hashes are computed locally and ONLY
+    (h:int64, doc_id:int64) pairs enter the exchange (16 B/row; the text
+    never shuffles).  groupby(h) then emits STAR pairs per group
+    (rep = lowest doc_id), linear in group size — immune to the degenerate
+    all-copies corpus that makes all-pairs output quadratic — and a final
+    (id_a, id_b) groupby counts shared windows per edge.
+
+    Hashes are the engine-standard md5 u64 (`sketch._h64` ==
+    DuckDB ``md5_number_lower``), so the oracle replays the identical
+    grouping on the window STRINGS themselves (collision-free modulo md5).
+
+    Output: (id_a, id_b, n_windows) where id_a is the lowest doc id over
+    each shared window's doc set and n_windows counts the distinct shared
+    windows attributing ``id_b`` to that representative.
+    """
+    from .sketch import _h64
+
+    def window_hash_rows(b: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        hs_out: list[np.ndarray] = []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = (t or "").split()
+            if len(toks) < window:
+                continue
+            hs = {_h64(" ".join(toks[j:j + window]))
+                  for j in range(len(toks) - window + 1)}
+            arr = np.fromiter(hs, dtype=np.uint64, count=len(hs))
+            hs_out.append(arr.view(np.int64))
+            ids_out.append(np.full(len(hs), i, dtype=np.int64))
+        if not hs_out:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        return pa.table({"h": pa.array(np.concatenate(hs_out)),
+                         id_col: pa.array(np.concatenate(ids_out))})
+
+    from .joins import hash_lookup_join
+
+    # star edges WITHOUT per-group Python: rep-per-hash is a native Min
+    # aggregate (sort-based shuffle, vectorized combine), membership is the
+    # reduce-side lookup join, and the rep's own row drops in a vectorized
+    # filter.  No map_groups — a window hash has thousands-to-millions of
+    # distinct values and per-group pandas construction dominates wall time.
+    wins = (docs_ds.select_columns([id_col, text_col])
+            .map_batches(window_hash_rows, batch_format="pyarrow"))
+    reps = (wins.groupby("h").min(id_col)
+            .map_batches(lambda b: b.select(["h", f"min({id_col})"])
+                         .rename_columns(["h", "id_a"]),
+                         batch_format="pyarrow"))
+    if reps.schema() is None:  # every doc shorter than the window
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "n_windows": pa.array([], pa.int64())}))
+
+    def keep_members(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b[id_col], b["id_a"]))
+        return pa.table({"id_a": b["id_a"], "id_b": b[id_col]})
+
+    edges = hash_lookup_join(wins, reps, on="h").map_batches(
+        keep_members, batch_format="pyarrow")
+    return (edges.groupby(["id_a", "id_b"]).count()
+            .map_batches(lambda b: b.select(["id_a", "id_b", "count()"])
+                         .rename_columns(["id_a", "id_b", "n_windows"]),
+                         batch_format="pyarrow"))

@@ -123,8 +123,20 @@ def hash_semi_join(left_ds, right_ds, *, on: str, num_partitions: int = 16):
                              keep_matches=True)
 
 
+def hash_membership_flag(left_ds, right_ds, *, on: str,
+                         flag_col: str, num_partitions: int = 16):
+    """Reduce-side membership FLAG join: every left row gains a boolean
+    ``flag_col`` = (its ``on`` key appears in ``right_ds``) — the one-shuffle
+    alternative to running hash_semi_join AND hash_anti_join and unioning
+    the halves.  Same bucket co-shuffle + vectorized ``pc.is_in`` core as
+    ``_hash_filter_join``; the right side is key-only in the exchange."""
+    return _hash_filter_join(left_ds, right_ds, on=on,
+                             num_partitions=num_partitions,
+                             keep_matches=True, flag_col=flag_col)
+
+
 def _hash_filter_join(left_ds, right_ds, *, on: str, num_partitions: int,
-                      keep_matches: bool):
+                      keep_matches: bool, flag_col: str | None = None):
     """Shared reduce-side SEMI/ANTI join core.
 
     Ray Data has no native semi/anti join, and its hash-shuffle inner join
@@ -182,6 +194,10 @@ def _hash_filter_join(left_ds, right_ds, *, on: str, num_partitions: int,
         right_keys = t.filter(pc.equal(t[_MARK], 1))[on]
         left = t.filter(pc.equal(t[_MARK], 0))
         keep = pc.is_in(left[on], value_set=right_keys.combine_chunks())
+        if flag_col is not None:
+            return left.select(left_names).append_column(
+                flag_col, keep.combine_chunks() if isinstance(
+                    keep, pa.ChunkedArray) else keep)
         if not keep_matches:
             keep = pc.invert(keep)
         return left.filter(keep).select(left_names)

@@ -430,6 +430,22 @@ def kmeans(emb_ds, *, k: int = 8, n_iter: int = 3,
     comparable with the SQL mirror; ties break to the lowest cid.  Empty
     clusters drop (both sides).  Output: (cid, dim, centroid, n_members)
     after the LAST update step."""
+    cids, centroids, sizes = _kmeans_fit(emb_ds, k=k, n_iter=n_iter,
+                                         id_col=id_col, emb_col=emb_col)
+    d = centroids.shape[1]
+    return pd.DataFrame({
+        "cid": np.repeat(cids, d),
+        "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(cids)),
+        "n_members": np.repeat(sizes, d),
+        "centroid": np.round(centroids, round_to).ravel(),
+    })
+
+
+def _kmeans_fit(emb_ds, *, k: int, n_iter: int, id_col: str, emb_col: str):
+    """The shared Lloyd's loop behind ``kmeans`` and ``semdedup_prune``:
+    returns the final ``(cids, centroids, sizes)`` after ``n_iter``
+    assign+update rounds (full float64 precision — rounding happens only at
+    output boundaries)."""
 
     def to_mat(b: pa.Table):
         arr = b[emb_col].combine_chunks() if isinstance(
@@ -486,13 +502,75 @@ def kmeans(emb_ds, *, k: int = 8, n_iter: int = 3,
             merged["n"].to_numpy(np.float64)[:, None]
         sizes = merged["n"].to_numpy(np.int64)
 
-    d = centroids.shape[1]
-    return pd.DataFrame({
-        "cid": np.repeat(cids, d),
-        "dim": np.tile(np.arange(1, d + 1, dtype=np.int64), len(cids)),
-        "n_members": np.repeat(sizes, d),
-        "centroid": np.round(centroids, round_to).ravel(),
-    })
+    return cids, centroids, sizes
+
+
+def semdedup_prune(emb_ds, *, k: int = 8, n_iter: int = 3,
+                   threshold: float = 0.4, id_col: str = "vec_id",
+                   emb_col: str = "embedding", max_cluster_rows: int = 50_000):
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): k-means-cluster the
+    embedding space, then prune near-duplicates WITHIN each cluster by
+    pairwise cosine — the cluster assignment is the blocking key that keeps
+    the quadratic comparison local, never corpus-wide.
+
+    Composition of two already-gated primitives: the shared Lloyd's loop
+    (``_kmeans_fit``) and the within-block cosine kernel
+    (``dedup.embedding_cosine_pairs`` with ``block_col='cid'``).  The final
+    centroids broadcast ONCE via ``ray.put``; the assign pass is one numpy
+    argmin per batch (same dim-order d² and lowest-cid tie-break as the
+    training loop, so the SQL mirror's extra unrolled assign step matches
+    bit-for-bit); only (vec_id, cid, embedding) rows enter the per-cluster
+    groupby.  ``max_cluster_rows`` guards the within-cluster matmul exactly
+    like embedding_cosine_pairs (raise k when a cluster outgrows a worker).
+
+    Keep policy (deterministic): a vector is PRUNED iff some other vector in
+    its cluster with a LOWER id sits at cosine ≥ threshold — the
+    keep-lowest-id representative rule the other dedup ops use.  Output:
+    one row per vector, (vec_id, cid, keep).
+    """
+    from .dedup import embedding_cosine_pairs
+
+    cids, centroids, _ = _kmeans_fit(emb_ds, k=k, n_iter=n_iter,
+                                     id_col=id_col, emb_col=emb_col)
+    cent_ref = ray.put((cids, centroids))
+
+    def assign(b: pa.Table) -> pa.Table:
+        cur_cids, cur_c = ray.get(cent_ref)
+        arr = b[emb_col].combine_chunks() if isinstance(
+            b[emb_col], pa.ChunkedArray) else b[emb_col]
+        d = len(arr[0])
+        m = arr.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(-1, d).astype(np.float64)
+        d2 = ((m[:, None, :] - cur_c[None, :, :]) ** 2).sum(axis=2)
+        a = cur_cids[np.argmin(d2, axis=1)]
+        return pa.table({id_col: b[id_col], "cid": pa.array(a, pa.int64()),
+                         emb_col: b[emb_col]})
+
+    assigned = emb_ds.select_columns([id_col, emb_col]).map_batches(
+        assign, batch_format="pyarrow")
+    pairs = embedding_cosine_pairs(assigned, vec_col=emb_col, id_col=id_col,
+                                   block_col="cid", threshold=threshold,
+                                   max_block_rows=max_cluster_rows)
+    # pruned = appears as id_b in ANY pair (pairs are emitted id_a < id_b,
+    # so id_b always has a lower-id partner); distinct id_b keys only —
+    # a key-only shuffle — then ONE reduce-side membership-flag join marks
+    # keep = NOT pruned (no semi+anti double pass)
+    from .joins import hash_membership_flag
+
+    pruned_keys = (pairs.groupby("id_b").count()
+                   .map_batches(lambda b: b.select(["id_b"])
+                                .rename_columns([id_col]),
+                                batch_format="pyarrow"))
+    ids_only = assigned.select_columns([id_col, "cid"])
+    flagged = hash_membership_flag(ids_only, pruned_keys, on=id_col,
+                                   flag_col="_pruned")
+    import pyarrow.compute as pc
+
+    return flagged.map_batches(
+        lambda b: pa.table({id_col: b[id_col], "cid": b["cid"],
+                            "keep": pc.invert(b["_pruned"])}),
+        batch_format="pyarrow")
 
 
 def _pq_train(emb_ds, *, m_subspaces: int, k_codes: int, n_iter: int,

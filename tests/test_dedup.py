@@ -264,3 +264,41 @@ def test_best_survivor_policy(ray_session):
     assert out.iloc[1][["cluster_id", "doc_id", "n_chars",
                         "n_members"]].tolist() == [7, 7, 5, 2]
     assert len(out) == 2                       # unpaired docs don't appear
+
+
+def test_substring_window_pairs(docs):
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import (
+        substring_window_pairs)
+
+    # window=5: base/near share "jumps over the lazy" only at 4 tokens, so
+    # with window=5 the exact pair (0,1) and the cross-block exact pair (3,4)
+    # survive while the near-dup (0,2) does not (its longest shared run is 8
+    # tokens prefix "the quick brown fox jumps over the lazy" → DOES share
+    # 5-token windows).  Verify counts precisely instead.
+    out = substring_window_pairs(docs, window=5).to_pandas()
+    pairs = {(a, b): n for a, b, n in
+             zip(out["id_a"], out["id_b"], out["n_windows"])}
+    # base is 12 tokens → 8 distinct 5-windows, all shared with id 1
+    assert pairs[(0, 1)] == 8
+    # near shares the 7-token prefix and the 4-token suffix overlap:
+    # "the quick brown fox jumps over the lazy" (8 tokens) → 4 windows,
+    # "again and again" suffix run "cat again and again" differs at 'cat'
+    # → shared windows are exactly the 4 prefix ones
+    assert pairs[(0, 2)] == 4
+    # other-text docs pair regardless of lang/source blocks (exact substring
+    # dedup is global)
+    assert pairs[(3, 4)] == 10 - 5 + 1   # "other" is 10 tokens → 6 windows
+    assert (0, 3) not in pairs
+    # id_a is always the window-set's lowest id
+    assert (out["id_a"] < out["id_b"]).all()
+
+
+def test_substring_window_short_docs_drop(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import (
+        substring_window_pairs)
+
+    ds = rd.from_items([{"doc_id": i, "text": "too short here"}
+                        for i in range(3)])
+    assert substring_window_pairs(ds, window=8).count() == 0

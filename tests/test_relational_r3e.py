@@ -1,0 +1,70 @@
+"""Round-3 batch 5: grouped higher moments, TPC-H Q13/Q22 shapes."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_grouped_moments_match_scipy_free_numpy(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        grouped_moments)
+
+    out = grouped_moments(SF).set_index("l_returnflag")
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_returnflag", "l_quantity"]).to_pandas()
+    for flag, g in li.groupby("l_returnflag"):
+        x = g["l_quantity"].to_numpy(np.float64)
+        mu, m2 = x.mean(), x.var()          # population moments
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        row = out.loc[flag]
+        assert row["n"] == len(g)
+        assert abs(row["mean_qty"] - mu) < 1e-6
+        assert abs(row["std_qty"] - np.sqrt(m2)) < 1e-6
+        assert abs(row["skew_qty"] - m3 / m2 ** 1.5) < 1e-6
+        assert abs(row["kurt_qty"] - (m4 / m2 ** 2 - 3)) < 1e-6
+
+
+def test_custdist_includes_zero_bucket(ray_session, tmp_path):
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        customer_order_distribution)
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 1, 2], pa.int64()),
+    }), tmp_path / "orders.parquet")
+    out = customer_order_distribution(str(tmp_path))
+    dist = dict(zip(out["c_count"], out["custdist"]))
+    assert dist == {3: 1, 1: 1, 0: 2}
+    # sorted custdist desc, then c_count desc
+    assert out["c_count"].tolist() == [0, 3, 1]
+
+
+def test_idle_rich_matches_pandas(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        idle_rich_customers)
+
+    out = idle_rich_customers(SF)
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    nation = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    avg = cust.loc[cust["c_acctbal"] > 0, "c_acctbal"].mean()
+    recent = set(orders.loc[orders["o_orderdate"]
+                            >= pd.Timestamp("2000-06-01"), "o_custkey"])
+    idle = cust[(cust["c_acctbal"] > avg)
+                & ~cust["c_custkey"].isin(recent)]
+    exp = (idle.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+           .groupby("n_name")
+           .agg(numcust=("c_custkey", "size"),
+                totacctbal=("c_acctbal", "sum"))
+           .reset_index())
+    exp["totacctbal"] = exp["totacctbal"].round(2)
+    got = out.sort_values("n_name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, exp.sort_values("n_name").reset_index(drop=True),
+        check_dtype=False)

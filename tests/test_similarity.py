@@ -188,3 +188,46 @@ def test_kmeans_converges_to_plants(ray_session, tmp_path):
     c = out.pivot(index="cid", columns="dim", values="centroid").to_numpy()
     # centroids recover the planted means to within the cluster noise
     assert abs(abs(c[:, 0]) - 1.0).max() < 0.05
+
+
+def test_semdedup_prunes_within_cluster_only(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import (
+        semdedup_prune)
+
+    # two well-separated clusters; ids 0/1 are the k=2 inits, one per side.
+    # cluster A holds an exact duplicate pair (0, 2) and an unrelated
+    # orthogonal-ish member 4; cluster B holds a near-dup pair (1, 3).
+    rows = [
+        {"vec_id": 0, "embedding": [1.0, 0.0, 0.1, 0.0]},
+        {"vec_id": 1, "embedding": [-1.0, 0.0, 0.0, 0.1]},
+        {"vec_id": 2, "embedding": [1.0, 0.0, 0.1, 0.0]},     # dup of 0
+        {"vec_id": 3, "embedding": [-1.0, 0.05, 0.0, 0.1]},   # near-dup of 1
+        {"vec_id": 4, "embedding": [0.6, 0.8, 0.0, 0.0]},     # same side as 0
+    ]
+    out = (semdedup_prune(rd.from_items(rows), k=2, n_iter=2, threshold=0.95)
+           .to_pandas().set_index("vec_id").sort_index())
+    assert out.loc[0, "keep"] and not out.loc[2, "keep"]      # lowest id wins
+    assert out.loc[1, "keep"] and not out.loc[3, "keep"]
+    assert out.loc[4, "keep"]                                 # cos < 0.95
+    assert out.loc[0, "cid"] == out.loc[2, "cid"] == out.loc[4, "cid"]
+    assert out.loc[1, "cid"] == out.loc[3, "cid"]
+    assert out.loc[0, "cid"] != out.loc[1, "cid"]
+
+
+def test_hash_membership_flag_matches_semi_anti(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.joins import (
+        hash_anti_join, hash_membership_flag, hash_semi_join)
+
+    left = rd.from_items([{"k": i, "v": i * 10} for i in range(40)])
+    right = rd.from_items([{"k": i} for i in range(0, 40, 3)])
+    flagged = hash_membership_flag(left, right, on="k",
+                                   flag_col="hit").to_pandas()
+    semi = set(hash_semi_join(left, right, on="k").to_pandas()["k"])
+    anti = set(hash_anti_join(left, right, on="k").to_pandas()["k"])
+    assert set(flagged[flagged["hit"]]["k"]) == semi
+    assert set(flagged[~flagged["hit"]]["k"]) == anti
+    assert len(flagged) == 40
