@@ -659,6 +659,26 @@ def q_token_chunks(sf_dir: str):
     return token_chunks(docs, window=32, stride=24)
 
 
+def q_dsir_weights(sf_dir: str):
+    import ray.data as rd
+
+    from .stages.seqprep import dsir_weights
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return dsir_weights(docs, target_value="en")
+
+
+def q_bpe_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from .stages.seqprep import bpe_pair_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return bpe_pair_stats(docs, top_n=50)
+
+
 def q_doc_perplexity(sf_dir: str):
     """Per-document perplexity under the corpus's own add-1 unigram LM —
     the CCNet-style LM quality filter; vocab meets docs in a distributed
@@ -1116,6 +1136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "countmin_topk": q_countmin_topk,
         "token_chunks": q_token_chunks,
         "doc_perplexity": q_doc_perplexity,
+        "dsir_weights": q_dsir_weights,
+        "bpe_pairs": q_bpe_pairs,
         "pack_bins": q_pack_bins,
         "trainset_build": q_trainset_build,
         "pq_codes": q_pq_codes,
@@ -1267,6 +1289,8 @@ def oracle_sql() -> dict[str, str]:
         "countmin_topk": oracles.countmin_topk_sql(100),
         "token_chunks": oracles.token_chunks_sql(32, 24),
         "doc_perplexity": oracles.doc_perplexity_sql(1.0),
+        "dsir_weights": oracles.dsir_weights_sql("en", 1024),
+        "bpe_pairs": oracles.bpe_pair_stats_sql(50),
         "pack_bins": oracles.pack_bins_sql(256),
         "trainset_build": oracles.trainset_build_sql(),
         "pq_codes": oracles.pq_codes_sql(2, 16, 2, 64),

@@ -244,3 +244,138 @@ def pack_bins(docs_ds, *, budget: int = 256, group_col: str = "source",
            .map_groups(pack, batch_format="pandas")
            .map_batches(lambda b: b, batch_format="pyarrow"))
     return out.sort([group_col, id_col])
+
+
+def dsir_weights(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
+                 target_col: str = "lang", target_value: str = "en",
+                 n_buckets: int = 1024):
+    """DSIR importance log-weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score every
+    raw document by ``log p_target(d) − log p_raw(d)`` under hashed
+    bag-of-n-gram models, the weight used to resample a web crawl toward a
+    target domain.  Here the target slice is ``target_col == target_value``
+    (the reference's Amharic-channel filter generalized to any metadata
+    predicate).
+
+    Features are unigrams AND bigrams of the whitespace tokens, hashed into
+    ``n_buckets`` with the engine-standard md5-u64 (`sketch._h64` ==
+    DuckDB ``md5_number_lower`` — the per-feature md5 is the price of an
+    exactly SQL-replicable oracle; a production run would swap in a seeded
+    xxhash).  ONE combiner pass emits ≤B (bucket, n_raw, n_tgt) partial
+    rows per block (native Sums merge them), so both distributions are
+    B-sized no matter the corpus; the Laplace-smoothed log-ratio table
+    broadcasts ONCE via ``ray.put`` and the scoring pass is one np.take +
+    per-doc segmented sum per batch.  Two column-pruned streaming scans
+    total, nothing materialized.
+
+    Output: (doc_id, n_feats, dsir_logweight) — positive = looks like the
+    target slice.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .sketch import _h64
+
+    def _doc_feature_buckets(b: pa.Table):
+        """(bucket ids, doc index per feature) for the batch, unigrams +
+        within-doc bigrams."""
+        flat, n = _ws_tokens(b[text_col])
+        doc_of = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        toks = flat.to_pylist()
+        feats = list(toks)
+        fdoc = [doc_of]
+        if len(toks) >= 2:
+            same = doc_of[:-1] == doc_of[1:]
+            bi = [f"{toks[i]} {toks[i + 1]}"
+                  for i in np.nonzero(same)[0]]
+            feats.extend(bi)
+            fdoc.append(doc_of[:-1][same])
+        buckets = np.fromiter((_h64(f) % n_buckets for f in feats),
+                              dtype=np.int64, count=len(feats))
+        return buckets, np.concatenate(fdoc) if len(fdoc) > 1 else fdoc[0]
+
+    def count_partials(b: pa.Table) -> pa.Table:
+        buckets, fdoc = _doc_feature_buckets(b)
+        is_tgt = pc.equal(b[target_col], target_value).to_numpy(
+            zero_copy_only=False)
+        n_raw = np.bincount(buckets, minlength=n_buckets)
+        n_tgt = np.bincount(buckets[is_tgt[fdoc]], minlength=n_buckets)
+        nz = np.nonzero(n_raw)[0]
+        return pa.table({"b": pa.array(nz, pa.int64()),
+                         "n_raw": pa.array(n_raw[nz], pa.int64()),
+                         "n_tgt": pa.array(n_tgt[nz], pa.int64())})
+
+    cnt = (docs_ds.select_columns([text_col, target_col])
+           .map_batches(count_partials, batch_format="pyarrow")
+           .groupby("b").aggregate(Sum("n_raw", alias_name="n_raw"),
+                                   Sum("n_tgt", alias_name="n_tgt"))
+           .to_pandas())
+    raw_total = float(cnt["n_raw"].sum())
+    tgt_total = float(cnt["n_tgt"].sum())
+    logratio = np.zeros(n_buckets, np.float64)
+    bs = cnt["b"].to_numpy(np.int64)
+    logratio[bs] = (
+        np.log((cnt["n_tgt"].to_numpy(np.float64) + 1.0)
+               / (tgt_total + n_buckets))
+        - np.log((cnt["n_raw"].to_numpy(np.float64) + 1.0)
+                 / (raw_total + n_buckets)))
+    lr_ref = ray.put(logratio)
+
+    def score(b: pa.Table) -> pa.Table:
+        lr = ray.get(lr_ref)
+        buckets, fdoc = _doc_feature_buckets(b)
+        w = np.zeros(b.num_rows, np.float64)
+        np.add.at(w, fdoc, lr[buckets])
+        nf = np.bincount(fdoc, minlength=b.num_rows)
+        keep = nf > 0
+        return pa.table({
+            id_col: b[id_col].filter(pa.array(keep)),
+            "n_feats": pa.array(nf[keep], pa.int64()),
+            "dsir_logweight": pa.array(np.round(w[keep], 6), pa.float64()),
+        })
+
+    return docs_ds.select_columns([id_col, text_col, target_col]) \
+        .map_batches(score, batch_format="pyarrow")
+
+
+def bpe_pair_stats(docs_ds, *, text_col: str = "text", top_n: int = 50):
+    """Byte-pair-encoding merge-candidate statistics: corpus-wide counts of
+    adjacent CHARACTER pairs within whitespace tokens — the quantity a BPE
+    tokenizer trainer (Sennrich et al. 2016) maximizes at every merge
+    step; this is iteration 0's full candidate table, the distributed
+    heavy-lift of tokenizer training (the merge-apply step is a
+    vocabulary-sized driver loop once these counts exist).
+
+    Fully vectorized: each block joins its tokens with NUL separators,
+    reads the text as a UTF-32 codepoint array, forms (hi<<32)|lo pair
+    codes with a shifted-array AND mask (no pair crosses a token boundary
+    because NUL never matches), and bincounts unique codes — no Python
+    loop over tokens or characters.  Per-block partials merge with a
+    native Sum; the final sort + top-n runs on the pair-vocabulary-sized
+    table.  Output: (pair, n) with the deterministic (n desc, pair asc)
+    tie-break."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        flat, _ = _ws_tokens(b[text_col])
+        if len(flat) == 0:
+            return pa.table({"pair": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        joined = "\x00".join(flat.to_pylist())
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        a, c = cp[:-1], cp[1:]
+        mask = (a != 0) & (c != 0)
+        codes = (a[mask].astype(np.uint64) << np.uint64(32)) | c[mask]
+        uniq, counts = np.unique(codes, return_counts=True)
+        pairs = [chr(int(u >> np.uint64(32))) + chr(int(u & np.uint64(0xFFFFFFFF)))
+                 for u in uniq]
+        return pa.table({"pair": pa.array(pairs, pa.string()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    merged = (docs_ds.select_columns([text_col])
+              .map_batches(partials, batch_format="pyarrow")
+              .groupby("pair").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    return (merged.sort_values(["n", "pair"], ascending=[False, True])
+            .head(top_n).reset_index(drop=True))

@@ -402,3 +402,59 @@ def test_trainset_build_composition(ray_session):
     assert len(allowed - set(out["doc_id"])) == 0  # every kept doc chunks
     # the ppl filter actually did something on this corpus
     assert len(allowed) < len(surv)
+
+
+def test_dsir_weights_prefer_target_like_docs(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.seqprep import dsir_weights
+
+    # target slice (lang=en) speaks "alpha beta"; raw background speaks
+    # "gamma delta"; a held-out doc written in target language must score
+    # higher than one written in background language
+    rows = []
+    for i in range(20):
+        rows.append({"doc_id": i, "lang": "en",
+                     "text": "alpha beta alpha beta alpha"})
+    for i in range(20, 40):
+        rows.append({"doc_id": i, "lang": "de",
+                     "text": "gamma delta gamma delta gamma"})
+    rows.append({"doc_id": 100, "lang": "xx",
+                 "text": "alpha beta alpha"})          # target-like
+    rows.append({"doc_id": 101, "lang": "xx",
+                 "text": "gamma delta gamma"})         # background-like
+    out = (dsir_weights(rd.from_items(rows), target_value="en")
+           .to_pandas().set_index("doc_id"))
+    assert out.loc[100, "dsir_logweight"] > 0
+    assert out.loc[101, "dsir_logweight"] < 0
+    assert out.loc[100, "dsir_logweight"] > out.loc[101, "dsir_logweight"]
+    # n_feats = unigrams + bigrams = 3 + 2
+    assert out.loc[100, "n_feats"] == 5
+
+
+def test_bpe_pair_stats_counts(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.seqprep import (
+        bpe_pair_stats)
+
+    # "abab" → ab, ba, ab ; "ab" → ab ; "xy" → xy ; pairs never cross the
+    # token boundary
+    ds = rd.from_items([{"text": "abab ab"}, {"text": "xy"}])
+    out = bpe_pair_stats(ds, top_n=10)
+    got = dict(zip(out["pair"], out["n"]))
+    assert got == {"ab": 3, "ba": 1, "xy": 1}
+    # deterministic ordering: n desc then pair asc
+    assert out["pair"].tolist() == ["ab", "ba", "xy"]
+
+
+def test_bpe_pair_stats_multibyte(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.seqprep import (
+        bpe_pair_stats)
+
+    ds = rd.from_items([{"text": "ሰላም ሰላም"}])
+    out = bpe_pair_stats(ds, top_n=10)
+    got = dict(zip(out["pair"], out["n"]))
+    assert got == {"ሰላ": 2, "ላም": 2}
