@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import oracles
-from .pipelines import kg, relational
+from .pipelines import kg, relational, tpch_ext
 from .stages import dedup, multimodal, similarity, textstats
 from .stages.enrich import enrich_batch
 
@@ -1151,6 +1151,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_priority_exists": relational.priority_order_counts,
         "rel_pushdown_scan": relational.pushdown_scan,
         "rel_partition_prune": relational.partitioned_write_prune,
+        "kg_communities": kg.kg_label_propagation,
+        "rel_nation_trade": tpch_ext.nation_trade_volume,
+        "rel_market_share": tpch_ext.market_share,
+        "rel_product_profit": tpch_ext.product_profit,
+        "rel_promo_revenue": tpch_ext.promo_revenue,
+        "rel_top_supplier": tpch_ext.top_supplier,
+        "rel_supplier_cnt": tpch_ext.part_supplier_counts,
+        "rel_disjunctive": tpch_ext.disjunctive_revenue,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
@@ -1305,6 +1313,18 @@ def oracle_sql() -> dict[str, str]:
         "rel_priority_exists": oracles.priority_order_counts_sql(),
         "rel_pushdown_scan": oracles.pushdown_scan_sql(),
         "rel_partition_prune": oracles.partitioned_write_prune_sql(),
+        "kg_communities": oracles.kg_label_propagation_sql(3),
+        "rel_nation_trade": oracles.nation_trade_volume_sql("1998-01-01"),
+        "rel_market_share": oracles.market_share_sql("NATION_3", "ASIA",
+                                                     "PROMO"),
+        "rel_product_profit": oracles.product_profit_sql("widget", 0.6),
+        "rel_promo_revenue": oracles.promo_revenue_sql("1996-01-01",
+                                                       "1996-02-01", "PROMO"),
+        "rel_top_supplier": oracles.top_supplier_sql("1996-01-01",
+                                                     "1996-04-01"),
+        "rel_supplier_cnt": oracles.part_supplier_counts_sql("Brand#1",
+                                                             1500.0),
+        "rel_disjunctive": oracles.disjunctive_revenue_sql(),
         "dedup_ngram": oracles.ngram_jaccard_sql(),
         "dedup_substring": oracles.substring_dedup_sql(SUBSTR_WINDOW),
         "semdedup": oracles.semdedup_sql(8, 3, EMB_DEDUP_THRESHOLD),

@@ -18,6 +18,7 @@ against.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -412,3 +413,70 @@ def kg_link_prediction(sf_dir: str, *, min_common: int = 2, k: int = 50,
     return (common.sort_values(["jaccard", "vendor_a", "vendor_b"],
                                ascending=[False, True, True])
             .head(k).reset_index(drop=True))
+
+
+def kg_label_propagation(sf_dir: str, *, n_iter: int = 3):
+    """Community detection by SYNCHRONOUS weighted label propagation over the
+    (symmetrized) KG — the deterministic LPA variant: every node
+    simultaneously adopts the label with the largest incident edge-weight sum
+    among its neighbors, ties broken by smallest label; ``n_iter`` fixed
+    rounds.  (Reference analog: none — graph-analytics extension alongside
+    kg_pagerank; see model_evaluator-style clustering ambitions in
+    /root/reference/README.md.)
+
+    Shape per iteration: edge-shares ⋈ labels on u (hash join, edge-table
+    sized) → per-batch Arrow ``group_by`` combiner collapses (v, label)
+    weight partials BEFORE the shuffle → one ``groupby(v)`` argmax.  Edge
+    weights are integer mention counts, so vote sums are EXACT int64 —
+    argmax cannot flip on float merge order.  All shuffled tables are
+    vocabulary-sized (|vendors| + |entities|), never corpus-sized."""
+    from ray.data.aggregate import Count  # noqa: F401  (import parity)
+
+    e = kg_edges(sf_dir).select_columns(["src_id", "dst_id", "weight"])
+
+    def sym(b: pa.Table) -> pa.Table:
+        def chunked(c):
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        src, dst = chunked(b["src_id"]), chunked(b["dst_id"])
+        w = pc.cast(chunked(b["weight"]), pa.int64())
+        return pa.table({
+            "u": pa.concat_arrays([src, dst]),
+            "v": pa.concat_arrays([dst, src]),
+            "w": pa.concat_arrays([w, w])})
+
+    sym_ds = e.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["u"], "label": b["u"]})
+
+    labels = (sym_ds.groupby("u").map_groups(
+        lambda g: g.head(1)[["u"]], batch_format="pandas")
+        .map_batches(init_labels, batch_format="pyarrow").materialize())
+
+    def vote_partials(b: pa.Table) -> pa.Table:
+        t = pa.table({"v": b["v"], "label": b["label"], "w": b["w"]})
+        return (t.group_by(["v", "label"])
+                .aggregate([("w", "sum")])
+                .rename_columns(["v", "label", "ws"]))
+
+    def argmax_label(g: pd.DataFrame) -> pd.DataFrame:
+        votes = (g.groupby("label", as_index=False)["ws"].sum()
+                 .sort_values(["ws", "label"], ascending=[False, True]))
+        return pd.DataFrame({"u": [g["v"].iloc[0]],
+                             "label": [votes["label"].iloc[0]]})
+
+    for _ in range(n_iter):
+        labels = (sym_ds.join(labels, join_type="inner", num_partitions=8,
+                              on=("u",))
+                  .map_batches(vote_partials, batch_format="pyarrow")
+                  .groupby("v").map_groups(argmax_label,
+                                           batch_format="pandas")
+                  .map_batches(lambda b: b, batch_format="pyarrow")
+                  .materialize())
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"node_id": b["u"], "community": b["label"]})
+
+    pdf = (labels.map_batches(finish, batch_format="pyarrow")
+           .to_pandas())
+    return pdf.sort_values("node_id").reset_index(drop=True)

@@ -160,9 +160,11 @@ def _hash_filter_join(left_ds, right_ds, *, on: str, num_partitions: int,
     base = getattr(left_schema, "base_schema", None)
     if isinstance(base, pa.Schema):
         left_types = {n: base.field(n).type for n in base.names}
-    else:  # pandas-blocked input: numpy dtypes → arrow types
+    else:  # pandas-blocked input: numpy dtypes → arrow types (types that
+        # are ALREADY Arrow pass through — map_groups outputs report those)
         left_types = {
-            n: (pa.string() if t in (str, object)
+            n: (t if isinstance(t, pa.DataType)
+                else pa.string() if t in (str, object)
                 else pa.from_numpy_dtype(np.dtype(t)))
             for n, t in zip(left_schema.names, left_schema.types)}
     _MARK = "_anti_side"
