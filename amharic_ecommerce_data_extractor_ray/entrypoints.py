@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import oracles
-from .pipelines import kg, relational, tpch_ext
+from .pipelines import kg, rag, relational, tpch_ext
 from .stages import dedup, multimodal, similarity, textstats
 from .stages.enrich import enrich_batch
 
@@ -822,6 +822,24 @@ def q_dedup_simhash(sf_dir: str):
     return dedup.simhash_dedup(docs)
 
 
+def q_quality_lr(sf_dir: str):
+    import ray.data as rd
+
+    from .stages.classify import quality_logreg
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang", "n_chars"])
+    return quality_logreg(docs)
+
+
+def q_dedup_setjoin(sf_dir: str):
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return dedup.set_similarity_join(docs)
+
+
 def q_dedup_ngram(sf_dir: str):
     import ray.data as rd
 
@@ -1165,6 +1183,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_best_survivors": q_dedup_best_survivors,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram": q_dedup_ngram,
+        "dedup_setjoin": q_dedup_setjoin,
+        "quality_lr": q_quality_lr,
+        "rag_retrieve": rag.rag_retrieve,
         "dedup_substring": q_dedup_substring,
         "semdedup": q_semdedup,
         "dedup_embedding": q_dedup_embedding,
@@ -1326,6 +1347,9 @@ def oracle_sql() -> dict[str, str]:
                                                              1500.0),
         "rel_disjunctive": oracles.disjunctive_revenue_sql(),
         "dedup_ngram": oracles.ngram_jaccard_sql(),
+        "dedup_setjoin": oracles.set_similarity_join_sql(5, 1, 2),
+        "quality_lr": oracles.quality_logreg_sql("en", 0.5, 4),
+        "rag_retrieve": oracles.rag_retrieve_sql(32, 24, 8, 5, 97),
         "dedup_substring": oracles.substring_dedup_sql(SUBSTR_WINDOW),
         "semdedup": oracles.semdedup_sql(8, 3, EMB_DEDUP_THRESHOLD),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),

@@ -833,3 +833,123 @@ def substring_window_pairs(docs_ds, *, text_col: str = "text",
             .map_batches(lambda b: b.select(["id_a", "id_b", "count()"])
                          .rename_columns(["id_a", "id_b", "n_windows"]),
                          batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (PPJoin-style, round 3 batch 7)
+# ---------------------------------------------------------------------------
+
+_SEP = "\x1f"  # joins a doc's shingle set into one string cell (shingles
+# contain spaces, so a non-printing separator keeps the round-trip exact)
+
+
+def set_similarity_join(docs_ds, *, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 5,
+                        tau_num: int = 1, tau_den: int = 2,
+                        max_bucket_rows: int = 2048,
+                        num_partitions: int = 16):
+    """EXACT global Jaccard join over word n-gram shingle SETS with
+    prefix filtering (Chaudhuri/Xiao PPJoin family) — the lossless
+    sub-quadratic path, complementing minhash_lsh_pairs (approximate) and
+    ngram_jaccard_pairs (exact but blocked by metadata keys).
+
+    Returns pairs (id_a < id_b) with J(A,B) = |A∩B| / |A∪B| ≥
+    tau_num/tau_den.  ALL comparisons are integer arithmetic
+    ((den+num)·|A∩B| ≥ num·(|A|+|B|)), so results are bit-deterministic.
+
+    Prefix-filter theorem: under any consistent GLOBAL total order on
+    shingles, two sets with J ≥ τ must share an element inside their first
+    p = L − ceil(τ·L) + 1 elements.  The order used is (document frequency
+    asc, shingle asc) — rarest first, so prefix buckets are the SMALLEST
+    candidate groups the corpus allows.
+
+    Scale shape: shingling is the vectorized chunk_batch kernel (no Python
+    row loop); per-doc distinct is an Arrow ``group_by`` combiner before
+    the shuffle; the global df table attaches via a reduce-side lookup
+    join (never a driver broadcast — shingle vocabulary is corpus-sized at
+    100 TB); candidate buckets are keyed by prefix shingle (rare by
+    construction) with a ``max_bucket_rows`` raise mirroring
+    ngram_jaccard_pairs' guard; each qualifying pair is found once per
+    shared prefix shingle and deduplicated by a final (id_a, id_b) groupby.
+    """
+    from ray.data.aggregate import Count
+
+    from .seqprep import chunk_batch
+    from .joins import hash_lookup_join
+
+    def shingles(b: pa.Table) -> pa.Table:
+        ch = chunk_batch(b, text_col=text_col, id_col=id_col,
+                         window=n, stride=1)
+        ch = ch.filter(pc.equal(ch["n_tokens"], pa.scalar(n, pa.int64())))
+        t = pa.table({id_col: ch[id_col], "shingle": ch["chunk_text"]})
+        # per-batch distinct combiner: only unique (doc, shingle) shuffle
+        return t.group_by([id_col, "shingle"]).aggregate([])
+
+    # the per-batch group_by IS the global distinct: a document is one input
+    # row, so all its shingles land in one batch — (doc, shingle) can never
+    # repeat across batches
+    exploded = docs_ds.map_batches(shingles, batch_format="pyarrow")
+
+    df_tbl = (exploded.groupby("shingle")
+              .aggregate(Count(alias_name="df")))
+
+    with_df = hash_lookup_join(exploded, df_tbl, on="shingle",
+                               num_partitions=num_partitions)
+
+    def prefix_rows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "shingle"]).reset_index(drop=True)
+        L = len(g)
+        req = -(-tau_num * L // tau_den)        # ceil(tau * L), exact
+        p = L - req + 1
+        full = _SEP.join(g["shingle"].tolist())
+        return pd.DataFrame({
+            "bucket": g["shingle"].iloc[:p].tolist(),
+            "doc": [int(g[id_col].iloc[0])] * p,
+            "set_str": [full] * p,
+        })
+
+    prefixed = (with_df.groupby(id_col)
+                .map_groups(prefix_rows, batch_format="pandas")
+                .map_batches(lambda b: b, batch_format="pyarrow"))
+
+    def bucket_pairs_exact(g: pd.DataFrame) -> pd.DataFrame:
+        m = len(g)
+        if m > max_bucket_rows:
+            raise ValueError(
+                f"set_similarity_join: prefix bucket {g['bucket'].iloc[0]!r} "
+                f"has {m} rows (> max_bucket_rows={max_bucket_rows}); "
+                "raise n / tau or pre-dedup exact duplicates first")
+        rows = sorted(zip(g["doc"].tolist(), g["set_str"].tolist()))
+        sets = [frozenset(s.split(_SEP)) for _, s in rows]
+        out_a, out_b, out_ni, out_ns = [], [], [], []
+        for x in range(m):
+            for y in range(x + 1, m):
+                if rows[x][0] == rows[y][0]:
+                    continue
+                ni = len(sets[x] & sets[y])
+                ns = len(sets[x]) + len(sets[y])
+                if (tau_den + tau_num) * ni >= tau_num * ns:
+                    out_a.append(rows[x][0])
+                    out_b.append(rows[y][0])
+                    out_ni.append(ni)
+                    out_ns.append(ns)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                             "ni": out_ni, "ns": out_ns})
+
+    pairs = (prefixed.groupby("bucket")
+             .map_groups(bucket_pairs_exact, batch_format="pandas")
+             .map_batches(lambda b: b, batch_format="pyarrow"))
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.head(1).copy()
+        jac = r["ni"].astype("float64") / (r["ns"] - r["ni"])
+        r["jaccard"] = np.floor(jac * 1e6 + 0.5) / 1e6
+        return r[["id_a", "id_b", "jaccard"]]
+
+    out = (pairs.groupby(["id_a", "id_b"])
+           .map_groups(finalize, batch_format="pandas")
+           .map_batches(lambda b: b, batch_format="pyarrow"))
+    pdf = out.to_pandas()
+    pdf["id_a"] = pdf["id_a"].astype("int64")
+    pdf["id_b"] = pdf["id_b"].astype("int64")
+    return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
