@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from . import oracles
-from .pipelines import kg, rag, relational, tpch_ext
+from .pipelines import entity_res, kg, rag, relational, tpch_ext
 from .stages import dedup, multimodal, similarity, textstats
 from .stages.enrich import enrich_batch
 
@@ -1186,6 +1186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_setjoin": q_dedup_setjoin,
         "quality_lr": q_quality_lr,
         "rag_retrieve": rag.rag_retrieve,
+        "entity_resolution": entity_res.entity_resolution,
         "dedup_substring": q_dedup_substring,
         "semdedup": q_semdedup,
         "dedup_embedding": q_dedup_embedding,
@@ -1350,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_setjoin": oracles.set_similarity_join_sql(5, 1, 2),
         "quality_lr": oracles.quality_logreg_sql("en", 0.5, 4),
         "rag_retrieve": oracles.rag_retrieve_sql(32, 24, 8, 5, 97),
+        "entity_resolution": oracles.entity_resolution_sql("p_name", "part"),
         "dedup_substring": oracles.substring_dedup_sql(SUBSTR_WINDOW),
         "semdedup": oracles.semdedup_sql(8, 3, EMB_DEDUP_THRESHOLD),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),
