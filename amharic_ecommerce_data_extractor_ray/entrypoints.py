@@ -822,6 +822,26 @@ def q_dedup_simhash(sf_dir: str):
     return dedup.simhash_dedup(docs)
 
 
+def q_kmv_set_ops(sf_dir: str):
+    import ray.data as rd
+
+    from .stages.sketch import kmv_set_ops
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+    return kmv_set_ops(ev)
+
+
+def q_bpe_train(sf_dir: str):
+    import ray.data as rd
+
+    from .stages.seqprep import bpe_train
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return bpe_train(docs)
+
+
 def q_quality_lr(sf_dir: str):
     import ray.data as rd
 
@@ -1187,6 +1207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_lr": q_quality_lr,
         "rag_retrieve": rag.rag_retrieve,
         "entity_resolution": entity_res.entity_resolution,
+        "bpe_train": q_bpe_train,
+        "kmv_set_ops": q_kmv_set_ops,
         "dedup_substring": q_dedup_substring,
         "semdedup": q_semdedup,
         "dedup_embedding": q_dedup_embedding,
@@ -1352,6 +1374,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_lr": oracles.quality_logreg_sql("en", 0.5, 4),
         "rag_retrieve": oracles.rag_retrieve_sql(32, 24, 8, 5, 97),
         "entity_resolution": oracles.entity_resolution_sql("p_name", "part"),
+        "bpe_train": oracles.bpe_train_sql(5),
+        "kmv_set_ops": oracles.kmv_set_ops_sql("click", "purchase", 64),
         "dedup_substring": oracles.substring_dedup_sql(SUBSTR_WINDOW),
         "semdedup": oracles.semdedup_sql(8, 3, EMB_DEDUP_THRESHOLD),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),

@@ -23,6 +23,7 @@ suite (token_topk, tfidf_topk) standardizes on.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -379,3 +380,108 @@ def bpe_pair_stats(docs_ds, *, text_col: str = "text", top_n: int = 50):
               .to_pandas())
     return (merged.sort_values(["n", "pair"], ascending=[False, True])
             .head(top_n).reset_index(drop=True))
+
+
+_BPE_SEP = "\x1f"
+
+
+def _adjacent_pair_partials(b: pa.Table) -> pa.Table:
+    """Per-batch (lhs, rhs, score) partials: every adjacent symbol pair of
+    every vocab word, weighted by word frequency — vectorized (one
+    split_pattern + offsets gather, Arrow group_by combiner)."""
+    lists = pc.split_pattern(b["sym"], pattern=_BPE_SEP)
+    lists = lists.combine_chunks() if isinstance(
+        lists, pa.ChunkedArray) else lists
+    flat = lists.flatten()
+    n = np.diff(np.asarray(lists.offsets, dtype=np.int64))
+    freq = b["freq"].to_numpy(zero_copy_only=False).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(n)])[:-1]
+    npairs = np.maximum(n - 1, 0)
+    total = int(npairs.sum())
+    if total == 0:
+        return pa.table({"lhs": pa.array([], pa.string()),
+                         "rhs": pa.array([], pa.string()),
+                         "score": pa.array([], pa.int64())})
+    widx = np.repeat(np.arange(len(n), dtype=np.int64), npairs)
+    poff = np.concatenate([[0], np.cumsum(npairs)])[:-1]
+    left = np.arange(total, dtype=np.int64) - poff[widx] + starts[widx]
+    t = pa.table({
+        "lhs": pc.take(flat, pa.array(left, pa.int64())),
+        "rhs": pc.take(flat, pa.array(left + 1, pa.int64())),
+        "score": pa.array(freq[widx], pa.int64()),
+    })
+    return (t.group_by(["lhs", "rhs"]).aggregate([("score", "sum")])
+            .rename_columns(["lhs", "rhs", "score"]))
+
+
+def bpe_train(docs_ds, *, text_col: str = "text", n_merges: int = 5):
+    """FULL iterative BPE tokenizer training (Sennrich et al. 2016) — the
+    loop bpe_pair_stats is iteration 0 of: repeat ``n_merges`` times
+    {count adjacent symbol pairs over the word vocabulary, weighted by
+    word frequency → merge the argmax pair (score desc, lhs asc, rhs asc)
+    everywhere, left-to-right non-overlapping}.
+
+    Scale shape: the corpus is scanned ONCE to build the word-frequency
+    vocabulary (per-batch group_by combiner → one groupby); every merge
+    iteration then runs on the VOCABULARY table only — pair partials are
+    vectorized Arrow kernels, the argmax is a native max + equality filter
+    (only tied rows reach the driver), and the merge-apply is one
+    vectorized ``replace_substring`` pass.  Scores are integer word
+    frequencies: exact under any merge order.
+
+    Returns (rank, lhs, rhs, merged, score) — the learned merge list.
+    """
+    from ray.data.aggregate import Sum
+
+    def word_partials(b: pa.Table) -> pa.Table:
+        flat, _ = _ws_tokens(b[text_col])
+        t = pa.table({"word": flat,
+                      "freq": pa.array(np.ones(len(flat), np.int64))})
+        return (t.group_by("word").aggregate([("freq", "sum")])
+                .rename_columns(["word", "freq"]))
+
+    def to_sym(b: pa.Table) -> pa.Table:
+        words = b["word"].to_pylist()
+        return pa.table({
+            "word": b["word"], "freq": b["freq"],
+            "sym": pa.array([_BPE_SEP.join(w) for w in words], pa.string()),
+        })
+
+    vocab = (docs_ds.map_batches(word_partials, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("freq", alias_name="freq"))
+             .map_batches(to_sym, batch_format="pyarrow")
+             .materialize())
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pair_ds = (vocab.map_batches(_adjacent_pair_partials,
+                                     batch_format="pyarrow")
+                   .groupby(["lhs", "rhs"])
+                   .aggregate(Sum("score", alias_name="score")))
+        best_score = pair_ds.max("score")
+        tied = (pair_ds.filter(expr=f"score == {int(best_score)}")
+                .to_pandas().sort_values(["lhs", "rhs"]))
+        lhs, rhs = str(tied["lhs"].iloc[0]), str(tied["rhs"].iloc[0])
+        merges.append({"rank": rank, "lhs": lhs, "rhs": rhs,
+                       "merged": lhs + rhs, "score": int(best_score)})
+
+        pat = _BPE_SEP + lhs + _BPE_SEP + rhs + _BPE_SEP
+        rep = _BPE_SEP + lhs + rhs + _BPE_SEP
+
+        def apply_merge(b: pa.Table, _pat=pat, _rep=rep) -> pa.Table:
+            wrapped = pc.binary_join_element_wise(
+                pa.scalar(_BPE_SEP), b["sym"], pa.scalar(_BPE_SEP), "")
+            replaced = pc.replace_substring(wrapped, pattern=_pat,
+                                            replacement=_rep)
+            return pa.table({
+                "word": b["word"], "freq": b["freq"],
+                "sym": pc.utf8_trim(replaced, characters=_BPE_SEP),
+            })
+
+        vocab = vocab.map_batches(apply_merge,
+                                  batch_format="pyarrow").materialize()
+
+    out = pd.DataFrame(merges)
+    out["rank"] = out["rank"].astype("int64")
+    out["score"] = out["score"].astype("int64")
+    return out

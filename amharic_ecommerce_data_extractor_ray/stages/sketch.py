@@ -676,3 +676,86 @@ def countmin_topk(docs_ds, *, text_col: str = "text", k: int = 100,
     return (vocab.map_batches(estimate, batch_format="pyarrow")
             .sort(["n_est", "token"], descending=[True, False])
             .limit(k))
+
+
+def kmv_set_ops(ds, *, group_col: str = "event_type", col: str = "user_id",
+                type_a: str = "click", type_b: str = "purchase",
+                k: int = 64):
+    """Sketch-algebra SET OPERATIONS between two key sets: Jaccard,
+    union-size and intersection-size estimates from two KMV sketches
+    (Beyer et al. 2007) — the scale path for "how many users did BOTH"
+    questions where the raw sets fit nowhere but two k-u64 sketches always
+    do.
+
+    Math: U = the k smallest of sketch_A ∪ sketch_B; every h ∈ U satisfies
+    h ≤ min(max(sketch_A), max(sketch_B)), so membership of h in either
+    ORIGINAL set is decidable from its sketch alone; ρ = |U ∩ A ∩ B| / |U|
+    estimates Jaccard, union comes from the kth smallest hash, and
+    intersection = ρ × union.  All comparisons are exact u64 integers —
+    the DuckDB oracle rebuilds every hash and reproduces the estimates
+    bit-for-bit.
+
+    Shape: one filtered scan → per-block per-group KMV partials → the
+    grouped mergeable AggregateFn fold (one sketch row per type reaches
+    the driver)."""
+    from ray.data.aggregate import AggregateFn
+
+    def _merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        if not len(a):
+            return b
+        if not len(b):
+            return a
+        return np.unique(np.concatenate([a, b]))[:k]
+
+    def _accumulate(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        for row in block["kmv"].to_pylist():
+            acc = _merge(acc, np.asarray(row, dtype=np.uint64))
+        return acc
+
+    agg = AggregateFn(
+        init=lambda _: np.empty(0, dtype=np.uint64),
+        merge=_merge,
+        accumulate_block=_accumulate,
+        finalize=lambda acc: ",".join(str(int(x)) for x in acc),
+        name="kmv",
+    )
+
+    def keep_types(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b[group_col],
+                        value_set=pa.array([type_a, type_b]))
+        return b.filter(mask)
+
+    parts = (ds.select_columns([group_col, col])
+             .map_batches(keep_types, batch_format="pyarrow")
+             .map_batches(lambda b: grouped_kmv_partials_batch(
+                 b, group_col=group_col, col=col, k=k),
+                 batch_format="pyarrow"))
+    merged = parts.groupby(group_col).aggregate(agg).to_pandas()
+    sk = {r[group_col]: np.asarray(
+        [int(t) for t in r["kmv"].split(",")] if r["kmv"] else [],
+        dtype=np.uint64) for _, r in merged.iterrows()}
+    a = sk.get(type_a, np.empty(0, np.uint64))
+    b = sk.get(type_b, np.empty(0, np.uint64))
+    u = np.unique(np.concatenate([a, b]))[:k] if len(a) + len(b) else \
+        np.empty(0, np.uint64)
+    nu_full = len(np.unique(np.concatenate([a, b]))) if len(a) + len(b) \
+        else 0
+    if nu_full < k:
+        union_est = float(nu_full)
+    else:
+        union_est = (k - 1) / (float(u[k - 1]) / 2.0 ** 64)
+    den = len(u)
+    both = int(np.sum(np.isin(u, a) & np.isin(u, b))) if den else 0
+    jac = both / den if den else 0.0
+
+    def r(x, nd):
+        return float(np.floor(x * 10.0 ** nd + 0.5) / 10.0 ** nd)
+
+    import pandas as pd
+    return pd.DataFrame({
+        "type_a": [type_a], "type_b": [type_b],
+        "k": [np.int64(k)],
+        "jaccard_est": [r(jac, 6)],
+        "union_est": [r(union_est, 1)],
+        "inter_est": [r(jac * union_est, 1)],
+    })
