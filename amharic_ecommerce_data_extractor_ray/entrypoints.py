@@ -903,6 +903,23 @@ def q_similarity_topk(sf_dir: str):
     return similarity.brute_force_topk(emb, SIM_QUERY_IDS, k=SIM_K)
 
 
+def q_hard_negatives(sf_dir: str):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.hard_negatives(emb, SIM_QUERY_IDS, k=SIM_K)
+
+
+def q_source_mixture(sf_dir: str):
+    import ray.data as rd
+
+    from .stages.corpus_stats import source_mixture_weights
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    return source_mixture_weights(docs)
+
+
 def q_similarity_ivf(sf_dir: str):
     import ray.data as rd
 
@@ -1209,6 +1226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_resolution": entity_res.entity_resolution,
         "bpe_train": q_bpe_train,
         "kmv_set_ops": q_kmv_set_ops,
+        "hard_negatives": q_hard_negatives,
+        "source_mixture": q_source_mixture,
         "dedup_substring": q_dedup_substring,
         "semdedup": q_semdedup,
         "dedup_embedding": q_dedup_embedding,
@@ -1376,6 +1395,8 @@ def oracle_sql() -> dict[str, str]:
         "entity_resolution": oracles.entity_resolution_sql("p_name", "part"),
         "bpe_train": oracles.bpe_train_sql(5),
         "kmv_set_ops": oracles.kmv_set_ops_sql("click", "purchase", 64),
+        "hard_negatives": oracles.hard_negatives_sql(SIM_QUERY_IDS, SIM_K),
+        "source_mixture": oracles.source_mixture_weights_sql(),
         "dedup_substring": oracles.substring_dedup_sql(SUBSTR_WINDOW),
         "semdedup": oracles.semdedup_sql(8, 3, EMB_DEDUP_THRESHOLD),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),

@@ -10,6 +10,7 @@ group is one user's (small) event stream.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -603,3 +604,49 @@ def bigram_lm(docs_ds, *, text_col: str = "text", k_smooth: float = 1.0,
     top["prob"] = np.floor(p * 1e6 + 0.5) / 1e6
     top["n"] = top["n"].astype("int64")
     return top.reset_index(drop=True)
+
+
+def source_mixture_weights(docs_ds, *, source_col: str = "source",
+                           text_col: str = "text"):
+    """Domain-mixture reweighting (DoReMi-lite static variant): per-source
+    token/document counts and the sampling weight that equalizes the token
+    budget across sources (weight_s = uniform_share / actual_share).  The
+    table a mixture-aware sampler multiplies into per-doc sampling
+    probabilities when composing a training set from skewed sources.
+
+    Shape: one scan, per-batch (source → Σtokens, Σdocs) Arrow group_by
+    combiner, one vocabulary-sized groupby; integer counts so shares and
+    weights are bit-deterministic."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        from ..stages.seqprep import _ws_tokens
+        _, n = _ws_tokens(b[text_col])
+        t = pa.table({
+            source_col: b[source_col],
+            "n_tokens": pa.array(n, pa.int64()),
+            "n_docs": pa.array(np.ones(len(n), np.int64)),
+        })
+        return (t.group_by(source_col)
+                .aggregate([("n_tokens", "sum"), ("n_docs", "sum")])
+                .rename_columns([source_col, "n_tokens", "n_docs"]))
+
+    agg = (docs_ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(source_col)
+           .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                      Sum("n_docs", alias_name="n_docs"))
+           .to_pandas())
+    total = float(agg["n_tokens"].sum())
+    n_sources = len(agg)
+    share = agg["n_tokens"].astype("float64") / total
+    weight = (1.0 / n_sources) / share
+
+    def r6(x):
+        return np.floor(np.asarray(x, np.float64) * 1e6 + 0.5) / 1e6
+
+    out = agg[[source_col]].copy()
+    out["n_docs"] = agg["n_docs"].astype("int64")
+    out["n_tokens"] = agg["n_tokens"].astype("int64")
+    out["token_share"] = r6(share)
+    out["weight"] = r6(weight)
+    return out.sort_values(source_col).reset_index(drop=True)

@@ -805,3 +805,77 @@ def pq_adc_topk(emb_ds, query_ids: list[int], k: int = 10, *,
            .groupby("query_id", sort=True).head(k).reset_index(drop=True))
     out["adc_dist"] = out["adc_dist"].round(round_to)
     return out
+
+
+def hard_negatives(emb_ds, query_ids: list[int], k: int = 5, *,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label"):
+    """Contrastive HARD-NEGATIVE mining: for each query vector, the top-k
+    most-cosine-similar vectors with a DIFFERENT label — the training-pair
+    generator for contrastive/metric learning (the "hardest" negatives are
+    the near-misses, not random draws).
+
+    Same scale shape as brute_force_topk (broadcast unit-normalized query
+    matrix via ray.put, per-batch partial top-k, O(q·k·blocks) driver
+    merge) with the label-exclusion mask applied INSIDE the batch kernel —
+    the filter never materializes a filtered copy of the corpus per query.
+    Ranking uses the 6-dp-rounded cosine (ties then id asc) so float noise
+    cannot flip ranks vs the oracle."""
+    qset = set(query_ids)
+
+    def pick_queries(b: pa.Table) -> pa.Table:
+        mask = [i in qset for i in b[id_col].to_pylist()]
+        return b.filter(pa.array(mask))
+
+    qtab = (emb_ds.map_batches(pick_queries, batch_format="pyarrow")
+            .to_pandas().sort_values(id_col))
+    qmat = _to_matrix(qtab[vec_col])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qunit = qmat / qnorm[:, None]
+    qids = qtab[id_col].to_numpy().astype(np.int64)
+    qlabels = qtab[label_col].to_numpy()
+    ref = ray.put((qids, qunit, qlabels))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        q_ids, q_unit, q_labels = ray.get(ref)
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        labels = np.asarray(b[label_col].to_pylist())
+        mat = _to_matrix(b[vec_col].to_pylist())
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (mat / norms[:, None]) @ q_unit.T
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6
+        out_q, out_n, out_l, out_c = [], [], [], []
+        for qi in range(len(q_ids)):
+            keep = labels != q_labels[qi]
+            if not keep.any():
+                continue
+            cids, ccos, clab = ids[keep], cos[keep, qi], labels[keep]
+            order = np.lexsort((cids, -ccos))[:min(k, len(cids))]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_n.extend(cids[order].tolist())
+            out_l.extend(clab[order].tolist())
+            out_c.extend(ccos[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "negative_id": pa.array(out_n, pa.int64()),
+            "neg_label": pa.array([x.item() if hasattr(x, "item") else x
+                                   for x in out_l]),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    partials = (emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+                .to_pandas())
+
+    def final(g):
+        g = g.sort_values(["cosine", "negative_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    import pandas as pd
+    out = (partials.groupby("query_id", group_keys=False).apply(final)
+           .reset_index(drop=True))
+    return (out[["query_id", "rank", "negative_id", "neg_label", "cosine"]]
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
