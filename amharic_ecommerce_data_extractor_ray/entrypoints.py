@@ -479,6 +479,28 @@ def q_contamination(sf_dir: str):
                                flag_threshold=CONTAM_FLAG)
 
 
+def q_decontaminate(sf_dir: str):
+    """Decontamination APPLY: drop benchmark-quarantined docs (the
+    contamination scan's flagged set) from the corpus via the distributed
+    ANTI join — the curation step the scan exists to feed.  Output: the
+    surviving corpus keyed + summarized (id, lang, source)."""
+    import ray.data as rd
+
+    from .stages.joins import hash_anti_join
+
+    scan = q_contamination(sf_dir)
+
+    def flagged(b: pa.Table) -> pa.Table:
+        b = b.filter(b["contaminated"])
+        return b.select(["doc_id"])
+
+    bad = scan.map_batches(flagged, batch_format="pyarrow")
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang", "source"])
+    out = hash_anti_join(docs, bad, on="doc_id").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 CAPPED_SAMPLE_K = 7
 
 
@@ -1228,6 +1250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_set_ops": q_kmv_set_ops,
         "hard_negatives": q_hard_negatives,
         "source_mixture": q_source_mixture,
+        "decontaminate": q_decontaminate,
+        "rel_winsorized": relational.winsorized_means,
         "dedup_substring": q_dedup_substring,
         "semdedup": q_semdedup,
         "dedup_embedding": q_dedup_embedding,
@@ -1397,6 +1421,9 @@ def oracle_sql() -> dict[str, str]:
         "kmv_set_ops": oracles.kmv_set_ops_sql("click", "purchase", 64),
         "hard_negatives": oracles.hard_negatives_sql(SIM_QUERY_IDS, SIM_K),
         "source_mixture": oracles.source_mixture_weights_sql(),
+        "decontaminate": oracles.decontaminate_sql(
+            n=CONTAM_N, bench_mod=CONTAM_MOD, flag_threshold=CONTAM_FLAG),
+        "rel_winsorized": oracles.winsorized_means_sql(0.1, 0.9),
         "dedup_substring": oracles.substring_dedup_sql(SUBSTR_WINDOW),
         "semdedup": oracles.semdedup_sql(8, 3, EMB_DEDUP_THRESHOLD),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),

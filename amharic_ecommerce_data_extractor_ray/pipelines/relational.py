@@ -2580,3 +2580,37 @@ def idle_rich_customers(sf_dir: str, *, cutoff: str = "2000-06-01"):
            .to_pandas())
     out["totacctbal"] = out["totacctbal"].round(2)
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def winsorized_means(sf_dir: str, *, lo_q: float = 0.1, hi_q: float = 0.9):
+    """Outlier-robust grouped means: per l_returnflag, the P10/P90-clipped
+    (winsorized) and P10/P90-filtered (trimmed) means of l_quantity —
+    robust-statistics companions to robust_means (geometric/harmonic).
+
+    groupby co-locates each flag's values (the exact-quantile partitioning
+    assumption of value_quantiles: one group's values fit a worker; at
+    scale the histogram-sketch path approximates the cut points instead);
+    quantiles are numpy linear interpolation == DuckDB quantile_cont."""
+    import numpy as np
+
+    ds = _lineitem(sf_dir, ["l_returnflag", "l_quantity"])
+
+    def per_flag(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g["l_quantity"].to_numpy(np.float64)
+        lo = float(np.quantile(vals, lo_q))
+        hi = float(np.quantile(vals, hi_q))
+        clipped = np.clip(vals, lo, hi)
+        kept = vals[(vals >= lo) & (vals <= hi)]
+        return pd.DataFrame([{
+            "l_returnflag": g["l_returnflag"].iloc[0],
+            "n": np.int64(len(vals)),
+            "p_lo": round(lo, 6), "p_hi": round(hi, 6),
+            "winsorized_mean": round(float(clipped.mean()), 6),
+            "trimmed_mean": round(float(kept.mean()), 6),
+        }])
+
+    out = (ds.groupby("l_returnflag")
+           .map_groups(per_flag, batch_format="pandas")
+           .to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)
