@@ -62,22 +62,33 @@ def rag_retrieve(sf_dir: str, *, window: int = 32, stride: int = 24,
     per (query_doc, rank): the retrieved chunk key and its cosine."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    chunks = docs.map_batches(
-        lambda b: chunk_batch(b, text_col="text", id_col="doc_id",
-                              window=window, stride=stride),
-        batch_format="pyarrow")
-    embs = chunks.map_batches(_ChunkEmbedStage, batch_size=512,
+
+    def to_chunks(b: pa.Table) -> pa.Table:
+        return chunk_batch(b, text_col="text", id_col="doc_id",
+                           window=window, stride=stride)
+
+    def embed(ds):
+        return ds.map_batches(_ChunkEmbedStage, batch_size=512,
                               concurrency=2,
                               fn_constructor_kwargs={"dim": dim},
-                              batch_format="pyarrow").materialize()
+                              batch_format="pyarrow")
 
-    def pick_queries(b: pa.Table) -> pa.Table:
+    # the query side is computed on its own TINY pruned path (1/query_mod
+    # of the corpus, first chunk only) — the corpus chunk embeddings are
+    # NEVER materialized: they stream once through the scoring pass below
+    def pick_query_docs(b: pa.Table) -> pa.Table:
         dids = np.asarray(b["doc_id"].to_pylist(), dtype=np.int64)
-        cids = np.asarray(b["chunk_id"].to_pylist(), dtype=np.int64)
-        return b.filter(pa.array((dids % query_mod == 0) & (cids == 0)))
+        return b.filter(pa.array(dids % query_mod == 0))
 
-    qtab = (embs.map_batches(pick_queries, batch_format="pyarrow")
+    def first_chunk(b: pa.Table) -> pa.Table:
+        cids = np.asarray(b["chunk_id"].to_pylist(), dtype=np.int64)
+        return b.filter(pa.array(cids == 0))
+
+    qtab = (embed(docs.map_batches(pick_query_docs, batch_format="pyarrow")
+                  .map_batches(to_chunks, batch_format="pyarrow")
+                  .map_batches(first_chunk, batch_format="pyarrow"))
             .to_pandas().sort_values("doc_id"))
+    embs = embed(docs.map_batches(to_chunks, batch_format="pyarrow"))
     qmat = np.stack(qtab["emb"].to_numpy())
     qnorm = np.linalg.norm(qmat, axis=1)
     qnorm[qnorm == 0] = 1.0

@@ -405,11 +405,16 @@ def part_supplier_counts(sf_dir: str, *, exclude_brand: str = "Brand#1",
     def distinct_partial(b: pa.Table) -> pa.Table:
         return b.group_by(["l_partkey", "l_suppkey"]).aggregate([])
 
+    # distinct pairs via a NATIVE aggregate (one Count per pair, dropped
+    # after) — not map_groups(head(1)), which would invoke a Python fn per
+    # distinct pair (corpus-scale pair counts → corpus-scale Python calls)
+    from ray.data.aggregate import Count
+
     pairs = (li.map_batches(distinct_partial, batch_format="pyarrow")
              .groupby(["l_partkey", "l_suppkey"])
-             .map_groups(lambda g: g.head(1), batch_format="pandas")
-             # pin blocks to Arrow (empty pandas blocks break later stages)
-             .map_batches(lambda b: b, batch_format="pyarrow"))
+             .aggregate(Count(alias_name="_c"))
+             .map_batches(lambda b: b.select(["l_partkey", "l_suppkey"]),
+                          batch_format="pyarrow"))
 
     bad = (rd.read_parquet(f"{sf_dir}/supplier.parquet",
                            columns=["s_suppkey", "s_acctbal"])

@@ -871,6 +871,14 @@ def set_similarity_join(docs_ds, *, text_col: str = "text",
     construction) with a ``max_bucket_rows`` raise mirroring
     ngram_jaccard_pairs' guard; each qualifying pair is found once per
     shared prefix shingle and deduplicated by a final (id_a, id_b) groupby.
+
+    Known per-group overhead: the prefix stage is a ``groupby(doc)``
+    ``map_groups`` — one small Python call per DOCUMENT (not per pair);
+    at 10⁹ docs that is ~50 µs × 10⁹ ≈ 1.4×10⁴ CPU-s spread across the
+    cluster (seconds of wall time at 256 nodes), dominated by the df
+    shuffle itself.  A sort-based variant (global sort by (doc, df,
+    shingle) + vectorized per-batch prefix take) removes the per-doc call
+    if profiling ever shows it hot.
     """
     from ray.data.aggregate import Count
 
