@@ -958,6 +958,10 @@ def set_similarity_join(docs_ds, *, text_col: str = "text",
            .map_groups(finalize, batch_format="pandas")
            .map_batches(lambda b: b, batch_format="pyarrow"))
     pdf = out.to_pandas()
+    if pdf.empty:   # no qualifying pairs: empty frames lose their schema
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
     pdf["id_a"] = pdf["id_a"].astype("int64")
     pdf["id_b"] = pdf["id_b"].astype("int64")
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -868,13 +868,21 @@ def hard_negatives(emb_ds, query_ids: list[int], k: int = 5, *,
     partials = (emb_ds.map_batches(partial_topk, batch_format="pyarrow")
                 .to_pandas())
 
+    import pandas as pd
+    if partials.empty:  # every candidate shares the query labels
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype="int64"),
+            "rank": pd.Series([], dtype="int64"),
+            "negative_id": pd.Series([], dtype="int64"),
+            "neg_label": pd.Series([], dtype="object"),
+            "cosine": pd.Series([], dtype="float64")})
+
     def final(g):
         g = g.sort_values(["cosine", "negative_id"],
                           ascending=[False, True]).head(k).copy()
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    import pandas as pd
     out = (partials.groupby("query_id", group_keys=False).apply(final)
            .reset_index(drop=True))
     return (out[["query_id", "rank", "negative_id", "neg_label", "cosine"]]
