@@ -904,64 +904,105 @@ def set_similarity_join(docs_ds, *, text_col: str = "text",
     with_df = hash_lookup_join(exploded, df_tbl, on="shingle",
                                num_partitions=num_partitions)
 
+    # --- candidate phase: prefix rows carry ONLY (bucket, doc) ----------
+    # Carrying each doc's full set into every prefix bucket (the naive
+    # PPJoin layout) amplifies the shuffle by ×|prefix| (measured ~10 GB at
+    # sf0.1) — candidates here are id pairs only; sets join back ONCE in
+    # the verify phase below.
     def prefix_rows(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["df", "shingle"]).reset_index(drop=True)
         L = len(g)
         req = -(-tau_num * L // tau_den)        # ceil(tau * L), exact
         p = L - req + 1
-        full = _SEP.join(g["shingle"].tolist())
         return pd.DataFrame({
             "bucket": g["shingle"].iloc[:p].tolist(),
             "doc": [int(g[id_col].iloc[0])] * p,
-            "set_str": [full] * p,
         })
 
     prefixed = (with_df.groupby(id_col)
                 .map_groups(prefix_rows, batch_format="pandas")
                 .map_batches(lambda b: b, batch_format="pyarrow"))
 
-    def bucket_pairs_exact(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_candidates(g: pd.DataFrame) -> pd.DataFrame:
         m = len(g)
         if m > max_bucket_rows:
             raise ValueError(
                 f"set_similarity_join: prefix bucket {g['bucket'].iloc[0]!r} "
                 f"has {m} rows (> max_bucket_rows={max_bucket_rows}); "
                 "raise n / tau or pre-dedup exact duplicates first")
-        rows = sorted(zip(g["doc"].tolist(), g["set_str"].tolist()))
-        sets = [frozenset(s.split(_SEP)) for _, s in rows]
-        out_a, out_b, out_ni, out_ns = [], [], [], []
-        for x in range(m):
-            for y in range(x + 1, m):
-                if rows[x][0] == rows[y][0]:
-                    continue
-                ni = len(sets[x] & sets[y])
-                ns = len(sets[x]) + len(sets[y])
-                if (tau_den + tau_num) * ni >= tau_num * ns:
-                    out_a.append(rows[x][0])
-                    out_b.append(rows[y][0])
-                    out_ni.append(ni)
-                    out_ns.append(ns)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b,
-                             "ni": out_ni, "ns": out_ns})
+        ids = np.sort(np.unique(g["doc"].to_numpy(np.int64)))
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    pairs = (prefixed.groupby("bucket")
-             .map_groups(bucket_pairs_exact, batch_format="pandas")
-             .map_batches(lambda b: b, batch_format="pyarrow"))
+    cands = (prefixed.groupby("bucket")
+             .map_groups(bucket_candidates, batch_format="pandas")
+             .map_batches(lambda b: b, batch_format="pyarrow")
+             # a pair found via several shared prefix shingles dedupes
+             # through a native aggregate (no per-pair Python)
+             .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_c"))
+             .map_batches(lambda b: b.select(["id_a", "id_b"]),
+                          batch_format="pyarrow")
+             # candidate list is pair-scale (tiny): materialize so the
+             # empty case short-circuits and the verify joins don't
+             # recompute the whole candidate phase per side
+             .materialize())
+    _empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                           "id_b": pd.Series([], dtype="int64"),
+                           "jaccard": pd.Series([], dtype="float64")})
+    if cands.count() == 0:
+        return _empty
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.head(1).copy()
-        jac = r["ni"].astype("float64") / (r["ns"] - r["ni"])
-        r["jaccard"] = np.floor(jac * 1e6 + 0.5) / 1e6
-        return r[["id_a", "id_b", "jaccard"]]
+    # --- verify phase: join each side's full set ONCE ------------------
+    def doc_sets(b: pa.Table) -> pa.Table:
+        t = shingles(b)
+        g = t.group_by(id_col).aggregate([("shingle", "list")])
+        return pa.table({
+            "doc": pc.cast(g[id_col], pa.int64()),
+            "set_str": pc.binary_join(g["shingle_list"], _SEP),
+        })
 
-    out = (pairs.groupby(["id_a", "id_b"])
-           .map_groups(finalize, batch_format="pandas")
-           .map_batches(lambda b: b, batch_format="pyarrow"))
-    pdf = out.to_pandas()
-    if pdf.empty:   # no qualifying pairs: empty frames lose their schema
-        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                             "id_b": pd.Series([], dtype="int64"),
-                             "jaccard": pd.Series([], dtype="float64")})
+    sets_ds = docs_ds.map_batches(doc_sets, batch_format="pyarrow")
+
+    def tag(b: pa.Table, names) -> pa.Table:
+        return b.rename_columns(names)
+
+    j1 = hash_lookup_join(
+        cands.map_batches(lambda b: tag(b, ["id_a", "id_b"]),
+                          batch_format="pyarrow")
+        .map_batches(lambda b: b.rename_columns(["doc", "id_b"]),
+                     batch_format="pyarrow"),
+        sets_ds.map_batches(lambda b: tag(b, ["doc", "set_a"]),
+                            batch_format="pyarrow"),
+        on="doc", num_partitions=num_partitions)
+    j2 = hash_lookup_join(
+        j1.map_batches(lambda b: b.rename_columns(["id_a", "doc", "set_a"]),
+                       batch_format="pyarrow"),
+        sets_ds.map_batches(lambda b: tag(b, ["doc", "set_b"]),
+                            batch_format="pyarrow"),
+        on="doc", num_partitions=num_partitions)
+
+    def verify(b: pa.Table) -> pa.Table:
+        ia = b["id_a"].to_pylist()
+        ib = b["doc"].to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for a_id, b_id, sa, sb in zip(ia, ib, b["set_a"].to_pylist(),
+                                      b["set_b"].to_pylist()):
+            A = frozenset(sa.split(_SEP))
+            B = frozenset(sb.split(_SEP))
+            ni = len(A & B)
+            ns = len(A) + len(B)
+            if (tau_den + tau_num) * ni >= tau_num * ns:
+                out_a.append(a_id)
+                out_b.append(b_id)
+                out_j.append(float(np.floor(ni / (ns - ni) * 1e6 + 0.5)
+                                   / 1e6))
+        return pa.table({"id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "jaccard": pa.array(out_j, pa.float64())})
+
+    pdf = j2.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if pdf.empty:   # candidates existed but none verified
+        return _empty
     pdf["id_a"] = pdf["id_a"].astype("int64")
     pdf["id_b"] = pdf["id_b"].astype("int64")
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
