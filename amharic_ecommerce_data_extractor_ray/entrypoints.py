@@ -1236,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top_supplier": tpch_ext.top_supplier,
         "rel_supplier_cnt": tpch_ext.part_supplier_counts,
         "rel_disjunctive": tpch_ext.disjunctive_revenue,
+        "rel_heavy_suppliers": tpch_ext.heavy_suppliers,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
@@ -1252,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture": q_source_mixture,
         "decontaminate": q_decontaminate,
         "rel_winsorized": relational.winsorized_means,
+        "rel_mad": relational.grouped_mad,
         "dedup_substring": q_dedup_substring,
         "semdedup": q_semdedup,
         "dedup_embedding": q_dedup_embedding,
@@ -1412,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_supplier_cnt": oracles.part_supplier_counts_sql("Brand#1",
                                                              1500.0),
         "rel_disjunctive": oracles.disjunctive_revenue_sql(),
+        "rel_heavy_suppliers": oracles.heavy_suppliers_sql("widget", 0.2),
         "dedup_ngram": oracles.ngram_jaccard_sql(),
         "dedup_setjoin": oracles.set_similarity_join_sql(5, 1, 2),
         "quality_lr": oracles.quality_logreg_sql("en", 0.5, 4),
@@ -1424,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracles.decontaminate_sql(
             n=CONTAM_N, bench_mod=CONTAM_MOD, flag_threshold=CONTAM_FLAG),
         "rel_winsorized": oracles.winsorized_means_sql(0.1, 0.9),
+        "rel_mad": oracles.grouped_mad_sql(),
         "dedup_substring": oracles.substring_dedup_sql(SUBSTR_WINDOW),
         "semdedup": oracles.semdedup_sql(8, 3, EMB_DEDUP_THRESHOLD),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),

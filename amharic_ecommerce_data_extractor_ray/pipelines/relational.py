@@ -2614,3 +2614,31 @@ def winsorized_means(sf_dir: str, *, lo_q: float = 0.1, hi_q: float = 0.9):
            .to_pandas())
     out["n"] = out["n"].astype("int64")
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def grouped_mad(sf_dir: str):
+    """Median absolute deviation per group — the robust dispersion
+    companion to grouped_moments' std: per l_returnflag,
+    median(|l_quantity − median(l_quantity)|).  Same groupby co-location
+    assumption as value_quantiles (one group's values fit a worker;
+    histogram sketches are the approximate scale path); numpy median ==
+    DuckDB median/quantile_cont(0.5)."""
+    import numpy as np
+
+    ds = _lineitem(sf_dir, ["l_returnflag", "l_quantity"])
+
+    def per_flag(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g["l_quantity"].to_numpy(np.float64)
+        med = float(np.median(vals))
+        mad = float(np.median(np.abs(vals - med)))
+        return pd.DataFrame([{
+            "l_returnflag": g["l_returnflag"].iloc[0],
+            "n": np.int64(len(vals)),
+            "median_qty": round(med, 6),
+            "mad_qty": round(mad, 6),
+        }])
+
+    out = (ds.groupby("l_returnflag")
+           .map_groups(per_flag, batch_format="pandas").to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("l_returnflag").reset_index(drop=True)

@@ -492,3 +492,93 @@ def disjunctive_revenue(sf_dir: str):
 
     total = li.map_batches(rev, batch_format="pyarrow").sum("revenue")
     return pd.DataFrame({"revenue": [round(total, 4)]})
+
+
+def heavy_suppliers(sf_dir: str, *, name_token: str = "widget",
+                    frac: float = 0.2, num_partitions: int | None = None):
+    """TPC-H Q20 shape (nested aggregate → semi-join chain): suppliers whose
+    shipped quantity of ``name_token`` parts exceeds ``frac`` × that part's
+    TOTAL shipped quantity, reported with their nation.
+
+    Pipeline: part broadcast filter → (supp, part) quantity combiner
+    groupby → per-part total via a second groupby joined back reduce-side
+    → integer-exact threshold (quantities integerized at 1e2) → distinct
+    qualifying suppliers ⋈ supplier (reduce-side lookup) for the name."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_lookup_join
+
+    num_partitions = _auto_partitions(num_partitions)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey", "l_quantity"])
+    pkeys, pattrs = _part_arrays(sf_dir, ["p_name"])
+    sel_keys = pc.filter(pkeys, pc.match_substring(pattrs["p_name"],
+                                                   name_token))
+
+    def prep(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(pc.cast(b["l_partkey"], pa.int64()),
+                        value_set=sel_keys)
+        b = b.filter(mask)
+        q2 = pc.cast(pc.round(pc.multiply(b["l_quantity"],
+                                          pa.scalar(100.0))), pa.int64())
+        t = pa.table({"l_partkey": b["l_partkey"],
+                      "l_suppkey": b["l_suppkey"], "q2": q2})
+        return (t.group_by(["l_partkey", "l_suppkey"])
+                .aggregate([("q2", "sum")])
+                .rename_columns(["l_partkey", "l_suppkey", "q2"]))
+
+    per_ps = (li.map_batches(prep, batch_format="pyarrow")
+              .groupby(["l_partkey", "l_suppkey"])
+              .aggregate(Sum("q2", alias_name="supp_q2"))
+              .materialize())
+    per_part = (per_ps.groupby("l_partkey")
+                .aggregate(Sum("supp_q2", alias_name="part_q2")))
+
+    joined = hash_lookup_join(per_ps, per_part, on="l_partkey",
+                              num_partitions=num_partitions)
+
+    def qualify(b: pa.Table) -> pa.Table:
+        # supp_q2 > frac * part_q2, in integers: 2*supp > part for frac=.5
+        lhs = pc.multiply(pc.cast(b["supp_q2"], pa.float64()),
+                          pa.scalar(1.0))
+        keep = pc.greater(lhs, pc.multiply(pa.scalar(frac),
+                                           pc.cast(b["part_q2"],
+                                                   pa.float64())))
+        b = b.filter(keep)
+        return (b.select(["l_suppkey"])
+                .group_by("l_suppkey").aggregate([]))
+
+    from ray.data.aggregate import Count
+
+    supp_keys = (joined.map_batches(qualify, batch_format="pyarrow")
+                 .groupby("l_suppkey")
+                 .aggregate(Count(alias_name="_c"))
+                 .map_batches(lambda b: b.select(["l_suppkey"])
+                              .rename_columns(["key"]),
+                              batch_format="pyarrow")
+                 # tiny (qualifying suppliers); pin the schema before the
+                 # reduce-side lookup join reads it
+                 .materialize())
+    if supp_keys.count() == 0:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype="object"),
+                             "nation": pd.Series([], dtype="object")})
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name", "s_nationkey"])
+    nkeys, nnames, _ = _nation_arrays(sf_dir)
+
+    def sup_side(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(b["s_suppkey"], pa.int64()),
+            "s_name": b["s_name"],
+            "nation": _probe(nkeys, nnames, b["s_nationkey"]),
+        })
+
+    out = hash_lookup_join(supp_keys,
+                           sup.map_batches(sup_side,
+                                           batch_format="pyarrow"),
+                           on="key", num_partitions=num_partitions)
+    pdf = out.to_pandas().rename(columns={"key": "s_suppkey"})
+    pdf = pdf[["s_suppkey", "s_name", "nation"]]
+    pdf["s_suppkey"] = pdf["s_suppkey"].astype("int64")
+    return pdf.sort_values("s_suppkey").reset_index(drop=True)
