@@ -1254,6 +1254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "rel_winsorized": relational.winsorized_means,
         "rel_mad": relational.grouped_mad,
+        "rel_chi2": relational.lang_source_chi2,
+        "rel_psi": relational.value_psi,
         "dedup_substring": q_dedup_substring,
         "semdedup": q_semdedup,
         "dedup_embedding": q_dedup_embedding,
@@ -1428,6 +1430,8 @@ def oracle_sql() -> dict[str, str]:
             n=CONTAM_N, bench_mod=CONTAM_MOD, flag_threshold=CONTAM_FLAG),
         "rel_winsorized": oracles.winsorized_means_sql(0.1, 0.9),
         "rel_mad": oracles.grouped_mad_sql(),
+        "rel_chi2": oracles.lang_source_chi2_sql(),
+        "rel_psi": oracles.value_psi_sql("2024-01-15", 10, 0.0, 400.0),
         "dedup_substring": oracles.substring_dedup_sql(SUBSTR_WINDOW),
         "semdedup": oracles.semdedup_sql(8, 3, EMB_DEDUP_THRESHOLD),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),

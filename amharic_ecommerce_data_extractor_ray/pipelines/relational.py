@@ -2642,3 +2642,95 @@ def grouped_mad(sf_dir: str):
            .map_groups(per_flag, batch_format="pandas").to_pandas())
     out["n"] = out["n"].astype("int64")
     return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def lang_source_chi2(sf_dir: str):
+    """Chi-square independence statistic between two categorical columns
+    (documents.lang × documents.source) — the data-quality test for "is
+    this metadata independent of that one".  ONE contingency-combiner scan
+    (per-batch Arrow group_by on the pair) → a cells-sized table; the
+    statistic folds driver-side over |langs|×|sources| cells.  Integer
+    observed counts; expected = row_total·col_total/n in float64.  Empty
+    grid cells (observed=0) each contribute exactly their expected count,
+    and Σexp over the full grid is n — so the full-grid statistic is
+    chi2_observed + (n − Σexp_observed) without materializing the grid."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = b.append_column("c", pa.array(np.ones(b.num_rows, np.int64)))
+        return (t.group_by(["lang", "source"]).aggregate([("c", "sum")])
+                .rename_columns(["lang", "source", "c"]))
+
+    cells = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby(["lang", "source"])
+             .aggregate(Sum("c", alias_name="c"))
+             .to_pandas())
+    n = float(cells["c"].sum())
+    row = cells.groupby("lang")["c"].sum()
+    col = cells.groupby("source")["c"].sum()
+    exp = (cells["lang"].map(row).astype("float64")
+           * cells["source"].map(col).astype("float64") / n)
+    chi2 = float((((cells["c"] - exp) ** 2) / exp).sum() + (n - exp.sum()))
+    dof = (len(row) - 1) * (len(col) - 1)
+    return pd.DataFrame({
+        "n": [np.int64(int(n))],
+        "n_cells": [np.int64(len(cells))],
+        "dof": [np.int64(dof)],
+        "chi2": [float(np.floor(chi2 * 1e6 + 0.5) / 1e6)],
+    })
+
+
+def value_psi(sf_dir: str, *, split: str = "2024-01-15", bins: int = 10,
+              lo: float = 0.0, hi: float = 400.0):
+    """Population stability index of events.value between the periods
+    before and after ``split`` — the standard drift metric a production
+    pipeline alerts on.  Fixed equal-width bins (clamped), so bin counts
+    are exact integers from one combiner scan; PSI folds driver-side over
+    O(bins) cells.  Laplace +1 smoothing keeps empty bins finite and
+    deterministic."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+    w = (hi - lo) / bins
+
+    def partials(b: pa.Table) -> pa.Table:
+        x = np.asarray(b["value"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        idx = np.clip(np.floor((np.clip(x, lo, hi) - lo) / w),
+                      0, bins - 1).astype(np.int64)
+        period = pc.less(b["ts"], pa.scalar(pd.Timestamp(split)))
+        per = np.where(period.to_numpy(zero_copy_only=False), "a", "b")
+        t = pa.table({"period": pa.array(per),
+                      "bin": pa.array(idx, pa.int64()),
+                      "c": pa.array(np.ones(len(idx), np.int64))})
+        return (t.group_by(["period", "bin"]).aggregate([("c", "sum")])
+                .rename_columns(["period", "bin", "c"]))
+
+    cells = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby(["period", "bin"])
+             .aggregate(Sum("c", alias_name="c"))
+             .to_pandas())
+    a = np.ones(bins, np.float64)   # Laplace +1
+    b_ = np.ones(bins, np.float64)
+    for _, r in cells.iterrows():
+        (a if r["period"] == "a" else b_)[int(r["bin"])] += r["c"]
+    pa_ = a / a.sum()
+    pb_ = b_ / b_.sum()
+    psi = float(np.sum((pa_ - pb_) * np.log(pa_ / pb_)))
+    return pd.DataFrame({
+        "bins": [np.int64(bins)],
+        "n_before": [np.int64(int(a.sum() - bins))],
+        "n_after": [np.int64(int(b_.sum() - bins))],
+        "psi": [float(np.floor(psi * 1e6 + 0.5) / 1e6)],
+    })
