@@ -874,6 +874,26 @@ def q_quality_lr(sf_dir: str):
     return quality_logreg(docs)
 
 
+def q_quality_auc(sf_dir: str):
+    import ray.data as rd
+
+    from .stages.classify import binary_auc
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    return binary_auc(docs)
+
+
+def q_calibration(sf_dir: str):
+    import ray.data as rd
+
+    from .stages.classify import calibration_bins
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["lang", "n_chars"])
+    return calibration_bins(docs)
+
+
 def q_dedup_setjoin(sf_dir: str):
     import ray.data as rd
 
@@ -1256,6 +1276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_mad": relational.grouped_mad,
         "rel_chi2": relational.lang_source_chi2,
         "rel_psi": relational.value_psi,
+        "quality_auc": q_quality_auc,
+        "calibration": q_calibration,
+        "rel_gini": relational.gini_user_spend,
         "dedup_substring": q_dedup_substring,
         "semdedup": q_semdedup,
         "dedup_embedding": q_dedup_embedding,
@@ -1432,6 +1455,9 @@ def oracle_sql() -> dict[str, str]:
         "rel_mad": oracles.grouped_mad_sql(),
         "rel_chi2": oracles.lang_source_chi2_sql(),
         "rel_psi": oracles.value_psi_sql("2024-01-15", 10, 0.0, 400.0),
+        "quality_auc": oracles.binary_auc_sql(),
+        "calibration": oracles.calibration_bins_sql(),
+        "rel_gini": oracles.gini_user_spend_sql(),
         "dedup_substring": oracles.substring_dedup_sql(SUBSTR_WINDOW),
         "semdedup": oracles.semdedup_sql(8, 3, EMB_DEDUP_THRESHOLD),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),

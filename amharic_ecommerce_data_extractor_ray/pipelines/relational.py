@@ -2734,3 +2734,66 @@ def value_psi(sf_dir: str, *, split: str = "2024-01-15", bins: int = 10,
         "n_after": [np.int64(int(b_.sum() - bins))],
         "psi": [float(np.floor(psi * 1e6 + 0.5) / 1e6)],
     })
+
+
+def gini_user_spend(sf_dir: str):
+    """Exact Gini coefficient of per-user total event value — the
+    inequality summary a marketplace health dashboard tracks ("how
+    concentrated is spend").  G = Σᵢ(2i − n − 1)·xᵢ / (n·Σx) over the
+    ascending-sorted user totals.
+
+    Shape: per-user totals come from one combiner groupby (int64 cents,
+    exact under any merge order); the totals table — user-vocabulary
+    sized, never event-sized — is then ``sort``ed distributedly on
+    (cents, user_id) (a strict total order: user_id is unique), and each
+    batch emits ONE partial row (count, sum, Σ local_rank·x, min key).
+    The driver folds the O(n_batches) partials in key order, offsetting
+    local ranks by the running count — the same bounded-driver fold shape
+    as the Gini's SQL window mirror, with an exact int64 numerator."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+
+    def cents_partials(b: pa.Table) -> pa.Table:
+        v = np.asarray(b["value"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)) \
+            .astype(np.int64)
+        t = pa.table({"user_id": b["user_id"],
+                      "cents": pa.array(cents, pa.int64())})
+        return (t.group_by(["user_id"]).aggregate([("cents", "sum")])
+                .rename_columns(["user_id", "cents"]))
+
+    totals = (ds.map_batches(cents_partials, batch_format="pyarrow")
+              .groupby("user_id").aggregate(Sum("cents", alias_name="x"))
+              .sort(["x", "user_id"]))
+
+    def rank_partial(b: pa.Table) -> pa.Table:
+        x = b["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(1, len(x) + 1, dtype=np.int64)
+        return pa.table({
+            "min_x": pa.array([int(x[0])], pa.int64()),
+            "min_uid": pa.array([int(b["user_id"][0].as_py())], pa.int64()),
+            "cnt": pa.array([len(x)], pa.int64()),
+            "sum_x": pa.array([int(x.sum())], pa.int64()),
+            "wsum": pa.array([int(np.sum(i * x))], pa.int64()),
+        })
+
+    parts = (totals.map_batches(rank_partial, batch_format="pyarrow")
+             .to_pandas().sort_values(["min_x", "min_uid"])
+             .reset_index(drop=True))
+    # global Σ i·x: each batch's local ranks shift by the rows before it
+    offsets = np.concatenate(([0], np.cumsum(parts["cnt"].to_numpy())[:-1]))
+    wsum = int((parts["wsum"] + offsets * parts["sum_x"]).sum())
+    n = int(parts["cnt"].sum())
+    total = int(parts["sum_x"].sum())
+    gini = (2.0 * wsum - (n + 1.0) * total) / (float(n) * total)
+    return pd.DataFrame({
+        "n_users": [np.int64(n)],
+        "total_cents": [np.int64(total)],
+        "gini": [float(np.floor(gini * 1e6 + 0.5) / 1e6)],
+    })

@@ -92,3 +92,90 @@ def quality_logreg(docs_ds, *, text_col: str = "text",
         "n_docs": [int(n)],
         "accuracy": [r6(n_ok / n)],
     })
+
+
+def binary_auc(docs_ds, *, score_col: str = "n_chars",
+               label_lang: str = "en") -> pd.DataFrame:
+    """Exact ROC-AUC of an integer score against a binary label — the
+    rank-sum (Mann-Whitney) statistic every quality-classifier evaluation
+    step computes, with average-rank tie handling.
+
+    Shape: one combiner scan builds the per-distinct-score (pos, neg)
+    contingency (per-batch Arrow ``group_by`` → native ``Sum`` merge), so
+    only the score vocabulary shuffles; the driver folds cumulative
+    counts over that small table.  Because the score is integer, every
+    pair contribution is a half-integer — doubling it keeps the whole
+    numerator in exact int64 (pairs2 = Σ pos_s·(2·cum_neg_below + neg_s)),
+    so the statistic is bit-stable under any merge order."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        y = pc.cast(pc.equal(b["lang"], pa.scalar(label_lang)), pa.int64())
+        t = pa.table({"s": pc.cast(b[score_col], pa.int64()), "p": y,
+                      "q": pc.subtract(pa.scalar(1, pa.int64()), y)})
+        return (t.group_by(["s"]).aggregate([("p", "sum"), ("q", "sum")])
+                .rename_columns(["s", "p", "q"]))
+
+    cells = (docs_ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("s")
+             .aggregate(Sum("p", alias_name="p"), Sum("q", alias_name="q"))
+             .to_pandas().sort_values("s").reset_index(drop=True))
+    p = cells["p"].to_numpy(np.int64)
+    q = cells["q"].to_numpy(np.int64)
+    cum_q_below = np.concatenate(([0], np.cumsum(q)[:-1]))
+    pairs2 = int(np.sum(p * (2 * cum_q_below + q)))
+    n_pos, n_neg = int(p.sum()), int(q.sum())
+    auc = pairs2 / (2.0 * n_pos * n_neg)
+    return pd.DataFrame({
+        "n": [np.int64(n_pos + n_neg)],
+        "n_pos": [np.int64(n_pos)],
+        "n_neg": [np.int64(n_neg)],
+        "auc": [float(np.floor(auc * 1e6 + 0.5) / 1e6)],
+    })
+
+
+def calibration_bins(docs_ds, *, score_col: str = "n_chars",
+                     cap: int = 600, bins: int = 10,
+                     label_lang: str = "en") -> pd.DataFrame:
+    """Reliability diagram: bin a [0,1] predicted score (here the length
+    proxy min(n_chars, cap)/cap) and report per-bin count, mean
+    prediction, and empirical positive rate — the calibration check run
+    after any quality-filter training.
+
+    Shape: pure combiner (per-batch ``group_by(bin)`` with int64 sums of
+    the capped score and the label), so only O(bins) cells shuffle and
+    every sum is exact regardless of merge order; bin assignment is
+    integer arithmetic ((c·bins) // cap, clamped) so no float boundary
+    can disagree with the SQL mirror."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        c = np.minimum(np.asarray(b[score_col].to_numpy(
+            zero_copy_only=False), np.int64), cap)
+        bin_ = np.minimum(c * bins // cap, bins - 1)
+        y = pc.cast(pc.equal(b["lang"], pa.scalar(label_lang)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"bin": pa.array(bin_, pa.int64()),
+                      "c": pa.array(c, pa.int64()),
+                      "y": pa.array(y, pa.int64()),
+                      "n": pa.array(np.ones(len(c), np.int64))})
+        return (t.group_by(["bin"])
+                .aggregate([("c", "sum"), ("y", "sum"), ("n", "sum")])
+                .rename_columns(["bin", "c", "y", "n"]))
+
+    cells = (docs_ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("bin")
+             .aggregate(Sum("c", alias_name="c"), Sum("y", alias_name="y"),
+                        Sum("n", alias_name="n"))
+             .to_pandas().sort_values("bin").reset_index(drop=True))
+
+    def r6(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    n = cells["n"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "bin": cells["bin"].astype("int64"),
+        "n": cells["n"].astype("int64"),
+        "mean_pred": r6(cells["c"].to_numpy(np.float64) / (cap * n)),
+        "frac_pos": r6(cells["y"].to_numpy(np.float64) / n),
+    })
