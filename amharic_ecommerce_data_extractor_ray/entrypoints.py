@@ -1257,6 +1257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_supplier_cnt": tpch_ext.part_supplier_counts,
         "rel_disjunctive": tpch_ext.disjunctive_revenue,
         "rel_heavy_suppliers": tpch_ext.heavy_suppliers,
+        "rel_min_cost_supplier": tpch_ext.min_cost_supplier,
+        "rel_important_parts": tpch_ext.important_parts,
+        "rel_priority_shipments": tpch_ext.priority_shipments,
         "dedup_minhash": q_dedup_minhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
@@ -1440,6 +1443,10 @@ def oracle_sql() -> dict[str, str]:
                                                              1500.0),
         "rel_disjunctive": oracles.disjunctive_revenue_sql(),
         "rel_heavy_suppliers": oracles.heavy_suppliers_sql("widget", 0.2),
+        "rel_min_cost_supplier": oracles.min_cost_supplier_sql(5, "EUROPE"),
+        "rel_important_parts": oracles.important_parts_sql("EUROPE", 1.5),
+        "rel_priority_shipments": oracles.priority_shipments_sql(
+            "1996-01-01", "1997-01-01"),
         "dedup_ngram": oracles.ngram_jaccard_sql(),
         "dedup_setjoin": oracles.set_similarity_join_sql(5, 1, 2),
         "quality_lr": oracles.quality_logreg_sql("en", 0.5, 4),

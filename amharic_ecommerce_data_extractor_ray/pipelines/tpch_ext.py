@@ -582,3 +582,220 @@ def heavy_suppliers(sf_dir: str, *, name_token: str = "widget",
     pdf = pdf[["s_suppkey", "s_name", "nation"]]
     pdf["s_suppkey"] = pdf["s_suppkey"].astype("int64")
     return pdf.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def min_cost_supplier(sf_dir: str, *, size: int = 5, region: str = "EUROPE",
+                      num_partitions: int | None = None):
+    """TPC-H Q2 shape (correlated MIN decorrelated into a join): for each
+    part of the given size, the supplier(s) in ``region`` offering the
+    minimum observed price — min lineitem extendedprice per (part, supplier)
+    stands in for partsupp.ps_supplycost (this corpus has no partsupp table;
+    same adaptation as Q16/Q20 in this module).  Reference analog: the
+    per-group argmin/argmax family of G2 (nb 03 cell 13).
+
+    Pipeline: part-size broadcast filter → per-batch (part, supp) MIN-cents
+    combiner → grouped MIN (only distinct pairs shuffle) → region-supplier
+    attach via reduce-side lookup join (supplier is a fact at 100×, probed
+    reduce-side, never broadcast; only tiny nation/region ride the driver)
+    → per-part MIN joined back → integer-exact equality filter → part-name
+    broadcast probe.  Prices integerized at 1e2 (cent-exact in this corpus)
+    so the min/equality never compares floats."""
+    from ray.data.aggregate import Min
+
+    from ..stages.joins import hash_lookup_join
+
+    num_partitions = _auto_partitions(num_partitions)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+    pkeys, pattrs = _part_arrays(sf_dir, ["p_size", "p_name"])
+    sel_keys = pc.filter(
+        pkeys, pc.equal(pc.cast(pattrs["p_size"], pa.int64()),
+                        pa.scalar(size, pa.int64())))
+
+    def pair_min(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(pc.cast(b["l_partkey"], pa.int64()),
+                              value_set=sel_keys))
+        t = pa.table({
+            "l_partkey": pc.cast(b["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+            "cost2": pc.cast(pc.round(pc.multiply(b["l_extendedprice"],
+                                                  pa.scalar(100.0))),
+                             pa.int64())})
+        return (t.group_by(["l_partkey", "l_suppkey"])
+                .aggregate([("cost2", "min")])
+                .rename_columns(["l_partkey", "l_suppkey", "cost2"]))
+
+    ps = (li.map_batches(pair_min, batch_format="pyarrow")
+          .groupby(["l_partkey", "l_suppkey"])
+          .aggregate(Min("cost2", alias_name="cost2")))
+
+    nkeys, nnames, rnames = _nation_arrays(sf_dir)
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name", "s_acctbal",
+                                   "s_nationkey"])
+
+    def region_side(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_suppkey": pc.cast(b["s_suppkey"], pa.int64()),
+            "s_name": b["s_name"],
+            "s_acctbal": b["s_acctbal"],
+            "nation": _probe(nkeys, nnames, b["s_nationkey"]),
+            "_region": _probe(nkeys, rnames, b["s_nationkey"])})
+        t = t.filter(pc.equal(t["_region"], pa.scalar(region)))
+        return t.drop_columns(["_region"])
+
+    # inner lookup join = SEMI filter to region suppliers + payload attach
+    joined = hash_lookup_join(
+        ps, sup.map_batches(region_side, batch_format="pyarrow"),
+        on="l_suppkey", num_partitions=num_partitions).materialize()
+    per_part = (joined.groupby("l_partkey")
+                .aggregate(Min("cost2", alias_name="min_cost2")))
+    best = hash_lookup_join(joined, per_part, on="l_partkey",
+                            num_partitions=num_partitions)
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["cost2"], b["min_cost2"]))
+        return pa.table({
+            "s_acctbal": b["s_acctbal"],
+            "s_name": b["s_name"],
+            "nation": b["nation"],
+            "p_partkey": pc.cast(b["l_partkey"], pa.int64()),
+            "p_name": _probe(pkeys, pattrs["p_name"], b["l_partkey"]),
+            "cost": pc.divide(pc.cast(b["cost2"], pa.float64()),
+                              pa.scalar(100.0))})
+
+    # bounded by |parts of one size| × ties — a report, not a fact table
+    pdf = best.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return (pdf.sort_values(["s_acctbal", "nation", "s_name", "p_partkey"],
+                            ascending=[False, True, True, True])
+            .reset_index(drop=True))
+
+
+def important_parts(sf_dir: str, *, region: str = "EUROPE",
+                    mult: float = 1.5,
+                    num_partitions: int | None = None):
+    """TPC-H Q11 shape (grouped aggregate vs a global-scalar threshold):
+    parts whose shipped value through ``region`` suppliers exceeds ``mult``
+    × the mean per-part value.  Value = sum of cent-integerized
+    extendedprice over lineitems (partsupp stand-in, as in Q2/Q16/Q20
+    here).  Q11's fixed-fraction threshold is replaced by a mean-relative
+    one so the report stays non-degenerate at every scale factor (a fixed
+    fraction of the TOTAL empties out as the part count grows).
+
+    Pipeline: per-batch (part, supp) SUM-cents combiner → grouped SUM →
+    reduce-side SEMI join against the region's supplier keys (key-only
+    shuffle; supplier never broadcast) → per-part SUM → driver-side scalar
+    total + count (two ints) → strict > filter.  The compare is
+    ``value2 × n_parts > mult × total`` — integers on the left, one double
+    product on the right, identical arithmetic in engine and oracle (no
+    float accumulation order in play)."""
+    from ..stages.joins import hash_semi_join
+
+    num_partitions = _auto_partitions(num_partitions)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+
+    def pair_sum(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_partkey": pc.cast(b["l_partkey"], pa.int64()),
+            "l_suppkey": pc.cast(b["l_suppkey"], pa.int64()),
+            "v2": pc.cast(pc.round(pc.multiply(b["l_extendedprice"],
+                                               pa.scalar(100.0))),
+                          pa.int64())})
+        return (t.group_by(["l_partkey", "l_suppkey"])
+                .aggregate([("v2", "sum")])
+                .rename_columns(["l_partkey", "l_suppkey", "v2"]))
+
+    pairs = (li.map_batches(pair_sum, batch_format="pyarrow")
+             .groupby(["l_partkey", "l_suppkey"])
+             .aggregate(Sum("v2", alias_name="v2")))
+
+    nkeys, _, rnames = _nation_arrays(sf_dir)
+    rsup = (rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                            columns=["s_suppkey", "s_nationkey"])
+            .map_batches(lambda b: pa.table({
+                "l_suppkey": pc.cast(b["s_suppkey"], pa.int64())})
+                .filter(pc.equal(_probe(nkeys, rnames, b["s_nationkey"]),
+                                 pa.scalar(region))),
+                batch_format="pyarrow"))
+    pairs = hash_semi_join(pairs, rsup, on="l_suppkey",
+                           num_partitions=num_partitions)
+    per_part = (pairs.groupby("l_partkey")
+                .aggregate(Sum("v2", alias_name="value2"))
+                .materialize())
+    total2 = int(per_part.sum("value2") or 0)
+    n_parts = per_part.count()
+    threshold = mult * total2  # one double product, same as the oracle's
+
+    def above_mean(b: pa.Table) -> pa.Table:
+        lhs = pc.multiply(pc.cast(b["value2"], pa.float64()),
+                          pa.scalar(float(n_parts)))
+        return b.filter(pc.greater(lhs, pa.scalar(threshold)))
+
+    pdf = (per_part.map_batches(above_mean, batch_format="pyarrow")
+           .to_pandas())
+    if pdf.empty:
+        pdf = pd.DataFrame({"l_partkey": pd.Series([], dtype="int64"),
+                            "value2": pd.Series([], dtype="int64")})
+    out = pd.DataFrame({
+        "p_partkey": pdf["l_partkey"].astype("int64"),
+        "value": pdf["value2"].astype("float64") / 100.0})
+    return (out.sort_values(["value", "p_partkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def priority_shipments(sf_dir: str, *, start: str = "1996-01-01",
+                       end: str = "1997-01-01",
+                       num_partitions: int | None = None):
+    """TPC-H Q12 shape (fact⋈fact join + conditional counts): lineitems
+    shipped inside a window joined to their orders, counting high-priority
+    (1-URGENT / 2-HIGH) vs low-priority lines per return flag
+    (l_returnflag stands in for l_shipmode, absent from this corpus).
+
+    Pipeline: shipdate-pruned, column-pruned lineitem scan → reduce-side
+    lookup join to orders (both facts; |shuffle| = filtered lines + orders,
+    key-bucketed) → 0/1 flag columns vectorized per batch → grouped SUM —
+    the canonical partial-aggregate-after-join report."""
+    import pyarrow.dataset as pads
+
+    from ..stages.joins import hash_lookup_join
+
+    num_partitions = _auto_partitions(num_partitions)
+    li = (rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= pd.Timestamp(start))
+        & (pads.field("l_shipdate") < pd.Timestamp(end)))
+        .map_batches(lambda b: pa.table({
+            "l_orderkey": pc.cast(b["l_orderkey"], pa.int64()),
+            "l_returnflag": b["l_returnflag"]}),
+            batch_format="pyarrow"))
+    orders = (rd.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_orderpriority"])
+              .map_batches(lambda b: pa.table({
+                  "l_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                  "o_orderpriority": b["o_orderpriority"]}),
+                  batch_format="pyarrow"))
+    joined = hash_lookup_join(li, orders, on="l_orderkey",
+                              num_partitions=num_partitions)
+
+    def flags(b: pa.Table) -> pa.Table:
+        hi = pc.is_in(b["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        hi64 = pc.cast(hi, pa.int64())
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "high_line_count": hi64,
+            "low_line_count": pc.subtract(pa.scalar(1, pa.int64()), hi64)})
+
+    out = (joined.map_batches(flags, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                      Sum("low_line_count", alias_name="low_line_count")))
+    pdf = out.to_pandas()
+    for c in ("high_line_count", "low_line_count"):
+        pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values("l_returnflag").reset_index(drop=True)
