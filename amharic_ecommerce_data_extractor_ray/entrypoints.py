@@ -1277,6 +1277,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "rel_winsorized": relational.winsorized_means,
         "rel_mad": relational.grouped_mad,
+        "rel_skyline": relational.part_skyline,
+        "rel_topn_per_key": relational.topn_orders_per_customer,
+        "rel_user_streaks": relational.user_streaks,
         "rel_chi2": relational.lang_source_chi2,
         "rel_psi": relational.value_psi,
         "quality_auc": q_quality_auc,
@@ -1460,6 +1463,9 @@ def oracle_sql() -> dict[str, str]:
             n=CONTAM_N, bench_mod=CONTAM_MOD, flag_threshold=CONTAM_FLAG),
         "rel_winsorized": oracles.winsorized_means_sql(0.1, 0.9),
         "rel_mad": oracles.grouped_mad_sql(),
+        "rel_skyline": oracles.part_skyline_sql(),
+        "rel_topn_per_key": oracles.topn_orders_per_customer_sql(3),
+        "rel_user_streaks": oracles.user_streaks_sql(),
         "rel_chi2": oracles.lang_source_chi2_sql(),
         "rel_psi": oracles.value_psi_sql("2024-01-15", 10, 0.0, 400.0),
         "quality_auc": oracles.binary_auc_sql(),

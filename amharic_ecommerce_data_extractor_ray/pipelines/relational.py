@@ -2797,3 +2797,166 @@ def gini_user_spend(sf_dir: str):
         "total_cents": [np.int64(total)],
         "gini": [float(np.floor(gini * 1e6 + 0.5) / 1e6)],
     })
+
+
+def part_skyline(sf_dir: str):
+    """Pareto frontier (skyline) over per-part aggregates: parts for which
+    no other part has BOTH more total shipped quantity AND a lower minimum
+    price (maximize total_q2, minimize min_cost2; strict dominance).
+
+    Scale shape: the aggregates come from the usual per-batch combiner →
+    grouped Sum/Min; the skyline itself exploits the algebraic identity
+    skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)) — each block reduces
+    to its LOCAL skyline (vectorized sort + running-max, no pair loop), and
+    only those survivors (≤ the frontier size per block) reach the final
+    single-pass merge.  No O(n²) dominance test anywhere.  Quantities and
+    prices integerized at 1e2 so dominance never compares floats."""
+    import numpy as np
+
+    li = _lineitem(sf_dir, ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "l_partkey": pc.cast(b["l_partkey"], pa.int64()),
+            "q2": pc.cast(pc.round(pc.multiply(b["l_quantity"],
+                                               pa.scalar(100.0))),
+                          pa.int64()),
+            "c2": pc.cast(pc.round(pc.multiply(b["l_extendedprice"],
+                                               pa.scalar(100.0))),
+                          pa.int64())})
+        t = t.group_by("l_partkey").aggregate([("q2", "sum"), ("c2", "min")])
+        return t.rename_columns(["l_partkey", "q2", "c2"])
+
+    per_part = (li.map_batches(partials, batch_format="pyarrow")
+                .groupby("l_partkey")
+                .aggregate(Sum("q2", alias_name="total_q2"),
+                           Min("c2", alias_name="min_cost2")))
+
+    def _skyline(key, qty, cost):
+        """2-D strict-dominance skyline, O(n log n), fully vectorized.
+
+        keep i  ⟺  no j with (c_j < c_i ∧ q_j ≥ q_i) ∨ (c_j = c_i ∧
+        q_j > q_i), i.e. q_i strictly exceeds the best qty of every
+        strictly-cheaper cost level AND equals the best qty at its own
+        level.  Tied (cost, qty) duplicates all survive (neither strictly
+        dominates the other)."""
+        order = np.lexsort((qty, cost))
+        q, c, k = qty[order], cost[order], key[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(c) != 0) + 1]
+        gmax = np.maximum.reduceat(q, starts)          # max qty per level
+        gid = np.searchsorted(starts, np.arange(len(c)), side="right") - 1
+        run = np.maximum.accumulate(gmax)
+        prev_best = np.r_[np.iinfo(np.int64).min, run[:-1]][gid]
+        keep = (q > prev_best) & (q == gmax[gid])
+        return k[keep], q[keep], c[keep]
+
+    def local_skyline(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        k = np.asarray(b["l_partkey"].combine_chunks())
+        q = np.asarray(b["total_q2"].combine_chunks())
+        c = np.asarray(b["min_cost2"].combine_chunks())
+        k, q, c = _skyline(k, q, c)
+        return pa.table({"l_partkey": pa.array(k, pa.int64()),
+                         "total_q2": pa.array(q, pa.int64()),
+                         "min_cost2": pa.array(c, pa.int64())})
+
+    cand = per_part.map_batches(local_skyline,
+                                batch_format="pyarrow").to_pandas()
+    k, q, c = _skyline(cand["l_partkey"].to_numpy(),
+                       cand["total_q2"].to_numpy(),
+                       cand["min_cost2"].to_numpy())
+    out = pd.DataFrame({
+        "p_partkey": pd.Series(k, dtype="int64"),
+        "total_qty": pd.Series(q, dtype="float64") / 100.0,
+        "min_price": pd.Series(c, dtype="float64") / 100.0})
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def topn_orders_per_customer(sf_dir: str, *, n: int = 3):
+    """Top-``n`` orders per customer by total price (ROW_NUMBER ≤ n shape),
+    deterministic tie-break = lowest o_orderkey.
+
+    Scale shape: a per-batch combiner keeps at most ``n`` rows per customer
+    per block (pandas C-level sort + groupby.head — no Python row loop), so
+    the shuffle carries ≤ n × |customers-in-block| rows; the grouped final
+    pass re-applies the same head-n.  Prices ride as exact cents."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey",
+                                      "o_totalprice"])
+
+    def partial_topn(b: pa.Table) -> pa.Table:
+        df = pa.table({
+            "o_custkey": pc.cast(b["o_custkey"], pa.int64()),
+            "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+            "price2": pc.cast(pc.round(pc.multiply(b["o_totalprice"],
+                                                   pa.scalar(100.0))),
+                              pa.int64())}).to_pandas()
+        df = df.sort_values(["o_custkey", "price2", "o_orderkey"],
+                            ascending=[True, False, True])
+        df = df.groupby("o_custkey", sort=False).head(n)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_topn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price2", "o_orderkey"],
+                          ascending=[False, True]).head(n)
+        g = g.copy()
+        g["rnk"] = range(1, len(g) + 1)
+        return g
+
+    out = (orders.map_batches(partial_topn, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .map_groups(final_topn, batch_format="pandas")
+           .to_pandas())
+    res = pd.DataFrame({
+        "o_custkey": out["o_custkey"].astype("int64"),
+        "rnk": out["rnk"].astype("int64"),
+        "o_orderkey": out["o_orderkey"].astype("int64"),
+        "o_totalprice": out["price2"].astype("float64") / 100.0})
+    return res.sort_values(["o_custkey", "rnk"]).reset_index(drop=True)
+
+
+def user_streaks(sf_dir: str):
+    """Gaps-and-islands: per user, maximal runs of consecutive active DAYS
+    in the events table — streak count, longest streak, total active days.
+
+    Scale shape: per-batch DISTINCT (user, day) combiner (Arrow group_by)
+    → grouped distinct → per-user island scan as one numpy diff over the
+    sorted day ordinals inside map_groups (events co-located by user_id;
+    the distinct-day set per user is calendar-bounded, thousands at most,
+    so no group can blow a worker)."""
+    import numpy as np
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def day_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "day": pc.cast(pc.floor_temporal(b["ts"], unit="day"),
+                           pa.date32())})
+        return t.group_by(["user_id", "day"]).aggregate([])
+
+    days = (ev.map_batches(day_partial, batch_format="pyarrow")
+            .groupby(["user_id", "day"])
+            .aggregate(Count(alias_name="_c")))
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["day"].to_numpy().astype("datetime64[D]")
+                    .astype(np.int64))
+        breaks = int((np.diff(d) != 1).sum())
+        lengths = np.diff(np.r_[0, np.flatnonzero(np.diff(d) != 1) + 1,
+                                len(d)])
+        return pd.DataFrame({
+            "user_id": [int(g["user_id"].iloc[0])],
+            "n_streaks": [breaks + 1],
+            "longest": [int(lengths.max())],
+            "active_days": [len(d)]})
+
+    out = (days.groupby("user_id")
+           .map_groups(islands, batch_format="pandas")
+           .to_pandas())
+    for c in ("n_streaks", "longest", "active_days"):
+        out[c] = out[c].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)
