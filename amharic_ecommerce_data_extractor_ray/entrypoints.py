@@ -854,6 +854,16 @@ def q_kmv_set_ops(sf_dir: str):
     return kmv_set_ops(ev)
 
 
+def q_bpe_encode(sf_dir: str):
+    import ray.data as rd
+
+    from .stages.seqprep import bpe_encode
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return bpe_encode(docs)
+
+
 def q_bpe_train(sf_dir: str):
     import ray.data as rd
 
@@ -1271,6 +1281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_retrieve": rag.rag_retrieve,
         "entity_resolution": entity_res.entity_resolution,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         "kmv_set_ops": q_kmv_set_ops,
         "hard_negatives": q_hard_negatives,
         "source_mixture": q_source_mixture,
@@ -1456,6 +1467,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_retrieve": oracles.rag_retrieve_sql(32, 24, 8, 5, 97),
         "entity_resolution": oracles.entity_resolution_sql("p_name", "part"),
         "bpe_train": oracles.bpe_train_sql(5),
+        "bpe_encode": oracles.bpe_encode_sql(5),
         "kmv_set_ops": oracles.kmv_set_ops_sql("click", "purchase", 64),
         "hard_negatives": oracles.hard_negatives_sql(SIM_QUERY_IDS, SIM_K),
         "source_mixture": oracles.source_mixture_weights_sql(),

@@ -485,3 +485,72 @@ def bpe_train(docs_ds, *, text_col: str = "text", n_merges: int = 5):
     out["rank"] = out["rank"].astype("int64")
     out["score"] = out["score"].astype("int64")
     return out
+
+
+def bpe_encode(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
+               n_merges: int = 5):
+    """Tokenize the corpus with a just-trained BPE tokenizer: run
+    ``bpe_train`` (one corpus scan + K vocabulary-table merge rounds), then
+    ONE more corpus pass applying the learned merges and counting the
+    resulting subword tokens per document — the "apply the tokenizer"
+    step every training-data pipeline runs after training it.
+
+    Scale shape: the merge list is K rows — broadcast in the task closure.
+    Inside each batch the merge chain runs over the batch's DISTINCT words
+    (Arrow ``unique`` → K vectorized ``replace_substring`` passes), then
+    fans back to word instances via ``index_in``/``take`` and to per-doc
+    sums via one ``np.bincount`` — the per-word Python cost is bounded by
+    distinct-words-per-batch exactly like bpe_train's symbolizer.  Docs
+    with no tokens are dropped (JOIN semantics, mirrors the oracle).
+
+    Returns a streaming Dataset (doc_id, n_ws_tokens, n_subwords) — one
+    row per document, never materialized on the driver.
+    """
+    if n_merges > 0:
+        merges = bpe_train(docs_ds, text_col=text_col, n_merges=n_merges)
+        chain = [(_BPE_SEP + lhs + _BPE_SEP + rhs + _BPE_SEP,
+                  _BPE_SEP + lhs + rhs + _BPE_SEP)
+                 for lhs, rhs in zip(merges["lhs"], merges["rhs"])]
+    else:  # 0 merges = pure character tokenizer
+        chain = []
+
+    def encode(b: pa.Table) -> pa.Table:
+        arr = b[text_col]
+        arr = arr.combine_chunks() if isinstance(
+            arr, pa.ChunkedArray) else arr
+        arr = pc.fill_null(arr, "")
+        lists = pc.split_pattern_regex(arr, pattern=r"\s+")
+        flat = lists.flatten()
+        offs = np.asarray(lists.offsets, dtype=np.int64)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(b.num_rows, dtype=np.int64),
+                           np.diff(offs))[keep]
+        words = flat.filter(pa.array(keep))
+
+        uniq = pc.unique(words)
+        syms = pa.array([_BPE_SEP.join(w) for w in uniq.to_pylist()],
+                        pa.string())
+        wrapped = pc.binary_join_element_wise(
+            pa.scalar(_BPE_SEP), syms, pa.scalar(_BPE_SEP), "")
+        for pat, rep in chain:
+            wrapped = pc.replace_substring(wrapped, pattern=pat,
+                                           replacement=rep)
+        trimmed = pc.utf8_trim(wrapped, characters=_BPE_SEP)
+        ntok_u = pc.add(pc.count_substring(trimmed, _BPE_SEP),
+                        pa.scalar(1, pa.int32()))
+        per_word = pc.take(pc.cast(ntok_u, pa.int64()),
+                           pc.index_in(words, value_set=uniq)) \
+            .to_numpy(zero_copy_only=False)
+
+        bpe = np.bincount(doc_of, weights=per_word,
+                          minlength=b.num_rows).astype(np.int64)
+        ws = np.bincount(doc_of, minlength=b.num_rows).astype(np.int64)
+        nonempty = ws > 0
+        ids = pc.cast(b[id_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[nonempty], pa.int64()),
+            "n_ws_tokens": pa.array(ws[nonempty], pa.int64()),
+            "n_subwords": pa.array(bpe[nonempty], pa.int64())})
+
+    return docs_ds.map_batches(encode, batch_format="pyarrow")

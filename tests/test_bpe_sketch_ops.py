@@ -101,3 +101,42 @@ def test_kmv_set_ops_matches_sql_replay(ray_session):
     want = con.execute(kmv_set_ops_sql("click", "purchase", 8)).df()
     for c in ("jaccard_est", "union_est", "inter_est"):
         assert np.isclose(got[c][0], want[c][0], atol=1e-9), c
+
+
+def test_bpe_encode_matches_sql_replay(ray_session):
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.oracles import bpe_encode_sql
+    from amharic_ecommerce_data_extractor_ray.stages.seqprep import (
+        bpe_encode)
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    got = (bpe_encode(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(bpe_encode_sql(5)).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # merges only fuse adjacent symbols: every word still emits ≥ 1 token,
+    # and no word can emit more tokens than characters
+    assert (got["n_subwords"] >= got["n_ws_tokens"]).all()
+
+
+def test_bpe_encode_merge_actually_fuses(ray_session):
+    """With 0 merges every char is a token; 5 merges must strictly shrink
+    the corpus-wide subword count."""
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.seqprep import (
+        bpe_encode)
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    base = bpe_encode(docs, n_merges=0).to_pandas()
+    merged = bpe_encode(docs, n_merges=5).to_pandas()
+    assert merged["n_subwords"].sum() < base["n_subwords"].sum()
