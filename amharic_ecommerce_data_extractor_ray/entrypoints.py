@@ -730,6 +730,42 @@ def q_jsonl_roundtrip(sf_dir: str):
                                              "source"])
 
 
+def q_orc_roundtrip(sf_dir: str):
+    """ORC interchange round-trip over the custom stripe-streaming
+    datasource/datasink (sources/columnar.py) — Ray Data has no native ORC
+    reader, so this exercises the FileBasedDatasource extension point the
+    way a 100 TB ORC lake would hit it (per-file parallel, per-stripe
+    blocks, distributed per-block writes)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from .sources.columnar import read_orc, write_orc
+
+    out = tempfile.mkdtemp(prefix="orc_docs_")
+    write_orc(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text", "lang", "source"]),
+              out)
+    return read_orc(out, columns=["doc_id", "text", "lang", "source"])
+
+
+def q_feather_roundtrip(sf_dir: str):
+    """Feather-v2/Arrow-IPC round-trip via the record-batch-streaming
+    datasource (sources/columnar.py) with column pruning on the read."""
+    import tempfile
+
+    import ray.data as rd
+
+    from .sources.columnar import read_feather, write_feather
+
+    out = tempfile.mkdtemp(prefix="feather_docs_")
+    write_feather(rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "text", "lang",
+                                           "source"]),
+                  out)
+    return read_feather(out, columns=["doc_id", "text", "lang", "source"])
+
+
 def q_pq_codes(sf_dir: str):
     """Product-quantization codebooks + codes over the embeddings table
     (2 subspaces × 16 centroids, 2 Lloyd's iterations, deterministic)."""
@@ -1250,6 +1286,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": q_pq_codes,
         "similarity_pq_adc": q_similarity_pq_adc,
         "jsonl_roundtrip": q_jsonl_roundtrip,
+        "orc_roundtrip": q_orc_roundtrip,
+        "feather_roundtrip": q_feather_roundtrip,
         "rel_waiting_suppliers": relational.waiting_suppliers,
         "rel_window_dedup": relational.window_dedup_events,
         "rel_gap_fill": relational.gap_fill_locf,
@@ -1436,6 +1474,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_pq_adc": oracles.pq_adc_topk_sql(SIM_QUERY_IDS, SIM_K,
                                                       2, 16, 2, 64),
         "jsonl_roundtrip": oracles.jsonl_roundtrip_sql(),
+        "orc_roundtrip": oracles.jsonl_roundtrip_sql(),
+        "feather_roundtrip": oracles.jsonl_roundtrip_sql(),
         "rel_waiting_suppliers": oracles.waiting_suppliers_sql(100),
         "rel_window_dedup": oracles.window_dedup_events_sql(),
         "rel_gap_fill": oracles.gap_fill_locf_sql(),

@@ -59,6 +59,18 @@ def _read_text(path: str):
     return rd.read_text(path)
 
 
+def _read_orc(path: str):
+    from .columnar import read_orc
+
+    return read_orc(path)
+
+
+def _read_feather(path: str):
+    from .columnar import read_feather
+
+    return read_feather(path)
+
+
 READERS = {
     ".zip": read_zip_of_csvs,
     ".csv": _read_csv,
@@ -66,6 +78,9 @@ READERS = {
     ".json": _read_json,
     ".jsonl": _read_json,
     ".txt": _read_text,
+    ".orc": _read_orc,
+    ".feather": _read_feather,
+    ".arrow": _read_feather,
 }
 
 
