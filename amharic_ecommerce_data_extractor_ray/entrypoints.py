@@ -910,6 +910,29 @@ def q_bpe_train(sf_dir: str):
     return bpe_train(docs)
 
 
+def q_unigram_seed(sf_dir: str):
+    import ray.data as rd
+
+    from .stages.seqprep import unigram_seed
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return unigram_seed(docs)
+
+
+def q_unigram_train(sf_dir: str):
+    """Unigram-LM (SentencePiece) tokenizer EM training — Viterbi hard-EM
+    over the distributed word vocabulary; rows-only check, the DP is not
+    SQL-expressible (seed statistics ARE oracle-gated via unigram_seed)."""
+    import ray.data as rd
+
+    from .stages.seqprep import unigram_train
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return unigram_train(docs)
+
+
 def q_quality_lr(sf_dir: str):
     import ray.data as rd
 
@@ -1319,6 +1342,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rag_retrieve": rag.rag_retrieve,
         "entity_resolution": entity_res.entity_resolution,
         "bpe_train": q_bpe_train,
+        "unigram_seed": q_unigram_seed,
+        "unigram_train": q_unigram_train,
         "bpe_encode": q_bpe_encode,
         "kmv_set_ops": q_kmv_set_ops,
         "hard_negatives": q_hard_negatives,
@@ -1507,6 +1532,7 @@ def oracle_sql() -> dict[str, str]:
         "rag_retrieve": oracles.rag_retrieve_sql(32, 24, 8, 5, 97),
         "entity_resolution": oracles.entity_resolution_sql("p_name", "part"),
         "bpe_train": oracles.bpe_train_sql(5),
+        "unigram_seed": oracles.unigram_seed_sql(),
         "bpe_encode": oracles.bpe_encode_sql(5),
         "kmv_set_ops": oracles.kmv_set_ops_sql("click", "purchase", 64),
         "hard_negatives": oracles.hard_negatives_sql(SIM_QUERY_IDS, SIM_K),

@@ -554,3 +554,186 @@ def bpe_encode(docs_ds, *, text_col: str = "text", id_col: str = "doc_id",
             "n_subwords": pa.array(bpe[nonempty], pa.int64())})
 
     return docs_ds.map_batches(encode, batch_format="pyarrow")
+
+
+def _substring_partials(b: pa.Table, *, max_piece_len: int) -> pa.Table:
+    """Per-batch (piece, n) partials: every codepoint substring of length
+    1..max_piece_len of every vocab word, weighted by word frequency.
+    Vectorized as (start, length) grid slices — ``max_word_len ×
+    max_piece_len`` Arrow kernel passes over the whole word column, no
+    Python loop over words."""
+    words = b["word"]
+    words = words.combine_chunks() if isinstance(
+        words, pa.ChunkedArray) else words
+    freq = b["freq"]
+    wlen = pc.utf8_length(words)
+    max_wlen = pc.max(wlen).as_py() or 0
+    pieces, ns = [], []
+    for s in range(max_wlen):
+        for ln in range(1, max_piece_len + 1):
+            keep = pc.greater_equal(wlen, s + ln)
+            if not pc.any(keep).as_py():
+                continue
+            sub = pc.utf8_slice_codeunits(
+                words.filter(keep), start=s, stop=s + ln)
+            pieces.append(sub)
+            ns.append(freq.filter(keep))
+    if not pieces:
+        return pa.table({"piece": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    t = pa.table({"piece": pa.concat_arrays(
+        [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+         for p in pieces]),
+        "n": pa.concat_arrays([x.combine_chunks() if isinstance(
+            x, pa.ChunkedArray) else x for x in ns])})
+    return (t.group_by("piece").aggregate([("n", "sum")])
+            .rename_columns(["piece", "n"]))
+
+
+def _word_vocab(docs_ds, text_col: str):
+    """One corpus scan → distributed (word, freq) vocabulary Dataset
+    (per-batch Arrow group_by combiner, then one vocab-sized groupby)."""
+    from ray.data.aggregate import Sum
+
+    def word_partials(b: pa.Table) -> pa.Table:
+        flat, _ = _ws_tokens(b[text_col])
+        t = pa.table({"word": flat,
+                      "freq": pa.array(np.ones(len(flat), np.int64))})
+        return (t.group_by("word").aggregate([("freq", "sum")])
+                .rename_columns(["word", "freq"]))
+
+    return (docs_ds.map_batches(word_partials, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("freq", alias_name="freq")))
+
+
+def unigram_seed(docs_ds, *, text_col: str = "text",
+                 max_piece_len: int = 4, top_n: int = 200):
+    """Seed-vocabulary statistics for unigram-LM (SentencePiece) tokenizer
+    training (Kudo 2018): corpus-wide frequency of every within-word
+    codepoint substring up to ``max_piece_len`` — the candidate-piece
+    table the EM trainer starts from (the analog of ``bpe_pair_stats``
+    for the unigram model).
+
+    Scale shape: corpus scanned once for the word vocabulary; substrings
+    explode over the VOCABULARY table with vectorized slice kernels and a
+    per-batch group_by combiner, so the corpus-sized pass never touches
+    Python.  Final sort + limit runs on the piece-vocabulary table only.
+
+    Returns (piece, n) top-n, (n desc, piece asc) tie-break.
+    """
+    from ray.data.aggregate import Sum
+
+    vocab = _word_vocab(docs_ds, text_col)
+    merged = (vocab.map_batches(
+        lambda b: _substring_partials(b, max_piece_len=max_piece_len),
+        batch_format="pyarrow")
+        .groupby("piece").aggregate(Sum("n", alias_name="n")))
+    out = (merged.sort(["n", "piece"], descending=[True, False])
+           .limit(top_n).to_pandas())
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def unigram_train(docs_ds, *, text_col: str = "text",
+                  max_piece_len: int = 4, seed_size: int = 400,
+                  vocab_size: int = 150, n_iters: int = 2):
+    """Unigram-LM tokenizer training (Kudo 2018, SentencePiece) — the
+    full EM loop over the seed vocabulary ``unigram_seed`` computes:
+
+    repeat ``n_iters`` times {
+      E-step: Viterbi-segment every vocab word under the current piece
+              log-probs, accumulating INTEGER piece counts weighted by
+              word frequency (distributed: map_batches over the word
+              vocabulary with the piece table broadcast in the closure —
+              piece table is seed_size rows, words never leave workers);
+      M-step: renormalize piece probabilities from the merged counts and
+              prune to ``vocab_size`` pieces (count desc, piece asc),
+              always retaining every single-character piece so every
+              word stays segmentable;
+    }
+
+    Simplifications vs full SentencePiece, chosen for determinism: hard-EM
+    (Viterbi counts, not forward-backward expectations) and top-k pruning
+    (not loss-ranked) — integer counts make the result exact under any
+    block order/partitioning.  Viterbi itself is a Python DP per DISTINCT
+    word (vocab-sized, same bounded posture as bpe_train's symbolizer).
+
+    Returns (piece, n, logprob): surviving pieces with final Viterbi
+    counts and log-probabilities, (n desc, piece asc).
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    vocab = _word_vocab(docs_ds, text_col).materialize()
+
+    # seed: top substrings + ALL single-char pieces (segmentability floor)
+    seed = (vocab.map_batches(
+        lambda b: _substring_partials(b, max_piece_len=max_piece_len),
+        batch_format="pyarrow")
+        .groupby("piece").aggregate(Sum("n", alias_name="n"))
+        .materialize())
+    top = (seed.sort(["n", "piece"], descending=[True, False])
+           .limit(seed_size).to_pandas())
+    chars = (seed.map_batches(
+        lambda b: b.filter(pc.equal(pc.utf8_length(b["piece"]), 1)),
+        batch_format="pyarrow").to_pandas())
+    cur = (pd.concat([top, chars]).drop_duplicates("piece")
+           .reset_index(drop=True))
+
+    def viterbi_counts(b: pa.Table, logp: dict, maxlen: int) -> pa.Table:
+        from collections import Counter
+
+        counts: Counter = Counter()
+        words = b["word"].to_pylist()
+        freqs = b["freq"].to_pylist()
+        for w, f in zip(words, freqs):
+            L = len(w)
+            best = [(-math.inf, -1)] * (L + 1)
+            best[0] = (0.0, 0)
+            for j in range(1, L + 1):
+                for i in range(max(0, j - maxlen), j):
+                    lp = logp.get(w[i:j])
+                    if lp is None or best[i][0] == -math.inf:
+                        continue
+                    cand = best[i][0] + lp
+                    # tie → smaller i = longer final piece
+                    if cand > best[j][0]:
+                        best[j] = (cand, i)
+            j = L
+            if best[L][0] == -math.inf:
+                continue  # unsegmentable (piece pruned) — skip word
+            while j > 0:
+                i = best[j][1]
+                counts[w[i:j]] += f
+                j = i
+        if not counts:
+            return pa.table({"piece": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"piece": pa.array(list(counts), pa.string()),
+                         "cnt": pa.array([int(v) for v in counts.values()],
+                                         pa.int64())})
+
+    for it in range(n_iters):
+        total = int(cur["n"].sum())
+        logp = {p: math.log(n / total)
+                for p, n in zip(cur["piece"], cur["n"])}
+        merged = (vocab.map_batches(
+            lambda b, _lp=logp: viterbi_counts(b, _lp, max_piece_len),
+            batch_format="pyarrow")
+            .groupby("piece").aggregate(Sum("cnt", alias_name="n"))
+            .to_pandas())  # piece-vocab-sized: ≤ seed_size rows
+        merged["n"] = merged["n"].astype("int64")
+        merged = merged.sort_values(["n", "piece"],
+                                    ascending=[False, True])
+        keep = merged.head(vocab_size)
+        singles = merged[merged["piece"].str.len() == 1]
+        cur = (pd.concat([keep, singles]).drop_duplicates("piece")
+               .reset_index(drop=True))
+
+    total = int(cur["n"].sum())
+    cur = cur.sort_values(["n", "piece"],
+                          ascending=[False, True]).reset_index(drop=True)
+    cur["logprob"] = (cur["n"] / total).map(
+        lambda p: round(math.log(p), 6))
+    return cur
