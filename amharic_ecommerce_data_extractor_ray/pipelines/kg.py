@@ -259,6 +259,83 @@ def kg_pagerank(sf_dir: str, *, damping: float = 0.85, n_iter: int = 5):
     return ranks.map_batches(finish, batch_format="pyarrow")
 
 
+def kg_hits(sf_dir: str, *, n_iter: int = 3):
+    """HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
+    vendor→entity KG — the companion importance signal to kg_pagerank:
+    on the bipartite graph, hub scores rank vendors by how strongly they
+    point at important entities, authority scores rank entities by how
+    strongly important vendors point at them.
+
+    Shape per half-iteration: ``edges ⋈ scores → weighted contrib →
+    groupby other-endpoint sum → L1 normalize`` — one hash join plus one
+    groupby on the vocabulary-sized edge table, exactly kg_pagerank's
+    per-step cost; the L1 norm is a scalar ``ds.sum()``.  Scores
+    materialize per step (tiny tables), output rounds to 6 decimals for
+    float merge-order immunity.
+
+    Returns (node_id, kind, score): kind ∈ {hub, authority}.
+    """
+    from ray.data.aggregate import Sum
+
+    e = (kg_edges(sf_dir).select_columns(["src_id", "dst_id", "weight"])
+         .map_batches(
+             lambda b: pa.table({
+                 "u": b["src_id"], "v": b["dst_id"],
+                 "w": pc.cast(b["weight"], pa.float64())}),
+             batch_format="pyarrow")
+         .materialize())
+
+    hubs = (e.groupby("u").aggregate(Sum("w", alias_name="_"))
+            .select_columns(["u"]).materialize())
+    n_u = hubs.count()
+    h = hubs.map_batches(
+        lambda b: pa.table({"u": b["u"],
+                            "h": pa.array([1.0 / n_u] * b.num_rows,
+                                          pa.float64())}),
+        batch_format="pyarrow").materialize()
+
+    a = None
+    for _ in range(n_iter):
+        raw_a = (e.join(h, join_type="inner", num_partitions=8, on=("u",))
+                 .map_batches(
+                     lambda b: pa.table({"v": b["v"],
+                                         "s": pc.multiply(b["w"], b["h"])}),
+                     batch_format="pyarrow")
+                 .groupby("v").aggregate(Sum("s", alias_name="s"))
+                 .materialize())
+        norm = raw_a.sum("s")
+        a = raw_a.map_batches(
+            lambda b, _n=norm: pa.table(
+                {"v": b["v"], "a": pc.divide(b["s"], pa.scalar(_n))}),
+            batch_format="pyarrow").materialize()
+        raw_h = (e.join(a, join_type="inner", num_partitions=8, on=("v",))
+                 .map_batches(
+                     lambda b: pa.table({"u": b["u"],
+                                         "s": pc.multiply(b["w"], b["a"])}),
+                     batch_format="pyarrow")
+                 .groupby("u").aggregate(Sum("s", alias_name="s"))
+                 .materialize())
+        norm = raw_h.sum("s")
+        h = raw_h.map_batches(
+            lambda b, _n=norm: pa.table(
+                {"u": b["u"], "h": pc.divide(b["s"], pa.scalar(_n))}),
+            batch_format="pyarrow").materialize()
+
+    hub_rows = h.map_batches(
+        lambda b: pa.table({
+            "node_id": b["u"],
+            "kind": pa.array(["hub"] * b.num_rows, pa.string()),
+            "score": pc.round(b["h"], ndigits=6)}),
+        batch_format="pyarrow")
+    auth_rows = a.map_batches(
+        lambda b: pa.table({
+            "node_id": b["v"],
+            "kind": pa.array(["authority"] * b.num_rows, pa.string()),
+            "score": pc.round(b["a"], ndigits=6)}),
+        batch_format="pyarrow")
+    return hub_rows.union(auth_rows)
+
+
 ENTITY_COLS = ["message_id", "repo", "views", "message_date",
                "content_sha256", "products", "prices", "locations",
                "contact_info", "all_numerical_prices"]

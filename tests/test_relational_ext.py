@@ -164,3 +164,37 @@ def test_distinct_set_op_matches_python_sets(ray_session):
     lk, rk = {r["k"] for r in left}, {r["k"] for r in right}
     assert inter == sorted(lk & rk)
     assert exc == sorted(lk - rk)
+
+
+def test_kg_hits_matches_numpy_power_iteration(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+
+    got = kg.kg_hits(SF, n_iter=3).to_pandas()
+    hubs = (got[got["kind"] == "hub"].set_index("node_id")["score"]
+            .sort_index())
+    auths = (got[got["kind"] == "authority"].set_index("node_id")["score"]
+             .sort_index())
+    # L1-normalized halves (up to the 6-decimal rounding)
+    assert abs(hubs.sum() - 1.0) < 1e-3
+    assert abs(auths.sum() - 1.0) < 1e-3
+
+    # independent dense recompute on the DIRECTED weighted edge list
+    e = kg.kg_edges(SF).to_pandas()
+    us = sorted(set(e["src_id"]))
+    vs = sorted(set(e["dst_id"]))
+    ui = {n: i for i, n in enumerate(us)}
+    vi = {n: i for i, n in enumerate(vs)}
+    W = np.zeros((len(us), len(vs)))
+    for s, d, w in zip(e["src_id"], e["dst_id"], e["weight"]):
+        W[ui[s], vi[d]] += w
+    h = np.full(len(us), 1.0 / len(us))
+    for _ in range(3):
+        a = W.T @ h
+        a /= a.sum()
+        h = W @ a
+        h /= h.sum()
+    want_h = pd.Series(np.round(h, 6), index=us).sort_index()
+    want_a = pd.Series(np.round(a, 6), index=vs).sort_index()
+    assert np.allclose(hubs.values, want_h.values, atol=2e-6)
+    assert np.allclose(auths.values, want_a.values, atol=2e-6)
+    assert list(hubs.index) == us and list(auths.index) == vs
