@@ -800,6 +800,14 @@ def q_trainset_build(sf_dir: str):
     return build_trainset(sf_dir, ppl_threshold=40.0, window=32, stride=24)
 
 
+def q_curriculum_order(sf_dir: str):
+    """Curriculum ordering: exact order-statistic length bands (histogram
+    fold, no global sort) + stable md5 within-band shuffle key."""
+    from .pipelines.trainset import curriculum_order
+
+    return curriculum_order(sf_dir, n_bands=8)
+
+
 def q_pack_bins(sf_dir: str):
     """Greedy first-fit sequence packing of docs into 256-token bins,
     parallel per source group (order-sensitive scan replayed by a
@@ -1306,6 +1314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pairs": q_bpe_pairs,
         "pack_bins": q_pack_bins,
         "trainset_build": q_trainset_build,
+        "curriculum_order": q_curriculum_order,
         "pq_codes": q_pq_codes,
         "similarity_pq_adc": q_similarity_pq_adc,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -1496,6 +1505,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pairs": oracles.bpe_pair_stats_sql(50),
         "pack_bins": oracles.pack_bins_sql(256),
         "trainset_build": oracles.trainset_build_sql(),
+        "curriculum_order": oracles.curriculum_order_sql(8),
         "pq_codes": oracles.pq_codes_sql(2, 16, 2, 64),
         "similarity_pq_adc": oracles.pq_adc_topk_sql(SIM_QUERY_IDS, SIM_K,
                                                       2, 16, 2, 64),

@@ -51,3 +51,76 @@ def build_trainset(sf_dir: str, *, ppl_threshold: float = 40.0,
     final = hash_semi_join(kept, low_ppl, on="doc_id",
                            num_partitions=num_partitions)
     return token_chunks(final, window=window, stride=stride)
+
+
+def curriculum_order(sf_dir: str, *, n_bands: int = 8):
+    """Curriculum data ordering (Bengio et al. 2009, as applied to LLM
+    data prep): bucket documents into ``n_bands`` ascending-length bands
+    (short → long ≈ easy → hard), then pseudo-shuffle within each band by
+    a stable per-doc hash.  The (band, shuffle_key, doc_id) lexicographic
+    order is the presentation order a curriculum dataloader consumes.
+
+    Scale shape — no global sort, no per-row rank shuffle:
+
+    1. Band boundaries are EXACT order statistics of the length
+       distribution, computed from a per-block Arrow ``group_by`` length
+       histogram folded through one native Sum groupby.  The shuffle
+       payload is the distinct-length vocabulary (bounded by max doc
+       length), never the corpus; the driver folds one row per distinct
+       length.
+    2. Assignment is a single streaming vectorized pass:
+       ``np.searchsorted`` against the broadcast boundary array plus the
+       repo-standard ``md5_number_lower`` key hash (shard-stable, no RNG
+       state — reproducible across runs and cluster sizes).
+
+    Boundary semantics: band k (1-based) covers scores ≤ the score at
+    ascending rank ``ceil(k·n/B)`` (ties share a band — all equal-length
+    docs land together, so the split is deterministic without a tie-break
+    rank).  Mirrored exactly by the SQL oracle via ``row_number`` order
+    statistics.
+    """
+    import numpy as np
+
+    from ..stages.dedup import _stable_u64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        score = pc.utf8_length(pc.coalesce(b["text"], pa.scalar("")))
+        t = pa.table({"score": pc.cast(score, pa.int64())})
+        return (t.group_by(["score"]).aggregate([([], "count_all")])
+                .rename_columns(["score", "cnt"]))
+
+    from ray.data.aggregate import Sum
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("score").aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas().sort_values("score").reset_index(drop=True))
+    counts = hist["cnt"].to_numpy(dtype=np.int64)
+    scores = hist["score"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    # boundary rank ceil(k*n/B) → first distinct score whose cumulative
+    # count reaches it (== the score at that ascending rank)
+    ranks = np.array([-(-k * n // n_bands) for k in range(1, n_bands)],
+                     dtype=np.int64)
+    bounds = scores[np.searchsorted(cum, ranks, side="left")] \
+        if n else np.array([], dtype=np.int64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        score = pc.cast(
+            pc.utf8_length(pc.coalesce(b["text"], pa.scalar(""))),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        band = np.searchsorted(bounds, score, side="left") + 1
+        ids = b["doc_id"].to_pylist()
+        key = np.fromiter(
+            (_stable_u64(str(i)) % (1 << 63) for i in ids),
+            np.int64, len(ids))
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "score": pa.array(score, pa.int64()),
+            "band": pa.array(band.astype(np.int64), pa.int64()),
+            "shuffle_key": pa.array(key, pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")

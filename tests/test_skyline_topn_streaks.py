@@ -103,3 +103,29 @@ def test_user_streaks(ray_session, con):
     # islands partition the active days
     assert (got["longest"] <= got["active_days"]).all()
     assert (got["n_streaks"] <= got["active_days"]).all()
+
+
+def test_curriculum_order_bands_partition_by_length(ray_session):
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.trainset import (
+        curriculum_order)
+
+    df = curriculum_order("/root/testdata/sf0.001", n_bands=8).to_pandas()
+    assert len(df) == 500 and df["doc_id"].is_unique
+    # bands are monotone in score: max score of band k <= min score of k+1
+    g = df.groupby("band")["score"].agg(["min", "max", "count"]).sort_index()
+    assert (g["max"].to_numpy()[:-1] <= g["min"].to_numpy()[1:]).all()
+    # near-equal band sizes up to tie spill: each boundary rank is hit
+    n, B = len(df), 8
+    cum = g["count"].cumsum().to_numpy()
+    for k in range(1, B):
+        want_rank = -(-k * n // B)
+        # the band containing the boundary rank ends at/after it
+        assert cum[k - 1] >= want_rank or g["max"].iloc[k - 1] == g["min"].iloc[k - 1]
+    # shuffle key is the pinned md5 fold
+    import hashlib, struct
+    r = df.iloc[0]
+    h = struct.unpack(
+        "<Q", hashlib.md5(str(r["doc_id"]).encode()).digest()[8:16])[0]
+    assert r["shuffle_key"] == h % (1 << 63)
