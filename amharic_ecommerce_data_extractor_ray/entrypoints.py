@@ -800,6 +800,21 @@ def q_trainset_build(sf_dir: str):
     return build_trainset(sf_dir, ppl_threshold=40.0, window=32, stride=24)
 
 
+def q_tagger_confusion(sf_dir: str):
+    """Rule-vs-model confusion matrix: one fused corpus pass, label-vocab²
+    exchange (no prediction-table join)."""
+    from .pipelines.evalharness import tagger_confusion
+
+    return tagger_confusion(sf_dir)
+
+
+def q_tagger_kappa(sf_dir: str):
+    """Cohen's kappa (chance-corrected agreement) between the two taggers."""
+    from .pipelines.evalharness import tagger_kappa
+
+    return tagger_kappa(sf_dir)
+
+
 def q_curriculum_order(sf_dir: str):
     """Curriculum ordering: exact order-statistic length bands (histogram
     fold, no global sort) + stable md5 within-band shuffle key."""
@@ -1315,6 +1330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins": q_pack_bins,
         "trainset_build": q_trainset_build,
         "curriculum_order": q_curriculum_order,
+        "tagger_confusion": q_tagger_confusion,
+        "tagger_kappa": q_tagger_kappa,
         "pq_codes": q_pq_codes,
         "similarity_pq_adc": q_similarity_pq_adc,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -1506,6 +1523,8 @@ def oracle_sql() -> dict[str, str]:
         "pack_bins": oracles.pack_bins_sql(256),
         "trainset_build": oracles.trainset_build_sql(),
         "curriculum_order": oracles.curriculum_order_sql(8),
+        "tagger_confusion": oracles.tagger_confusion_sql(),
+        "tagger_kappa": oracles.tagger_kappa_sql(),
         "pq_codes": oracles.pq_codes_sql(2, 16, 2, 64),
         "similarity_pq_adc": oracles.pq_adc_topk_sql(SIM_QUERY_IDS, SIM_K,
                                                       2, 16, 2, 64),

@@ -141,3 +141,84 @@ def split_corpus(sentences_ds, *, test_size: float = 0.2, seed: int = 42):
     deterministic for a pinned seed."""
     return sentences_ds.train_test_split(test_size=test_size, shuffle=True,
                                          seed=seed)
+
+
+class TaggerAgreementStage:
+    """Actor-pool stage for the rule-vs-model agreement audit (the check a
+    team runs before promoting a pseudo-labeler to silver-label producer):
+    ONE corpus pass tags every message with BOTH the heuristic rule tagger
+    and the numpy model forward pass, then emits per-batch confusion
+    partials (rule_label, model_label, n) — no join between two prediction
+    tables, no per-token shuffle; the exchange is label-vocab² sized.
+
+    Model weights build once per actor (``NumpyModelTagStage`` in
+    ``__init__``); both taggers consume the same normalize→tokenize token
+    sequence, so labels align positionally by construction."""
+
+    def __init__(self):
+        from ..stages.enrich import NumpyModelTagStage
+
+        self._model = NumpyModelTagStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.enrich import _tag_rows
+
+        texts = batch["content"].to_pylist()
+        rule = _tag_rows(texts)
+        tokens_col = [[t for t, _ in pairs] for pairs in rule]
+        mt = self._model(pa.table(
+            {"tokens": pa.array(tokens_col, pa.list_(pa.string()))}))
+        mlabels = mt["tag_labels"].to_pylist()
+        c: Counter = Counter()
+        for pairs, ml in zip(rule, mlabels):
+            for (_, rl), m in zip(pairs, ml):
+                c[(rl, m)] += 1
+        ks = sorted(c)
+        return pa.table({
+            "rule_label": pa.array([k[0] for k in ks], pa.string()),
+            "model_label": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64()),
+        })
+
+
+def tagger_confusion(sf_dir: str):
+    """Rule-vs-model token-level confusion matrix over the corpus."""
+    from ray.data.aggregate import Sum
+
+    from .kg import corpus_ds
+
+    return (corpus_ds(sf_dir)
+            .map_batches(TaggerAgreementStage, batch_format="pyarrow",
+                         batch_size=256, concurrency=2)
+            .groupby(["rule_label", "model_label"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def tagger_kappa(sf_dir: str):
+    """Cohen's kappa between the rule tagger and the model tagger — chance-
+    corrected inter-annotator agreement.  The driver folds only the
+    label-vocab² confusion matrix; everything token-sized stays distributed
+    in ``tagger_confusion``."""
+    import math
+
+    import pandas as pd
+
+    cm = tagger_confusion(sf_dir).to_pandas()
+    n = int(cm["n"].sum())
+    agree = int(cm.loc[cm["rule_label"] == cm["model_label"], "n"].sum())
+    rows = cm.groupby("rule_label")["n"].sum()
+    cols = cm.groupby("model_label")["n"].sum()
+    pe_num = sum(int(rows.get(l, 0)) * int(cols.get(l, 0))
+                 for l in set(rows.index) | set(cols.index))
+    po = agree / n
+    pe = pe_num / (n * n)
+    kappa = (po - pe) / (1.0 - pe)
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    return pd.DataFrame({
+        "n_tokens": pd.array([n], dtype="int64"),
+        "n_agree": pd.array([agree], dtype="int64"),
+        "po": [r6(po)], "pe": [r6(pe)], "kappa": [r6(kappa)],
+    })
