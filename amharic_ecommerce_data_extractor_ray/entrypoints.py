@@ -278,6 +278,17 @@ def q_token_counts(sf_dir: str):
     return ds.select_columns(["message_id", "n_ws_tokens", "n_bpe_tokens"])
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style quality rule suite (Rae et al. 2021) with per-rule
+    audit flags; stateless streaming kernel."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return ds.map_batches(textstats.gopher_rules_batch,
+                          batch_format="pyarrow")
+
+
 def q_doc_quality(sf_dir: str):
     import ray.data as rd
 
@@ -1299,6 +1310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": q_langid,
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
+        "gopher_rules": q_gopher_rules,
         "doc_fingerprint": q_fingerprint,
         "token_topk": q_token_topk,
         "token_topk_sketch": q_token_topk_sketch,
@@ -1493,6 +1505,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": oracles.langid_sql(),
         "token_counts": oracles.token_count_sql(),
         "doc_quality": oracles.quality_sql(),
+        "gopher_rules": oracles.gopher_rules_sql(),
         "dedup_exact": oracles.exact_dedup_sql(),
         "curate_documents": oracles.curate_documents_sql(),
         "similarity_topk": oracles.similarity_topk_sql(SIM_QUERY_IDS, SIM_K),

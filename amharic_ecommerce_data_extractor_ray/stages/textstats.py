@@ -230,3 +230,57 @@ def top_domains_batch(batch: pa.Table, *, text_col: str = "content",
         "domain": pa.array([k[1] for k in keys], pa.string()),
         "n": pa.array([c[k] for k in keys], pa.int64()),
     })
+
+
+def gopher_rules_batch(batch: pa.Table, *, text_col: str = "text",
+                       min_words: int = 5, max_words: int = 10_000) -> pa.Table:
+    """Gopher-style document quality rules (Rae et al. 2021, appendix A1.1)
+    as exact integer-rational predicates — the published heuristic filter
+    suite LLM data pipelines run before dedup:
+
+    - word count in [min_words, max_words]
+    - mean word length in [3, 10]    (as 3·n ≤ Σ|w| ≤ 10·n)
+    - symbol-to-word ratio ≤ 0.1     (as 10·punct ≤ n)
+    - ≥ 80% words contain a letter   (as 5·alpha ≥ 4·n; ASCII-letter
+      variant — multilingual corpora swap in a Unicode class)
+    - ≥ 2 distinct English stopwords present
+
+    All-integer comparisons → bit-identical in the SQL mirror; emits one
+    0/1 flag per rule plus the conjunction, so downstream can audit WHY a
+    doc fell out (the operational need the boolean-only filter hides).
+    Stateless Arrow batch kernel: streams, no shuffle."""
+    import numpy as np
+
+    texts = batch[text_col].to_pylist()
+    n_toks, wchars, n_punct, n_alpha, n_stopd = [], [], [], [], []
+    for t in texts:
+        toks = (t or "").split()
+        n_toks.append(len(toks))
+        wchars.append(sum(len(w) for w in toks))
+        n_punct.append(len(PUNCT_RE.findall(t or "")))
+        n_alpha.append(sum(1 for w in toks if _ASCII_ALPHA_RE.search(w)))
+        n_stopd.append(len({w for w in toks if w in STOPWORDS_EN}))
+    n = np.asarray(n_toks, np.int64)
+    wc = np.asarray(wchars, np.int64)
+    pu = np.asarray(n_punct, np.int64)
+    al = np.asarray(n_alpha, np.int64)
+    st = np.asarray(n_stopd, np.int64)
+    ok_words = ((n >= min_words) & (n <= max_words)).astype(np.int64)
+    ok_mean = ((3 * n <= wc) & (wc <= 10 * n)).astype(np.int64)
+    ok_symbol = (10 * pu <= n).astype(np.int64)
+    ok_alpha = (5 * al >= 4 * n).astype(np.int64)
+    ok_stop = (st >= 2).astype(np.int64)
+    keep = ok_words * ok_mean * ok_symbol * ok_alpha * ok_stop
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_tokens": pa.array(n, pa.int64()),
+        "ok_words": pa.array(ok_words, pa.int64()),
+        "ok_mean_len": pa.array(ok_mean, pa.int64()),
+        "ok_symbol": pa.array(ok_symbol, pa.int64()),
+        "ok_alpha": pa.array(ok_alpha, pa.int64()),
+        "ok_stop": pa.array(ok_stop, pa.int64()),
+        "keep": pa.array(keep, pa.int64()),
+    })
+
+
+_ASCII_ALPHA_RE = re.compile(r"[A-Za-z]")

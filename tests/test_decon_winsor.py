@@ -39,3 +39,24 @@ def test_winsorized_means_vs_duckdb_and_bounds(ray_session):
     assert (got["winsorized_mean"] <= got["p_hi"]).all()
     assert (got["trimmed_mean"] >= got["p_lo"]).all()
     assert (got["trimmed_mean"] <= got["p_hi"]).all()
+
+
+def test_gopher_rules_flags_and_conjunction(ray_session):
+    from amharic_ecommerce_data_extractor_ray.entrypoints import q_gopher_rules
+
+    df = q_gopher_rules("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500 and df["doc_id"].is_unique
+    flags = ["ok_words", "ok_mean_len", "ok_symbol", "ok_alpha", "ok_stop"]
+    assert df[flags + ["keep"]].isin([0, 1]).all().all()
+    # keep is exactly the conjunction of the five rules
+    assert (df["keep"] == df[flags].prod(axis=1)).all()
+    # hand-check one doc against the rule definitions
+    import pyarrow.parquet as pq
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    row = t.iloc[7]
+    toks = (row["text"] or "").split()
+    got = df.set_index("doc_id").loc[row["doc_id"]]
+    assert got["n_tokens"] == len(toks)
+    assert got["ok_mean_len"] == int(
+        3 * len(toks) <= sum(map(len, toks)) <= 10 * len(toks))
