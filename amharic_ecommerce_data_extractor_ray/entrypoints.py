@@ -1048,6 +1048,26 @@ def q_similarity_topk(sf_dir: str):
     return similarity.brute_force_topk(emb, SIM_QUERY_IDS, k=SIM_K)
 
 
+def q_embedding_gram(sf_dir: str):
+    """Distributed (n, Σx, XᵀX) fold: driver receives ONE 33 KiB state via
+    AggregateFn tree merge, never O(n_blocks) partials."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"])
+    return similarity.embedding_gram(emb, dim=64)
+
+
+def q_embedding_pca(sf_dir: str):
+    """PCA projection (top-4 components) from the same one-pass fold;
+    deterministic sign convention.  Non-SQL (eigh) → property-tested."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return similarity.embedding_pca(emb, dim=64, k=4)
+
+
 def q_hard_negatives(sf_dir: str):
     import ray.data as rd
 
@@ -1402,6 +1422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         # similarity search
         "similarity_topk": q_similarity_topk,
+        "embedding_gram": q_embedding_gram,
+        "embedding_pca": q_embedding_pca,
         "similarity_lsh": q_similarity_lsh,
         "similarity_ivf": q_similarity_ivf,
         # multimodal plumbing
@@ -1509,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.exact_dedup_sql(),
         "curate_documents": oracles.curate_documents_sql(),
         "similarity_topk": oracles.similarity_topk_sql(SIM_QUERY_IDS, SIM_K),
+        "embedding_gram": oracles.embedding_gram_sql(64),
         "multimodal_meta": oracles.multimodal_meta_sql(),
         "rel_filter_project": oracles.filter_project_revenue_sql(),
         "rel_pricing_summary": oracles.pricing_summary_sql(),

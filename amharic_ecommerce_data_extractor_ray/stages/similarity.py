@@ -887,3 +887,90 @@ def hard_negatives(emb_ds, query_ids: list[int], k: int = 5, *,
            .reset_index(drop=True))
     return (out[["query_id", "rank", "negative_id", "neg_label", "cosine"]]
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def _gram_fold(ds, *, col: str = "embedding", dim: int = 64):
+    """Distributed (n, Σx, XᵀX) fold over an embedding column.
+
+    Each block computes its local Gram partial with ONE float64 matmul;
+    partials merge through a custom ``AggregateFn`` (the bloom/KMV tree
+    shape — ``stages/joins.py:build_bloom``): the driver receives exactly
+    one (1 + d + d²)-float64 state (~33 KiB at d=64), never O(n_blocks)
+    rows.  Returns (n, sum_vec, S)."""
+    from ray.data.aggregate import AggregateFn
+
+    width = 1 + dim + dim * dim
+
+    def partial(b: pa.Table) -> pa.Table:
+        X = np.asarray(b[col].to_pylist(), dtype=np.float64)
+        state = np.zeros(width, np.float64)
+        if len(X):
+            state[0] = len(X)
+            state[1:1 + dim] = X.sum(axis=0)
+            state[1 + dim:] = (X.T @ X).ravel()
+        return pa.table({"g": pa.array([state.tobytes()], pa.binary())})
+
+    def _acc(acc: np.ndarray, block: pa.Table) -> np.ndarray:
+        for raw in block["g"].to_pylist():
+            acc = acc + np.frombuffer(raw, dtype=np.float64)
+        return acc
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(width, np.float64),
+        merge=lambda a, b: a + b,
+        accumulate_block=_acc,
+        finalize=lambda acc: acc.tobytes(),
+        name="g",
+    )
+    merged = np.frombuffer(
+        ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow").aggregate(agg)["g"],
+        dtype=np.float64)
+    n = int(merged[0])
+    return n, merged[1:1 + dim], merged[1 + dim:].reshape(dim, dim)
+
+
+def embedding_gram(ds, *, col: str = "embedding", dim: int = 64,
+                   ndigits: int = 6):
+    """Uncentered Gram/second-moment matrix as (i, j, gram) rows (1-based),
+    rounded for float merge-order immunity — the SQL-checkable face of the
+    distributed linear-algebra fold PCA builds on."""
+    _, _, S = _gram_fold(ds, col=col, dim=dim)
+    i, j = np.divmod(np.arange(dim * dim, dtype=np.int64), dim)
+    return pd.DataFrame({
+        "i": i + 1, "j": j + 1,
+        "gram": np.floor(S.ravel() * 10.0 ** ndigits + 0.5)
+        / 10.0 ** ndigits,
+    })
+
+
+def embedding_pca(ds, *, col: str = "embedding", id_col: str = "vec_id",
+                  dim: int = 64, k: int = 4, ndigits: int = 6):
+    """Distributed PCA: covariance from the one-pass Gram fold (driver does
+    a d×d ``eigh`` — trivial), then a streaming projection pass with the
+    component matrix broadcast in the task closure.  Sign convention: each
+    component's largest-|entry| coordinate is made positive, so output is
+    deterministic despite eigenvector sign ambiguity.  Non-SQL (eigen-
+    decomposition) → gated by reconstruction/variance property tests, not
+    an oracle."""
+    n, s, S = _gram_fold(ds, col=col, dim=dim)
+    mean = s / n
+    cov = (S - n * np.outer(mean, mean)) / (n - 1)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = V[:, order]                      # (d, k)
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0),
+                         np.arange(comps.shape[1])])
+    comps = comps * flip
+
+    def project(b: pa.Table) -> pa.Table:
+        X = np.asarray(b[col].to_pylist(), dtype=np.float64) - mean
+        P = X @ comps
+        cols = {id_col: b[id_col]}
+        for c in range(comps.shape[1]):
+            cols[f"pc{c + 1}"] = pa.array(
+                np.floor(P[:, c] * 10.0 ** ndigits + 0.5) / 10.0 ** ndigits,
+                pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

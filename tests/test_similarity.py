@@ -231,3 +231,39 @@ def test_hash_membership_flag_matches_semi_anti(ray_session):
     assert set(flagged[flagged["hit"]]["k"]) == semi
     assert set(flagged[~flagged["hit"]]["k"]) == anti
     assert len(flagged) == 40
+
+
+def test_embedding_pca_variance_and_reconstruction(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import (
+        embedding_pca)
+    import ray.data as rd
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    got = (embedding_pca(emb, dim=64, k=4).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert list(got.columns) == ["vec_id", "pc1", "pc2", "pc3", "pc4"]
+
+    # dense recompute: projections match numpy PCA up to the pinned sign
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    X = np.asarray(t["embedding"].tolist(), np.float64)
+    Xc = X - X.mean(axis=0)
+    cov = Xc.T @ Xc / (len(X) - 1)
+    w, V = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    comps = V[:, order]
+    comps *= np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(4)])
+    P = Xc @ comps
+    assert np.allclose(got[["pc1", "pc2", "pc3", "pc4"]].to_numpy(), P,
+                       atol=2e-6)
+    # per-component sample variance equals the eigenvalue (PCA identity)
+    assert np.allclose(P.var(axis=0, ddof=1), np.sort(w)[::-1][:4],
+                       rtol=1e-9)
+    # components are ordered by explained variance
+    v = got[["pc1", "pc2", "pc3", "pc4"]].to_numpy().var(axis=0, ddof=1)
+    assert (np.diff(v) <= 1e-12).all()
