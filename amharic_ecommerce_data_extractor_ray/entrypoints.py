@@ -1373,6 +1373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_window_dedup": relational.window_dedup_events,
         "rel_gap_fill": relational.gap_fill_locf,
         "rel_ewma": relational.ewma_daily,
+        "rel_decayed_activity": relational.decayed_activity,
         "rel_small_qty_revenue": relational.small_quantity_revenue,
         "rel_priority_exists": relational.priority_order_counts,
         "rel_pushdown_scan": relational.pushdown_scan,
@@ -1571,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_window_dedup": oracles.window_dedup_events_sql(),
         "rel_gap_fill": oracles.gap_fill_locf_sql(),
         "rel_ewma": oracles.ewma_daily_sql(0.3),
+        "rel_decayed_activity": oracles.decayed_activity_sql(0.9),
         "rel_small_qty_revenue": oracles.small_quantity_revenue_sql(0.5),
         "rel_priority_exists": oracles.priority_order_counts_sql(),
         "rel_pushdown_scan": oracles.pushdown_scan_sql(),

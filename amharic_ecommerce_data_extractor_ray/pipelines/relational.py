@@ -2960,3 +2960,53 @@ def user_streaks(sf_dir: str):
         out[c] = out[c].astype("int64")
     out["user_id"] = out["user_id"].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def decayed_activity(sf_dir: str, *, decay: float = 0.9):
+    """Recency-weighted user activity: Σ value·λ^Δdays with Δdays measured
+    back from the corpus max date — the time-decay feature recommendation /
+    fraud pipelines keep per user.  Unlike the recursive EWMA
+    (``ewma_daily``), the decay-to-reference sum is ALGEBRAIC: per-batch
+    partials merge under any order, so it's one combiner ``group_by`` +
+    one native Sum shuffle, no order-sensitive scan.
+
+    Two passes: a scalar max-date aggregate (one tiny fold), then the
+    weighted combiner pass with the reference date in the task closure.
+    Output rounds to 6dp (floor-half-up, mirrored in SQL) for float
+    merge-order immunity."""
+    import numpy as np
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    ref_day = np.datetime64(ds.max("ts"), "D")
+
+    def partials(b: pa.Table) -> pa.Table:
+        days = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        delta = (ref_day - days).astype(np.int64)
+        w = np.power(decay, delta.astype(np.float64))
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table({
+            "user_id": b["user_id"],
+            "dv": pa.array(v * w, pa.float64()),
+            "n": pa.array(np.ones(len(v), np.int64)),
+        })
+        return (t.group_by(["user_id"])
+                .aggregate([("dv", "sum"), ("n", "sum")])
+                .rename_columns(["user_id", "dv", "n"]))
+
+    from ray.data.aggregate import Sum
+    out = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Sum("dv", alias_name="dv"), Sum("n", alias_name="n")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        dv = b["dv"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "n_events": b["n"],
+            "decayed_value": pa.array(np.floor(dv * 1e6 + 0.5) / 1e6,
+                                      pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")

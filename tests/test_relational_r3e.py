@@ -68,3 +68,33 @@ def test_idle_rich_matches_pandas(ray_session):
     pd.testing.assert_frame_equal(
         got, exp.sort_values("n_name").reset_index(drop=True),
         check_dtype=False)
+
+
+def test_decayed_activity_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        decayed_activity)
+
+    sf = "/root/testdata/sf0.001"
+    got = (decayed_activity(sf, decay=0.9).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "ts", "value"]).to_pandas()
+    ref = ev["ts"].dt.floor("D").max()
+    delta = (ref - ev["ts"].dt.floor("D")).dt.days.to_numpy()
+    ev["dv"] = ev["value"].to_numpy() * np.power(0.9, delta)
+    want = (ev.groupby("user_id")
+            .agg(n_events=("dv", "size"), decayed_value=("dv", "sum"))
+            .reset_index())
+    want["decayed_value"] = np.floor(
+        want["decayed_value"].to_numpy() * 1e6 + 0.5) / 1e6
+    pd.testing.assert_frame_equal(
+        got, want.sort_values("user_id").reset_index(drop=True),
+        check_dtype=False, atol=2e-6)
+    # decay sanity: every |decayed| <= plain |sum|
+    plain = ev.groupby("user_id")["value"].apply(
+        lambda s: np.abs(s).sum()).to_numpy()
+    assert (np.abs(got["decayed_value"].to_numpy()) <= plain + 1e-9).all()
