@@ -278,6 +278,32 @@ def q_token_counts(sf_dir: str):
     return ds.select_columns(["message_id", "n_ws_tokens", "n_bpe_tokens"])
 
 
+def q_langid_confusion(sf_dir: str):
+    """Declared-vs-predicted language confusion matrix: langid kernel +
+    per-batch (lang, pred_lang) count partials, label-vocab² shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = textstats.langid_batch(b, text_col="content")
+        return (pa.table({"lang": t["lang"], "pred_lang": t["pred_lang"]})
+                .group_by(["lang", "pred_lang"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["lang", "pred_lang", "n"]))
+
+    return (kg.corpus_ds(sf_dir)
+            .map_batches(partials, batch_format="pyarrow")
+            .groupby(["lang", "pred_lang"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def q_expectations(sf_dir: str):
+    """Deequ-style constraint suite: row checks fused into one streaming
+    scan, uniqueness via key-only groupby, referential via anti join."""
+    from .stages.expectations import expectations_report
+
+    return expectations_report(sf_dir)
+
+
 def q_gopher_rules(sf_dir: str):
     """Gopher-style quality rule suite (Rae et al. 2021) with per-rule
     audit flags; stateless streaming kernel."""
@@ -1331,6 +1357,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
         "gopher_rules": q_gopher_rules,
+        "expectations": q_expectations,
+        "langid_confusion": q_langid_confusion,
         "doc_fingerprint": q_fingerprint,
         "token_topk": q_token_topk,
         "token_topk_sketch": q_token_topk_sketch,
@@ -1374,6 +1402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_gap_fill": relational.gap_fill_locf,
         "rel_ewma": relational.ewma_daily,
         "rel_decayed_activity": relational.decayed_activity,
+        "rel_rfm_scores": relational.rfm_scores,
         "rel_small_qty_revenue": relational.small_quantity_revenue,
         "rel_priority_exists": relational.priority_order_counts,
         "rel_pushdown_scan": relational.pushdown_scan,
@@ -1529,6 +1558,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles.token_count_sql(),
         "doc_quality": oracles.quality_sql(),
         "gopher_rules": oracles.gopher_rules_sql(),
+        "expectations": oracles.expectations_report_sql(),
+        "langid_confusion": oracles.langid_confusion_sql(),
         "dedup_exact": oracles.exact_dedup_sql(),
         "curate_documents": oracles.curate_documents_sql(),
         "similarity_topk": oracles.similarity_topk_sql(SIM_QUERY_IDS, SIM_K),
@@ -1573,6 +1604,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_gap_fill": oracles.gap_fill_locf_sql(),
         "rel_ewma": oracles.ewma_daily_sql(0.3),
         "rel_decayed_activity": oracles.decayed_activity_sql(0.9),
+        "rel_rfm_scores": oracles.rfm_scores_sql(5),
         "rel_small_qty_revenue": oracles.small_quantity_revenue_sql(0.5),
         "rel_priority_exists": oracles.priority_order_counts_sql(),
         "rel_pushdown_scan": oracles.pushdown_scan_sql(),

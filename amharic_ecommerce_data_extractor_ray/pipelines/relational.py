@@ -3010,3 +3010,103 @@ def decayed_activity(sf_dir: str, *, decay: float = 0.9):
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def rfm_scores(sf_dir: str, *, n_bands: int = 5):
+    """RFM (recency / frequency / monetary) quintile scoring per user —
+    the classic marketing segmentation, here as the LLM-era "which data
+    sources are active and valuable" profile.
+
+    Shape: ONE combiner groupby builds the per-user aggregate table
+    (max day via Max, count via Sum, exact int64 cents via the gini
+    convention); each metric's band boundaries are exact order statistics
+    from that table's distinct-value histogram (the curriculum_order
+    machinery: driver folds metric-vocabulary counts, never user rows at
+    scale beyond the aggregate itself — user-vocabulary sized, not
+    event-sized).  Ties share a band, so assignment is deterministic
+    without a tie-break rank.  Bands ascend with the metric value
+    (r_band 1 = most recent, f/m_band {n_bands} = most active/valuable).
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Max, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    ref_day = np.datetime64(ds.max("ts"), "D")
+
+    def partials(b: pa.Table) -> pa.Table:
+        days = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)) \
+            .astype(np.int64)
+        t = pa.table({
+            "user_id": b["user_id"],
+            "day": pa.array(days, pa.int64()),
+            "n": pa.array(np.ones(len(v), np.int64)),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        return (t.group_by(["user_id"])
+                .aggregate([("day", "max"), ("n", "sum"), ("cents", "sum")])
+                .rename_columns(["user_id", "day", "n", "cents"]))
+
+    per_user = (ds.map_batches(partials, batch_format="pyarrow")
+                .groupby("user_id")
+                .aggregate(Max("day", alias_name="day"),
+                           Sum("n", alias_name="n"),
+                           Sum("cents", alias_name="cents"))
+                .materialize())
+
+    ref_int = ref_day.astype("datetime64[D]").astype(np.int64)
+
+    def metrics(b: pa.Table) -> pa.Table:
+        rec = ref_int - b["day"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": b["user_id"],
+            "recency_days": pa.array(rec.astype(np.int64), pa.int64()),
+            "frequency": b["n"],
+            "monetary_cents": b["cents"],
+        })
+
+    m = per_user.map_batches(metrics, batch_format="pyarrow").materialize()
+
+    def bounds_for(col: str) -> np.ndarray:
+        # distinct-value histogram → exact order-statistic boundaries
+        # (trainset.curriculum_order semantics: rank ceil(k*n/B), ties
+        # share a band)
+        from ray.data.aggregate import Sum as _Sum
+
+        hist = (m.select_columns([col])
+                .map_batches(
+                    lambda b, _c=col: (
+                        pa.table({_c: b[_c]})
+                        .group_by([_c]).aggregate([([], "count_all")])
+                        .rename_columns([_c, "cnt"])),
+                    batch_format="pyarrow")
+                .groupby(col).aggregate(_Sum("cnt", alias_name="cnt"))
+                .to_pandas().sort_values(col).reset_index(drop=True))
+        counts = hist["cnt"].to_numpy(dtype=np.int64)
+        vals = hist[col].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        ranks = np.array([-(-k * n // n_bands)
+                          for k in range(1, n_bands)], dtype=np.int64)
+        return vals[np.searchsorted(cum, ranks, side="left")]
+
+    rb = bounds_for("recency_days")
+    fb = bounds_for("frequency")
+    mb = bounds_for("monetary_cents")
+
+    def assign(b: pa.Table) -> pa.Table:
+        def band(col: str, bounds: np.ndarray) -> pa.Array:
+            x = b[col].to_numpy(zero_copy_only=False)
+            return pa.array(
+                (np.searchsorted(bounds, x, side="left") + 1)
+                .astype(np.int64), pa.int64())
+
+        return (b.append_column("r_band", band("recency_days", rb))
+                 .append_column("f_band", band("frequency", fb))
+                 .append_column("m_band", band("monetary_cents", mb)))
+
+    return m.map_batches(assign, batch_format="pyarrow")
