@@ -3110,3 +3110,52 @@ def rfm_scores(sf_dir: str, *, n_bands: int = 5):
                  .append_column("m_band", band("monetary_cents", mb)))
 
     return m.map_batches(assign, batch_format="pyarrow")
+
+
+def late_event_audit(sf_dir: str, *, lateness_hours: int = 24):
+    """Streaming watermark semantics replayed in batch: within each user's
+    stream (arrival order = event_id), the watermark after arrival i is
+    ``max(ts[0..i-1]) − lateness`` — an event whose event-time falls behind
+    the watermark is LATE and would be dropped/side-routed by a streaming
+    window operator.  This audit quantifies that loss before anyone turns
+    on real streaming ingestion.
+
+    Shape: one groupby(user) co-locates each stream, per-group vectorized
+    prefix-max scan (``np.maximum.accumulate`` — no Python loop); the same
+    one-key-stream partitioning assumption as sessionize/ewma_daily.
+    Lateness is exact integer seconds (µs epoch arithmetic).
+
+    The synthetic event stream arrives in event-time order, so this audit
+    correctly reports ZERO late events on it (pinned by the oracle AND a
+    test); the firing path is exercised on a shuffled synthetic stream in
+    tests/test_expectations.py."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    return watermark_audit(ds, lateness_hours=lateness_hours)
+
+
+def watermark_audit(ds, *, lateness_hours: int = 24):
+    """Core of ``late_event_audit`` over any (event_id, user_id, ts)
+    stream dataset."""
+    import numpy as np
+
+    late_us = np.int64(lateness_hours) * 3_600_000_000
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id")
+        us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        prev_max = np.empty_like(us)
+        prev_max[0] = us[0]          # first arrival is never late
+        if len(us) > 1:
+            prev_max[1:] = np.maximum.accumulate(us)[:-1]
+        wm = prev_max - late_us
+        late = us < wm
+        lateness_sec = np.where(late, (wm - us) // 1_000_000, 0)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "is_late": late.astype(np.int64),
+            "lateness_sec": lateness_sec.astype(np.int64),
+        })
+
+    return ds.groupby("user_id").map_groups(audit, batch_format="pandas")

@@ -59,3 +59,40 @@ def test_rfm_scores_band_semantics(ray_session):
         assert df[band].between(1, 5).all()
         # equal metric values share a band (tie-sharing semantics)
         assert (df.groupby(metric)[band].nunique() == 1).all()
+
+
+def test_late_event_audit_semantics(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        late_event_audit)
+
+    df = late_event_audit(SF, lateness_hours=24).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    assert len(df) == len(ev)
+    # the synthetic stream arrives in event-time order: ZERO late events
+    # is the CORRECT answer (pinned invariant, matches the oracle)
+    assert df["is_late"].sum() == 0 and df["lateness_sec"].eq(0).all()
+
+    # firing path: a shuffled synthetic stream (arrival != event time)
+    import pandas as pd
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        watermark_audit)
+
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    hours = [0, 50, 1, 2, 100, 3]          # events 2,3,5 arrive way late
+    synth = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "user_id": np.zeros(6, dtype=np.int64),
+        "ts": [base + np.timedelta64(h, "h") for h in hours],
+    })
+    got = (watermark_audit(rd.from_pandas(synth), lateness_hours=24)
+           .to_pandas().sort_values("event_id"))
+    # watermark after arrival of hour-50 event = 50-24 = 26h
+    assert got["is_late"].tolist() == [0, 0, 1, 1, 0, 1]
+    assert got["lateness_sec"].tolist() == [
+        0, 0, 25 * 3600, 24 * 3600, 0, 73 * 3600]
