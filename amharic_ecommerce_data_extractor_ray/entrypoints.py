@@ -852,6 +852,14 @@ def q_tagger_kappa(sf_dir: str):
     return tagger_kappa(sf_dir)
 
 
+def q_pretrain_corpus(sf_dir: str):
+    """Composed flagship: Gopher filter → exact dedup → curriculum order;
+    oracle replays the whole chain in one statement."""
+    from .pipelines.trainset import pretrain_corpus
+
+    return pretrain_corpus(sf_dir, n_bands=8)
+
+
 def q_curriculum_order(sf_dir: str):
     """Curriculum ordering: exact order-statistic length bands (histogram
     fold, no global sort) + stable md5 within-band shuffle key."""
@@ -1390,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins": q_pack_bins,
         "trainset_build": q_trainset_build,
         "curriculum_order": q_curriculum_order,
+        "pretrain_corpus": q_pretrain_corpus,
         "tagger_confusion": q_tagger_confusion,
         "tagger_kappa": q_tagger_kappa,
         "pq_codes": q_pq_codes,
@@ -1592,6 +1601,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_bins": oracles.pack_bins_sql(256),
         "trainset_build": oracles.trainset_build_sql(),
         "curriculum_order": oracles.curriculum_order_sql(8),
+        "pretrain_corpus": oracles.pretrain_corpus_sql(8),
         "tagger_confusion": oracles.tagger_confusion_sql(),
         "tagger_kappa": oracles.tagger_kappa_sql(),
         "pq_codes": oracles.pq_codes_sql(2, 16, 2, 64),

@@ -79,12 +79,17 @@ def curriculum_order(sf_dir: str, *, n_bands: int = 8):
     rank).  Mirrored exactly by the SQL oracle via ``row_number`` order
     statistics.
     """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return curriculum_order_ds(ds, n_bands=n_bands)
+
+
+def curriculum_order_ds(ds, *, n_bands: int = 8):
+    """Core of ``curriculum_order`` over any (doc_id, text) dataset —
+    also the final stage of the composed ``pretrain_corpus`` pipeline."""
     import numpy as np
 
     from ..stages.dedup import _stable_u64
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
 
     def hist_partial(b: pa.Table) -> pa.Table:
         score = pc.utf8_length(pc.coalesce(b["text"], pa.scalar("")))
@@ -124,3 +129,38 @@ def curriculum_order(sf_dir: str, *, n_bands: int = 8):
         })
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pretrain_corpus(sf_dir: str, *, n_bands: int = 8,
+                    num_partitions: int = 16):
+    """The composed pre-training corpus builder — this round's flagship
+    chain, each stage the already-gated operator:
+
+        Gopher-rules quality filter → exact dedup (sha256, keep-lowest-id)
+        → curriculum ordering (length bands + stable shuffle key)
+
+    Wiring: the filter fuses rule evaluation and the keep predicate into
+    one streaming pass; dedup winners come back via the reduce-side
+    ``hash_semi_join`` (id-only shuffle); the survivor boundary is
+    materialized once (production checkpoints it) because the curriculum
+    stage consumes it twice (histogram + assign).  The DuckDB oracle
+    replays the WHOLE chain in one statement, so the composition — not
+    just the parts — is verified."""
+    from ..stages.joins import hash_semi_join
+    from ..stages.textstats import gopher_rules_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def keep_pass(b: pa.Table) -> pa.Table:
+        flags = gopher_rules_batch(b, text_col="text")
+        return b.filter(pc.equal(flags["keep"], pa.scalar(1, pa.int64())))
+
+    kept = docs.map_batches(keep_pass, batch_format="pyarrow")
+
+    from ..stages.dedup import exact_dedup_groups
+    winners = (exact_dedup_groups(kept)
+               .select_columns(["keep_id"]).rename_columns(["doc_id"]))
+    surv = hash_semi_join(kept, winners, on="doc_id",
+                          num_partitions=num_partitions).materialize()
+    return curriculum_order_ds(surv, n_bands=n_bands)

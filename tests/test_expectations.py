@@ -96,3 +96,26 @@ def test_late_event_audit_semantics(ray_session):
     assert got["is_late"].tolist() == [0, 0, 1, 1, 0, 1]
     assert got["lateness_sec"].tolist() == [
         0, 0, 25 * 3600, 24 * 3600, 0, 73 * 3600]
+
+
+def test_pretrain_corpus_composition(ray_session):
+    from amharic_ecommerce_data_extractor_ray.entrypoints import (
+        q_gopher_rules, q_pretrain_corpus)
+    from amharic_ecommerce_data_extractor_ray.pipelines.trainset import (
+        curriculum_order)
+
+    out = q_pretrain_corpus(SF).to_pandas()
+    flags = q_gopher_rules(SF).to_pandas()
+    keep_ids = set(flags.loc[flags["keep"] == 1, "doc_id"])
+    # survivors are a subset of the quality-kept docs, unique ids
+    assert out["doc_id"].is_unique
+    assert set(out["doc_id"]) <= keep_ids
+    # strictly fewer than kept (dedup removed at least one) but non-empty
+    assert 0 < len(out) <= len(keep_ids)
+    # band/score columns agree with the standalone curriculum on the
+    # surviving subset's own distribution (bands monotone in score)
+    g = out.groupby("band")["score"].agg(["min", "max"]).sort_index()
+    assert (g["max"].to_numpy()[:-1] <= g["min"].to_numpy()[1:]).all()
+    # full-corpus curriculum assigns every surviving doc too
+    full = curriculum_order(SF).to_pandas()
+    assert set(out["doc_id"]) <= set(full["doc_id"])
