@@ -22,6 +22,22 @@ import ray
 
 
 def _to_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix.
+
+    Fast path for Arrow list arrays with uniform width and no nulls (the
+    embeddings contract): ONE buffer-level `list_flatten().to_numpy()` +
+    reshape — no per-row Python objects.  Falls back to the per-row copy
+    for plain Python lists / ragged input."""
+    import pyarrow.compute as _pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.LargeListArray)) \
+            and col.null_count == 0 and len(col):
+        lens = _pc.list_value_length(col).to_numpy()
+        if (lens == lens[0]).all() and lens[0] > 0:
+            flat = _pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64).reshape(len(lens), lens[0])
     return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
 
 
@@ -52,7 +68,7 @@ def brute_force_topk(emb_ds, query_ids: list[int], k: int = 10, *,
     def partial_topk(b: pa.Table) -> pa.Table:
         q_ids, q_unit = ray.get(ref)
         ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
-        mat = _to_matrix(b[vec_col].to_pylist())
+        mat = _to_matrix(b[vec_col])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         cos = (mat / norms[:, None]) @ q_unit.T          # (batch, nq)
@@ -107,7 +123,7 @@ def lsh_topk(emb_ds, query_ids: list[int], k: int = 10, *, n_planes: int = 8,
 
     def add_bucket(b: pa.Table) -> pa.Table:
         """One output row per (vector, table): (table_id, bucket, id, vec)."""
-        mat = _to_matrix(b[vec_col].to_pylist())
+        mat = _to_matrix(b[vec_col])
         pieces = []
         for t in range(n_tables):
             bucket = ((mat @ planes[t].T) > 0) @ pw
@@ -274,7 +290,7 @@ def ivf_topk(emb_ds, query_ids: list[int], k: int = 10, *, n_clusters=16,
     def partial_topk(b: pa.Table) -> pa.Table:
         q_ids, q_unit, q_probe, c = ray.get(ref)
         ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
-        unit = _unit(_to_matrix(b[vec_col].to_pylist()))
+        unit = _unit(_to_matrix(b[vec_col]))
         assign = np.argmax(unit @ c.T, axis=1)
         cos = unit @ q_unit.T                             # (batch, nq)
         out_q, out_n, out_c = [], [], []
@@ -841,7 +857,7 @@ def hard_negatives(emb_ds, query_ids: list[int], k: int = 5, *,
         q_ids, q_unit, q_labels = ray.get(ref)
         ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
         labels = np.asarray(b[label_col].to_pylist())
-        mat = _to_matrix(b[vec_col].to_pylist())
+        mat = _to_matrix(b[vec_col])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         cos = (mat / norms[:, None]) @ q_unit.T
@@ -902,7 +918,7 @@ def _gram_fold(ds, *, col: str = "embedding", dim: int = 64):
     width = 1 + dim + dim * dim
 
     def partial(b: pa.Table) -> pa.Table:
-        X = np.asarray(b[col].to_pylist(), dtype=np.float64)
+        X = _to_matrix(b[col])
         state = np.zeros(width, np.float64)
         if len(X):
             state[0] = len(X)
@@ -964,7 +980,7 @@ def embedding_pca(ds, *, col: str = "embedding", id_col: str = "vec_id",
     comps = comps * flip
 
     def project(b: pa.Table) -> pa.Table:
-        X = np.asarray(b[col].to_pylist(), dtype=np.float64) - mean
+        X = _to_matrix(b[col]) - mean
         P = X @ comps
         cols = {id_col: b[id_col]}
         for c in range(comps.shape[1]):
