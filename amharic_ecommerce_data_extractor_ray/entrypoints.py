@@ -1082,6 +1082,15 @@ def q_similarity_topk(sf_dir: str):
     return similarity.brute_force_topk(emb, SIM_QUERY_IDS, k=SIM_K)
 
 
+def q_similarity_filtered(sf_dir: str):
+    """Filtered vector search: same-label top-k, mask applied BEFORE
+    per-batch ranking (no post-filter recall loss)."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.filtered_topk(emb, SIM_QUERY_IDS, k=SIM_K)
+
+
 def q_embedding_gram(sf_dir: str):
     """Distributed (n, Σx, XᵀX) fold: driver receives ONE 33 KiB state via
     AggregateFn tree merge, never O(n_blocks) partials."""
@@ -1462,6 +1471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": q_dedup_embedding,
         # similarity search
         "similarity_topk": q_similarity_topk,
+        "similarity_filtered": q_similarity_filtered,
         "embedding_gram": q_embedding_gram,
         "embedding_pca": q_embedding_pca,
         "similarity_lsh": q_similarity_lsh,
@@ -1573,6 +1583,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.exact_dedup_sql(),
         "curate_documents": oracles.curate_documents_sql(),
         "similarity_topk": oracles.similarity_topk_sql(SIM_QUERY_IDS, SIM_K),
+        "similarity_filtered": oracles.filtered_topk_sql(SIM_QUERY_IDS,
+                                                         SIM_K),
         "embedding_gram": oracles.embedding_gram_sql(64),
         "multimodal_meta": oracles.multimodal_meta_sql(),
         "rel_filter_project": oracles.filter_project_revenue_sql(),

@@ -990,3 +990,67 @@ def embedding_pca(ds, *, col: str = "embedding", id_col: str = "vec_id",
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def filtered_topk(emb_ds, query_ids: list[int], k: int = 10, *,
+                  filter_col: str = "label", vec_col: str = "embedding",
+                  id_col: str = "vec_id"):
+    """Filtered vector search: exact cosine top-k restricted to candidates
+    sharing the query's ``filter_col`` value — the metadata-constrained ANN
+    problem ("same-language / same-license neighbors only") that plain
+    index scans get wrong by post-filtering a fixed candidate list.
+
+    Same scale contract as ``brute_force_topk``: queries (+ their filter
+    values) broadcast once via ``ray.put``, per-batch partial top-k with
+    the candidate mask applied BEFORE ranking (so k survivors per query
+    per batch are all filter-valid), O(q·k·blocks) shuffle."""
+    qset = set(query_ids)
+
+    def pick_queries(b: pa.Table) -> pa.Table:
+        mask = [i in qset for i in b[id_col].to_pylist()]
+        return b.filter(pa.array(mask))
+
+    qtab = (emb_ds.map_batches(pick_queries, batch_format="pyarrow")
+            .to_pandas().sort_values(id_col))
+    qmat = _to_matrix(qtab[vec_col])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qunit = qmat / qnorm[:, None]
+    qids = qtab[id_col].to_numpy()
+    qfilt = qtab[filter_col].to_numpy()
+    ref = ray.put((qids, qunit, qfilt))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        q_ids, q_unit, q_filt = ray.get(ref)
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        filt = np.asarray(b[filter_col].to_pylist())
+        mat = _to_matrix(b[vec_col])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        cos = (mat / norms[:, None]) @ q_unit.T
+        out_q, out_n, out_c = [], [], []
+        for qi in range(len(q_ids)):
+            ok = filt == q_filt[qi]
+            if not ok.any():
+                continue
+            col = cos[ok, qi]
+            cand = ids[ok]
+            order = np.lexsort((cand, -col))[:min(k, len(cand))]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_n.extend(cand[order].tolist())
+            out_c.extend(col[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        })
+
+    def merge_query(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g["cosine"] = g["cosine"].round(6)
+        return g
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(merge_query,
+                                                   batch_format="pandas")

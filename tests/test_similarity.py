@@ -267,3 +267,37 @@ def test_embedding_pca_variance_and_reconstruction(ray_session):
     # components are ordered by explained variance
     v = got[["pc1", "pc2", "pc3", "pc4"]].to_numpy().var(axis=0, ddof=1)
     assert (np.diff(v) <= 1e-12).all()
+
+
+def test_filtered_topk_respects_filter(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import (
+        filtered_topk)
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+    qids = [3, 17, 41]
+    got = filtered_topk(emb, qids, k=5).to_pandas()
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas() \
+        .set_index("vec_id")
+    # every neighbor shares its query's label
+    for _, r in got.iterrows():
+        assert t.loc[r["query_id"], "label"] == t.loc[r["neighbor_id"],
+                                                      "label"]
+    # dense recompute for one query
+    q = qids[0]
+    lab = t.loc[q, "label"]
+    cand = t[t["label"] == lab]
+    X = np.asarray(cand["embedding"].tolist(), np.float64)
+    qv = np.asarray(t.loc[q, "embedding"], np.float64)
+    cos = (X / np.linalg.norm(X, axis=1, keepdims=True)) \
+        @ (qv / np.linalg.norm(qv))
+    ids = cand.index.to_numpy()
+    order = np.lexsort((ids, -cos))[:5]
+    want = ids[order].tolist()
+    g = got[got["query_id"] == q].sort_values(
+        ["cosine", "neighbor_id"], ascending=[False, True])
+    assert g["neighbor_id"].tolist() == want
