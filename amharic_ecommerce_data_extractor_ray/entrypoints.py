@@ -1082,6 +1082,15 @@ def q_similarity_topk(sf_dir: str):
     return similarity.brute_force_topk(emb, SIM_QUERY_IDS, k=SIM_K)
 
 
+def q_mmr_rerank(sf_dir: str):
+    """MMR diversified rerank over the brute-force pool; k greedy steps
+    unrolled in the oracle (kg_hits technique)."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.mmr_rerank(emb, SIM_QUERY_IDS, k=5, pool=20, lam=0.7)
+
+
 def q_similarity_filtered(sf_dir: str):
     """Filtered vector search: same-label top-k, mask applied BEFORE
     per-batch ranking (no post-filter recall loss)."""
@@ -1472,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "similarity_topk": q_similarity_topk,
         "similarity_filtered": q_similarity_filtered,
+        "mmr_rerank": q_mmr_rerank,
         "embedding_gram": q_embedding_gram,
         "embedding_pca": q_embedding_pca,
         "similarity_lsh": q_similarity_lsh,
@@ -1585,6 +1595,8 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk": oracles.similarity_topk_sql(SIM_QUERY_IDS, SIM_K),
         "similarity_filtered": oracles.filtered_topk_sql(SIM_QUERY_IDS,
                                                          SIM_K),
+        "mmr_rerank": oracles.mmr_rerank_sql(SIM_QUERY_IDS, k=5, pool=20,
+                                             lam=0.7),
         "embedding_gram": oracles.embedding_gram_sql(64),
         "multimodal_meta": oracles.multimodal_meta_sql(),
         "rel_filter_project": oracles.filter_project_revenue_sql(),

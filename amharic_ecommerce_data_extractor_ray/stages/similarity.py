@@ -1054,3 +1054,64 @@ def filtered_topk(emb_ds, query_ids: list[int], k: int = 10, *,
     partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow")
     return partials.groupby("query_id").map_groups(merge_query,
                                                    batch_format="pandas")
+
+
+def mmr_rerank(emb_ds, query_ids: list[int], *, k: int = 5, pool: int = 20,
+               lam: float = 0.7, vec_col: str = "embedding",
+               id_col: str = "vec_id"):
+    """Maximal Marginal Relevance diversified rerank (Carbonell & Goldstein
+    1998): greedily pick k of the retrieved pool maximizing
+    ``λ·cos(q,c) − (1−λ)·max_{s∈S} cos(c,s)`` — the standard
+    retrieve-then-rerank second stage that trades raw relevance for
+    coverage.
+
+    Architecture mirrors production RAG: the DISTRIBUTED part is the
+    ``brute_force_topk`` pool retrieval (O(q·pool·blocks) shuffle); the
+    greedy selection runs driver-side on the tiny q×pool pool with all
+    cosines recomputed in float64 from the raw vectors (NOT the rounded
+    pool scores, so the SQL mirror agrees bit-for-bit to 6dp).  Ties break
+    by candidate id asc; step 1's penalty term is 0.
+
+    Output: (query_id, rank, selected_id, mmr_score)."""
+    pool_df = brute_force_topk(emb_ds, query_ids, k=pool,
+                               vec_col=vec_col, id_col=id_col).to_pandas()
+    need = sorted(set(pool_df["neighbor_id"]) | set(query_ids))
+    need_set = set(need)
+
+    def pick(b: pa.Table) -> pa.Table:
+        mask = [i in need_set for i in b[id_col].to_pylist()]
+        return b.filter(pa.array(mask))
+
+    vt = emb_ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    vecs = {int(i): np.asarray(v, dtype=np.float64)
+            for i, v in zip(vt[id_col], vt[vec_col])}
+
+    def cos(a: np.ndarray, b: np.ndarray) -> float:
+        na = np.linalg.norm(a) or 1.0
+        nb = np.linalg.norm(b) or 1.0
+        return float(a @ b / (na * nb))
+
+    rows = []
+    for q in sorted(set(pool_df["query_id"])):
+        cand = sorted(pool_df.loc[pool_df["query_id"] == q, "neighbor_id"]
+                      .astype(int))
+        qv = vecs[int(q)]
+        qcos = {c: cos(vecs[c], qv) for c in cand}
+        selected: list[int] = []
+        for rank in range(1, min(k, len(cand)) + 1):
+            best_id, best_sc = None, None
+            for c in cand:
+                if c in selected:
+                    continue
+                pen = max((cos(vecs[c], vecs[s]) for s in selected),
+                          default=0.0)
+                sc = lam * qcos[c] - (1.0 - lam) * pen
+                if best_sc is None or sc > best_sc \
+                        or (sc == best_sc and c < best_id):
+                    best_id, best_sc = c, sc
+            selected.append(best_id)
+            import math
+            rows.append((int(q), rank, best_id,
+                         math.floor(best_sc * 1e6 + 0.5) / 1e6))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "selected_id",
+                                       "mmr_score"])

@@ -301,3 +301,37 @@ def test_filtered_topk_respects_filter(ray_session):
     g = got[got["query_id"] == q].sort_values(
         ["cosine", "neighbor_id"], ascending=[False, True])
     assert g["neighbor_id"].tolist() == want
+
+
+def test_mmr_rerank_properties(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import (
+        brute_force_topk, mmr_rerank)
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+    qids = [3, 17]
+    got = mmr_rerank(emb, qids, k=5, pool=20, lam=0.7)
+    assert set(got["query_id"]) == set(qids)
+    assert (got.groupby("query_id")["rank"].apply(
+        lambda s: sorted(s) == [1, 2, 3, 4, 5])).all()
+    # rank 1 is the plain cosine top-1 (penalty term is zero at step 1)
+    top = brute_force_topk(emb, qids, k=1).to_pandas()
+    for q in qids:
+        assert (got[(got["query_id"] == q) & (got["rank"] == 1)]
+                ["selected_id"].iloc[0]
+                == top[top["query_id"] == q]["neighbor_id"].iloc[0])
+    # no repeats within a query
+    assert (got.groupby("query_id")["selected_id"].nunique() == 5).all()
+    # λ=1 degenerates to plain top-k order
+    plain = mmr_rerank(emb, qids, k=5, pool=20, lam=1.0)
+    top5 = brute_force_topk(emb, qids, k=5).to_pandas()
+    for q in qids:
+        want = (top5[top5["query_id"] == q]
+                .sort_values(["cosine", "neighbor_id"],
+                             ascending=[False, True])["neighbor_id"]
+                .tolist())
+        assert plain[plain["query_id"] == q].sort_values("rank")[
+            "selected_id"].tolist() == want
