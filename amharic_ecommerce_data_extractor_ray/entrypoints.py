@@ -852,6 +852,14 @@ def q_tagger_kappa(sf_dir: str):
     return tagger_kappa(sf_dir)
 
 
+def q_token_budget_select(sf_dir: str):
+    """Token-budget mixing: √size Hamilton apportionment + per-source
+    ordered prefix selection."""
+    from .pipelines.trainset import token_budget_select
+
+    return token_budget_select(sf_dir, budget_tokens=20_000)
+
+
 def q_pretrain_corpus(sf_dir: str):
     """Composed flagship: Gopher filter → exact dedup → curriculum order;
     oracle replays the whole chain in one statement."""
@@ -1417,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trainset_build": q_trainset_build,
         "curriculum_order": q_curriculum_order,
         "pretrain_corpus": q_pretrain_corpus,
+        "token_budget_select": q_token_budget_select,
         "tagger_confusion": q_tagger_confusion,
         "tagger_kappa": q_tagger_kappa,
         "pq_codes": q_pq_codes,
@@ -1626,6 +1635,7 @@ def oracle_sql() -> dict[str, str]:
         "trainset_build": oracles.trainset_build_sql(),
         "curriculum_order": oracles.curriculum_order_sql(8),
         "pretrain_corpus": oracles.pretrain_corpus_sql(8),
+        "token_budget_select": oracles.token_budget_select_sql(20_000),
         "tagger_confusion": oracles.tagger_confusion_sql(),
         "tagger_kappa": oracles.tagger_kappa_sql(),
         "pq_codes": oracles.pq_codes_sql(2, 16, 2, 64),

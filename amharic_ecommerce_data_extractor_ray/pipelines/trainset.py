@@ -164,3 +164,66 @@ def pretrain_corpus(sf_dir: str, *, n_bands: int = 8,
     surv = hash_semi_join(kept, winners, on="doc_id",
                           num_partitions=num_partitions).materialize()
     return curriculum_order_ds(surv, n_bands=n_bands)
+
+
+def token_budget_select(sf_dir: str, *, budget_tokens: int = 20_000):
+    """Token-budget data mixing: apportion a global training-token budget
+    across sources by the sub-linear √size rule (small sources upsampled
+    relative to their share — the standard mixing heuristic), using
+    Hamilton largest-remainder apportionment (exact, sums to the budget),
+    then keep each source's doc_id-ordered prefix until its allocation is
+    exhausted (first doc to EXCEED the allocation is cut).
+
+    Shape: per-source token totals from one combiner groupby (source
+    vocabulary is tiny → driver apportions); selection is a per-source
+    ordered cumulative-sum scan in ``map_groups`` (the sessionize/ewma
+    one-key-stream contract).  Output:
+    (doc_id, source, n_tokens, cum_tokens)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source", "text"])
+
+    def tok_pass(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(
+            pc.coalesce(b["text"], pa.scalar("")), r"\S+")
+        return pa.table({
+            "doc_id": b["doc_id"], "source": b["source"],
+            "n_tokens": pc.cast(n, pa.int64()),
+        })
+
+    toks = ds.map_batches(tok_pass, batch_format="pyarrow").materialize()
+
+    totals = (toks.map_batches(
+        lambda b: (b.select(["source", "n_tokens"])
+                   .group_by(["source"]).aggregate([("n_tokens", "sum")])
+                   .rename_columns(["source", "t"])),
+        batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("t", alias_name="t"))
+        .to_pandas().sort_values("source").reset_index(drop=True))
+
+    sq = np.sqrt(totals["t"].to_numpy(dtype=np.float64))
+    # op order mirrors the SQL exactly (B·√t/Σ√t) so floor/frac agree
+    quota = budget_tokens * sq / sq.sum()
+    alloc = np.floor(quota).astype(np.int64)
+    rem = int(budget_tokens - alloc.sum())
+    # largest fractional part first; ties by source name asc (stable sort
+    # on (-frac, source) — identical ordering in the SQL mirror)
+    order = sorted(range(len(alloc)),
+                   key=lambda i: (-(quota[i] - alloc[i]),
+                                  totals["source"].iloc[i]))
+    for i in order[:rem]:
+        alloc[i] += 1
+    alloc_map = dict(zip(totals["source"], alloc.tolist()))
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        cum = g["n_tokens"].cumsum()
+        keep = cum <= alloc_map[g["source"].iloc[0]]
+        out = g.loc[keep, ["doc_id", "source", "n_tokens"]].copy()
+        out["cum_tokens"] = cum[keep]
+        return out
+
+    return toks.groupby("source").map_groups(select, batch_format="pandas")

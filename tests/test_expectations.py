@@ -119,3 +119,36 @@ def test_pretrain_corpus_composition(ray_session):
     # full-corpus curriculum assigns every surviving doc too
     full = curriculum_order(SF).to_pandas()
     assert set(out["doc_id"]) <= set(full["doc_id"])
+
+
+def test_token_budget_select_apportionment(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.trainset import (
+        token_budget_select)
+
+    B = 20_000
+    got = token_budget_select(SF, budget_tokens=B).to_pandas()
+    # never exceeds the global budget; each source's cum stays under its
+    # (implied) allocation and is a doc_id-ordered prefix
+    assert got["cum_tokens"].groupby(got["source"]).max().sum() <= B
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source", "text"]).to_pandas()
+    docs["n"] = docs["text"].fillna("").str.split().str.len()
+    for src, g in got.groupby("source"):
+        g = g.sort_values("doc_id")
+        d = docs[docs["source"] == src].sort_values("doc_id")
+        # prefix property: selected ids are exactly the first len(g) docs
+        assert g["doc_id"].tolist() == d["doc_id"].head(len(g)).tolist()
+        assert (g["n_tokens"].to_numpy()
+                == d["n"].head(len(g)).to_numpy()).all()
+        assert (g["cum_tokens"].to_numpy()
+                == np.cumsum(g["n_tokens"].to_numpy())).all()
+    # Hamilton: total allocation sums exactly to B
+    sq = np.sqrt(docs.groupby("source")["n"].sum().sort_index().to_numpy()
+                 .astype(np.float64))
+    quota = B * sq / sq.sum()
+    alloc = np.floor(quota).astype(np.int64)
+    alloc_sum_before = alloc.sum()
+    assert alloc_sum_before <= B < alloc_sum_before + len(alloc)
