@@ -1440,6 +1440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_decayed_activity": relational.decayed_activity,
         "rel_rfm_scores": relational.rfm_scores,
         "rel_late_events": relational.late_event_audit,
+        "rel_daily_trend": relational.daily_trend,
         "rel_small_qty_revenue": relational.small_quantity_revenue,
         "rel_priority_exists": relational.priority_order_counts,
         "rel_pushdown_scan": relational.pushdown_scan,
@@ -1651,6 +1652,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_decayed_activity": oracles.decayed_activity_sql(0.9),
         "rel_rfm_scores": oracles.rfm_scores_sql(5),
         "rel_late_events": oracles.late_event_audit_sql(24),
+        "rel_daily_trend": oracles.daily_trend_sql(),
         "rel_small_qty_revenue": oracles.small_quantity_revenue_sql(0.5),
         "rel_priority_exists": oracles.priority_order_counts_sql(),
         "rel_pushdown_scan": oracles.pushdown_scan_sql(),

@@ -3159,3 +3159,82 @@ def watermark_audit(ds, *, lateness_hours: int = 24):
         })
 
     return ds.groupby("user_id").map_groups(audit, batch_format="pandas")
+
+
+def daily_trend(sf_dir: str):
+    """Per-event-type linear trend: closed-form least-squares slope /
+    intercept of daily total value vs day index — "is this source growing"
+    as exact algebra, no iterative optimizer.
+
+    Shape: (type, day) totals from one combiner groupby (calendar-sized);
+    the regression is computed from ALGEBRAIC moments (Σx, Σy, Σxy, Σx²)
+    per type — a second vocabulary-sized groupby, merge-order-free.
+    Mirrored by DuckDB's ``regr_slope``/``regr_intercept`` (identical
+    closed form).  Day index = days since the per-type minimum day, so the
+    intercept is each type's own day-0 level.  Output rounds to 6dp."""
+    import numpy as np
+
+    from ray.data.aggregate import Min, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def day_partials(b: pa.Table) -> pa.Table:
+        days = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        t = pa.table({
+            "event_type": b["event_type"],
+            "day": pa.array(days, pa.int64()),
+            "v": b["value"],
+        })
+        return (t.group_by(["event_type", "day"])
+                .aggregate([("v", "sum")])
+                .rename_columns(["event_type", "day", "v"]))
+
+    daily = (ds.map_batches(day_partials, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("v", alias_name="v"))
+             .materialize())
+
+    mins = {r["event_type"]: r["min_day"] for r in
+            daily.groupby("event_type")
+            .aggregate(Min("day", alias_name="min_day")).take_all()}
+
+    def moments(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_pylist()
+        day = b["day"].to_numpy(zero_copy_only=False)
+        x = (day - np.asarray([mins[e] for e in et], np.int64)) \
+            .astype(np.float64)
+        y = b["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = pa.table({
+            "event_type": b["event_type"],
+            "n": pa.array(np.ones(len(x), np.int64)),
+            "sx": pa.array(x), "sy": pa.array(y),
+            "sxy": pa.array(x * y), "sxx": pa.array(x * x),
+        })
+        return (t.group_by(["event_type"])
+                .aggregate([("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                            ("sxy", "sum"), ("sxx", "sum")])
+                .rename_columns(["event_type", "n", "sx", "sy", "sxy",
+                                 "sxx"]))
+
+    mom = (daily.map_batches(moments, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"))
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+
+    n = mom["n"].to_numpy(np.float64)
+    sx, sy = mom["sx"].to_numpy(), mom["sy"].to_numpy()
+    sxy, sxx = mom["sxy"].to_numpy(), mom["sxx"].to_numpy()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r6 = lambda a: np.floor(a * 1e6 + 0.5) / 1e6  # noqa: E731
+    return pd.DataFrame({
+        "event_type": mom["event_type"],
+        "n_days": mom["n"].astype("int64"),
+        "slope": r6(slope),
+        "intercept": r6(intercept),
+    })

@@ -98,3 +98,24 @@ def test_decayed_activity_matches_pandas(ray_session):
     plain = ev.groupby("user_id")["value"].apply(
         lambda s: np.abs(s).sum()).to_numpy()
     assert (np.abs(got["decayed_value"].to_numpy()) <= plain + 1e-9).all()
+
+
+def test_daily_trend_matches_numpy_polyfit(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        daily_trend)
+
+    sf = "/root/testdata/sf0.001"
+    got = daily_trend(sf).set_index("event_type")
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    for et, g in ev.groupby("event_type"):
+        d = g.groupby("day")["value"].sum().sort_index()
+        x = (d.index - d.index.min()).days.to_numpy(dtype=np.float64)
+        slope, intercept = np.polyfit(x, d.to_numpy(), 1)
+        assert abs(got.loc[et, "slope"] - slope) < 1e-6
+        assert abs(got.loc[et, "intercept"] - intercept) < 1e-6
+        assert got.loc[et, "n_days"] == len(d)
