@@ -259,6 +259,94 @@ def kg_pagerank(sf_dir: str, *, damping: float = 0.85, n_iter: int = 5):
     return ranks.map_batches(finish, batch_format="pyarrow")
 
 
+
+def kg_ppr(sf_dir: str, *, seed_vendor: str = "vendor_000",
+           damping: float = 0.85, n_iter: int = 5):
+    """Personalized PageRank from one seed vendor — "entities related to
+    THIS vendor" as a random walk with restart, the standard KG
+    recommendation signal (vs kg_pagerank's global importance).
+
+    Identical per-step shape to kg_pagerank (shares ⋈ ranks → groupby sum
+    → damp), with two changes: rank starts as the seed indicator (the
+    ranks table stays SPARSE — only touched nodes ever materialize), and
+    the (1−d) teleport mass returns to the seed alone.  Assumes the seed
+    has edges (every vendor does after symmetrization).
+
+    Output: (node_id, ppr) rounded to 6dp, touched nodes only."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import node_id
+
+    seed = node_id("vendor", seed_vendor)
+    e = kg_edges(sf_dir).select_columns(["src_id", "dst_id", "weight"])
+
+    def sym(b: pa.Table) -> pa.Table:
+        def chunked(c):
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        src, dst = chunked(b["src_id"]), chunked(b["dst_id"])
+        w = pc.cast(chunked(b["weight"]), pa.float64())
+        return pa.table({
+            "u": pa.concat_arrays([src, dst]),
+            "v": pa.concat_arrays([dst, src]),
+            "w": pa.concat_arrays([w, w])})
+
+    sym_ds = e.map_batches(sym, batch_format="pyarrow")
+    wout = sym_ds.groupby("u").aggregate(Sum("w", alias_name="wout"))
+
+    def to_share(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "u": b["u"], "v": b["v"],
+            "share": pc.divide(b["w"], b["wout"])})
+
+    shares = (sym_ds.join(wout, join_type="inner", num_partitions=8,
+                          on=("u",))
+              .map_batches(to_share, batch_format="pyarrow")
+              .materialize())
+
+    def init_rank(b: pa.Table) -> pa.Table:
+        keep = b.filter(pc.equal(b["u"], pa.scalar(seed)))
+        return pa.table({
+            "u": keep["u"],
+            "r": pa.array([1.0] * keep.num_rows, pa.float64())})
+
+    ranks = wout.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    # the seed must be present in EVERY step's aggregation even when no
+    # neighbor carried mass in the previous step (e.g. iteration 1 on a
+    # bipartite graph) — otherwise its (1−d) teleport mass is silently
+    # dropped by the sparse join.  A constant zero-contribution seed row
+    # unioned into the contributions guarantees the teleport lands.
+    import ray.data as rd
+
+    seed_row = rd.from_items([{"v": seed, "c": 0.0}])
+
+    for _ in range(n_iter):
+        def contrib(b: pa.Table) -> pa.Table:
+            return pa.table({"v": b["v"],
+                             "c": pc.multiply(b["share"], b["r"])})
+
+        def damp(b: pa.Table) -> pa.Table:
+            tele = pc.if_else(pc.equal(b["v"], pa.scalar(seed)),
+                              pa.scalar(1.0 - damping), pa.scalar(0.0))
+            return pa.table({
+                "u": b["v"],
+                "r": pc.add(tele,
+                            pc.multiply(pa.scalar(damping), b["c_sum"]))})
+
+        ranks = (shares.join(ranks, join_type="inner", num_partitions=8,
+                             on=("u",))
+                 .map_batches(contrib, batch_format="pyarrow")
+                 .union(seed_row)
+                 .groupby("v").aggregate(Sum("c", alias_name="c_sum"))
+                 .map_batches(damp, batch_format="pyarrow")
+                 .materialize())
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({"node_id": b["u"],
+                         "ppr": pc.round(b["r"], ndigits=6)})
+
+    return ranks.map_batches(finish, batch_format="pyarrow")
+
 def kg_hits(sf_dir: str, *, n_iter: int = 3):
     """HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
     vendor→entity KG — the companion importance signal to kg_pagerank:

@@ -198,3 +198,37 @@ def test_kg_hits_matches_numpy_power_iteration(ray_session):
     assert np.allclose(hubs.values, want_h.values, atol=2e-6)
     assert np.allclose(auths.values, want_a.values, atol=2e-6)
     assert list(hubs.index) == us and list(auths.index) == vs
+
+
+def test_kg_ppr_matches_numpy_walk(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+    from amharic_ecommerce_data_extractor_ray.stages.canonicalize import (
+        node_id)
+
+    got = (kg.kg_ppr(SF, seed_vendor="vendor_000").to_pandas()
+           .set_index("node_id")["ppr"])
+    seed = node_id("vendor", "vendor_000")
+
+    e = kg.kg_edges(SF).to_pandas()
+    nodes = sorted(set(e["src_id"]) | set(e["dst_id"]))
+    ix = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for s, d, w in zip(e["src_id"], e["dst_id"], e["weight"]):
+        W[ix[s], ix[d]] += w
+        W[ix[d], ix[s]] += w
+    share = W / W.sum(axis=1, keepdims=True)
+    r = np.zeros(n)
+    r[ix[seed]] = 1.0
+    tele = np.zeros(n)
+    tele[ix[seed]] = 0.15
+    for _ in range(5):
+        r = tele + 0.85 * (share.T @ r)
+    want = pd.Series(np.round(r, 6), index=nodes)
+    want = want[want > 0]
+    got = got.sort_index()
+    want = want.sort_index()
+    assert list(got.index) == list(want.index)
+    assert np.allclose(got.values, want.values, atol=2e-6)
+    # seed retains the largest mass after 5 steps on this bipartite graph
+    assert got.idxmax() == seed
