@@ -1179,6 +1179,13 @@ def q_multimodal_meta(sf_dir: str):
     return ds.select_columns(["message_id", "n_bytes", "media_type"])
 
 
+def q_multimodal_audio(sf_dir: str):
+    """Audio frame windowing: actor-pool stage, vectorized code-point PCM
+    stand-in, cumsum-of-squares window energies."""
+    return multimodal.audio_window_pipeline(kg.corpus_ds(sf_dir),
+                                            window=16, hop=8)
+
+
 VPCT_LO, VPCT_HI, VPCT_BINS = 0.0, 512.0, 1024
 
 
@@ -1499,6 +1506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_audio": q_multimodal_audio,
         "interpret_occlusion": q_interpret_occlusion,
         # relational operator coverage
         "rel_filter_project": relational.filter_project_revenue,
@@ -1702,6 +1710,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": oracles.semdedup_sql(8, 3, EMB_DEDUP_THRESHOLD),
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),
         "multimodal_frames": oracles.multimodal_frames_sql(),
+        "multimodal_audio": oracles.audio_windows_sql(16, 8),
         "token_topk": oracles.token_topk_sql(100),
         "token_topk_sketch": oracles.token_topk_sketch_sql(100),
         "inverted_index": oracles.inverted_index_sql(20),

@@ -131,3 +131,57 @@ def frame_sample_pipeline(ds, *, stride: int = 5, concurrency: int = 2,
                          fn_constructor_kwargs={"stride": stride},
                          batch_format="pyarrow", batch_size=batch_size,
                          concurrency=concurrency))
+
+
+class AudioWindowStage:
+    """Actor-pool audio windowing: fixed windows of ``window`` samples at
+    ``hop`` stride with per-window energy (Σ sample²) — the frame-level
+    feature layout every audio pipeline (VAD, ASR chunking) emits.
+
+    Decode is the honest sandbox stand-in (no torchaudio/ffmpeg): "PCM
+    samples" are the text's Unicode code points, extracted VECTORIZED via
+    ``utf-32-le`` reinterpretation (no per-char Python), and window
+    energies come from one cumulative-sum-of-squares subtraction — the
+    exact kernel shape a real int16 PCM buffer needs, so swapping in a
+    real decoder changes one line."""
+
+    def __init__(self, *, window: int = 16, hop: int = 8):
+        self.window = window
+        self.hop = hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        texts = batch["content"].to_pylist()
+        mids = batch["message_id"].to_pylist()
+        out_mid, out_idx, out_start, out_energy = [], [], [], []
+        W, H = self.window, self.hop
+        for mid, t in zip(mids, texts):
+            cp = np.frombuffer((t or "").encode("utf-32-le"),
+                               dtype=np.uint32).astype(np.int64)
+            n = len(cp)
+            if n < W:
+                continue
+            starts = np.arange(0, n - W + 1, H, dtype=np.int64)
+            cs = np.concatenate(([0], np.cumsum(cp * cp)))
+            energy = cs[starts + W] - cs[starts]
+            out_mid.extend([mid] * len(starts))
+            out_idx.extend((starts // H).tolist())
+            out_start.extend(starts.tolist())
+            out_energy.extend(energy.tolist())
+        return pa.table({
+            "message_id": pa.array(out_mid, pa.int64()),
+            "window_idx": pa.array(out_idx, pa.int64()),
+            "start": pa.array(out_start, pa.int64()),
+            "energy": pa.array(out_energy, pa.int64()),
+        })
+
+
+def audio_window_pipeline(ds, *, window: int = 16, hop: int = 8,
+                          concurrency: int = 2, batch_size: int = 256):
+    """Corpus → per-message window energies (actor pool, small batches —
+    the wide-binary-row contract of the other multimodal stages)."""
+    return ds.map_batches(AudioWindowStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency,
+                          fn_constructor_kwargs={"window": window,
+                                                 "hop": hop})

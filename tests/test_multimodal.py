@@ -41,3 +41,29 @@ def test_frame_sample_pipeline(ray_session):
     out2 = frame_sample_pipeline(rd.from_items(rows), stride=7,
                                  concurrency=1).to_pandas()
     assert out.equals(out2)
+
+
+def test_audio_window_energies(ray_session):
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+    from amharic_ecommerce_data_extractor_ray.stages.multimodal import (
+        audio_window_pipeline)
+
+    sf = "/root/testdata/sf0.001"
+    got = audio_window_pipeline(kg.corpus_ds(sf), window=16, hop=8) \
+        .to_pandas()
+    corpus = kg.corpus_ds(sf).to_pandas().set_index("message_id")
+    # hand-verify one message's windows
+    mid = got["message_id"].iloc[0]
+    t = corpus.loc[mid, "content"]
+    cp = np.array([ord(c) for c in t], dtype=np.int64)
+    g = got[got["message_id"] == mid].sort_values("start")
+    starts = np.arange(0, len(cp) - 16 + 1, 8)
+    assert g["start"].tolist() == starts.tolist()
+    for _, r in g.iterrows():
+        s = int(r["start"])
+        assert r["energy"] == int((cp[s:s + 16] ** 2).sum())
+    # short messages (< window samples) emit nothing
+    short = corpus[corpus["content"].str.len() < 16].index
+    assert not got["message_id"].isin(short).any()
