@@ -1179,6 +1179,13 @@ def q_multimodal_meta(sf_dir: str):
     return ds.select_columns(["message_id", "n_bytes", "media_type"])
 
 
+def q_image_phash(sf_dir: str):
+    """Perceptual hash per payload (average-hash family) — the image
+    near-dup signal; feeds simhash-style hamming bucketing."""
+    return kg.corpus_ds(sf_dir).map_batches(multimodal.phash_batch,
+                                            batch_format="pyarrow")
+
+
 def q_multimodal_audio(sf_dir: str):
     """Audio frame windowing: actor-pool stage, vectorized code-point PCM
     stand-in, cumsum-of-squares window energies."""
@@ -1507,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_audio": q_multimodal_audio,
+        "image_phash": q_image_phash,
         "interpret_occlusion": q_interpret_occlusion,
         # relational operator coverage
         "rel_filter_project": relational.filter_project_revenue,
@@ -1711,6 +1719,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": oracles.embedding_cosine_sql(EMB_DEDUP_THRESHOLD),
         "multimodal_frames": oracles.multimodal_frames_sql(),
         "multimodal_audio": oracles.audio_windows_sql(16, 8),
+        "image_phash": oracles.image_phash_sql(8),
         "token_topk": oracles.token_topk_sql(100),
         "token_topk_sketch": oracles.token_topk_sketch_sql(100),
         "inverted_index": oracles.inverted_index_sql(20),

@@ -185,3 +185,39 @@ def audio_window_pipeline(ds, *, window: int = 16, hop: int = 8,
                           batch_size=batch_size, concurrency=concurrency,
                           fn_constructor_kwargs={"window": window,
                                                  "hop": hop})
+
+
+def phash_batch(batch: pa.Table, *, grid: int = 8) -> pa.Table:
+    """Perceptual hash for image near-dup detection (average-hash family:
+    resample to a grid, threshold at the mean, pack sign bits).  The
+    sandbox stand-in 'decodes' the payload to a 1-D intensity signal (code
+    points, as in AudioWindowStage); a real pipeline swaps the decode and
+    2-D resample in, the threshold/pack/compare machinery is identical.
+
+    Output (message_id, phash int64) feeds the same hamming-distance
+    bucketing as stages/dedup.simhash_dedup.  Messages shorter than the
+    grid emit phash 0 (degenerate-payload convention)."""
+    import numpy as np
+
+    n_cells = grid * grid
+    texts = batch["content"].to_pylist()
+    mids = batch["message_id"].to_pylist()
+    out = np.zeros(len(texts), dtype=np.int64)
+    for j, t in enumerate(texts):
+        cp = np.frombuffer((t or "").encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.int64)
+        n = len(cp)
+        if n < n_cells:
+            continue
+        pos = (np.arange(n_cells, dtype=np.int64) * n) // n_cells
+        cells = cp[pos]
+        # integer-rational threshold: bit i set iff cells[i]·K > Σcells
+        # (i.e. cell > mean, exact — no float division)
+        bits = (cells * n_cells) > cells.sum()
+        # pack Σ bit_i·2^i mod 2^63 (keeps int64 positive; SQL mirrors the
+        # identical HUGEINT sum + mod)
+        out[j] = sum(int(b) << i for i, b in enumerate(bits)) % (1 << 63)
+    return pa.table({
+        "message_id": pa.array(mids, pa.int64()),
+        "phash": pa.array(out, pa.int64()),
+    })

@@ -67,3 +67,29 @@ def test_audio_window_energies(ray_session):
     # short messages (< window samples) emit nothing
     short = corpus[corpus["content"].str.len() < 16].index
     assert not got["message_id"].isin(short).any()
+
+
+def test_image_phash_properties(ray_session):
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_ray.entrypoints import q_image_phash
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+
+    sf = "/root/testdata/sf0.001"
+    got = q_image_phash(sf).to_pandas().set_index("message_id")["phash"]
+    corpus = kg.corpus_ds(sf).to_pandas()
+    # identical content => identical phash (near-dup signal invariant)
+    dup = corpus.groupby("content")["message_id"].apply(list)
+    for ids in dup[dup.str.len() > 1].head(5):
+        assert got.loc[ids].nunique() == 1
+    # hand-check one message against the definition
+    r = corpus.iloc[0]
+    cp = np.array([ord(c) for c in r["content"]], dtype=np.int64)
+    n, G2 = len(cp), 64
+    if n >= G2:
+        pos = (np.arange(G2, dtype=np.int64) * n) // G2
+        cells = cp[pos]
+        bits = (cells * G2) > cells.sum()
+        want = sum(int(b) << i for i, b in enumerate(bits)) % (1 << 63)
+        assert got.loc[r["message_id"]] == want
+    assert (got >= 0).all()
