@@ -1186,6 +1186,45 @@ def q_image_phash(sf_dir: str):
                                             batch_format="pyarrow")
 
 
+def q_phash_cross_vendor(sf_dir: str):
+    """Cross-vendor payload reuse: perceptual hashes shared by ≥2 distinct
+    vendors (stolen/product-stock imagery signal).  One phash pass + one
+    hash-keyed groupby with per-batch (phash, repo) distinct combiners."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = multimodal.phash_batch(b)
+        t = t.append_column("repo", b["repo"])
+        # block-local distinct (phash, repo) then count-1 partials
+        d = (t.select(["phash", "repo"]).group_by(["phash", "repo"])
+             .aggregate([]))
+        return d.append_column(
+            "one", pa.array([1] * d.num_rows, pa.int64()))
+
+    per_vendor = (kg.corpus_ds(sf_dir)
+                  .map_batches(partials, batch_format="pyarrow")
+                  .groupby(["phash", "repo"])
+                  .aggregate(Sum("one", alias_name="one")))
+
+    def fold(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "phash": b["phash"],
+            "n_vendors": pa.array([1] * b.num_rows, pa.int64()),
+            "lo": b["repo"], "hi": b["repo"],
+        })
+
+    agg = (per_vendor.map_batches(fold, batch_format="pyarrow")
+           .groupby("phash")
+           .aggregate(Sum("n_vendors", alias_name="n_vendors"),
+                      Min("lo", alias_name="first_vendor"),
+                      Max("hi", alias_name="last_vendor")))
+    import pyarrow.compute as pc
+
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_vendors"], pa.scalar(2))),
+        batch_format="pyarrow")
+
+
 def q_multimodal_audio(sf_dir: str):
     """Audio frame windowing: actor-pool stage, vectorized code-point PCM
     stand-in, cumsum-of-squares window energies."""
@@ -1515,6 +1554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_audio": q_multimodal_audio,
         "image_phash": q_image_phash,
+        "phash_cross_vendor": q_phash_cross_vendor,
         "interpret_occlusion": q_interpret_occlusion,
         # relational operator coverage
         "rel_filter_project": relational.filter_project_revenue,
@@ -1720,6 +1760,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": oracles.multimodal_frames_sql(),
         "multimodal_audio": oracles.audio_windows_sql(16, 8),
         "image_phash": oracles.image_phash_sql(8),
+        "phash_cross_vendor": oracles.phash_cross_vendor_sql(8),
         "token_topk": oracles.token_topk_sql(100),
         "token_topk_sketch": oracles.token_topk_sketch_sql(100),
         "inverted_index": oracles.inverted_index_sql(20),
