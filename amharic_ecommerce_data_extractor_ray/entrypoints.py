@@ -1179,6 +1179,14 @@ def q_multimodal_meta(sf_dir: str):
     return ds.select_columns(["message_id", "n_bytes", "media_type"])
 
 
+def q_scene_changes(sf_dir: str):
+    """Video scene-change detection: lag-delta over ordered sampled frames
+    (per-payload), threshold boundaries."""
+    return kg.corpus_ds(sf_dir).map_batches(
+        multimodal.scene_change_batch, batch_format="pyarrow",
+        batch_size=256)
+
+
 def q_image_phash(sf_dir: str):
     """Perceptual hash per payload (average-hash family) — the image
     near-dup signal; feeds simhash-style hamming bucketing."""
@@ -1555,6 +1563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio": q_multimodal_audio,
         "image_phash": q_image_phash,
         "phash_cross_vendor": q_phash_cross_vendor,
+        "scene_changes": q_scene_changes,
         "interpret_occlusion": q_interpret_occlusion,
         # relational operator coverage
         "rel_filter_project": relational.filter_project_revenue,
@@ -1761,6 +1770,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_audio": oracles.audio_windows_sql(16, 8),
         "image_phash": oracles.image_phash_sql(8),
         "phash_cross_vendor": oracles.phash_cross_vendor_sql(8),
+        "scene_changes": oracles.scene_changes_sql(5, 96),
         "token_topk": oracles.token_topk_sql(100),
         "token_topk_sketch": oracles.token_topk_sketch_sql(100),
         "inverted_index": oracles.inverted_index_sql(20),

@@ -221,3 +221,44 @@ def phash_batch(batch: pa.Table, *, grid: int = 8) -> pa.Table:
         "message_id": pa.array(mids, pa.int64()),
         "phash": pa.array(out, pa.int64()),
     })
+
+
+def scene_change_batch(batch: pa.Table, *, stride: int = 5,
+                       threshold: int = 96) -> pa.Table:
+    """Video scene-change detection stand-in: per sampled frame a
+    deterministic 'luminance' (byte 0 of sha256(payload ‖ ':' ‖ idx) — the
+    SQL-mirrorable fake; a real pipeline plugs mean frame luma here), a
+    boundary wherever |Δ luminance| ≥ threshold vs the previous sampled
+    frame — the lag-over-ordered-frames shape every shot-segmentation
+    pipeline runs.  First frame of each payload is always a boundary.
+
+    Frame count/indices reuse the FrameSampleStage convention
+    (n_frames = 1 + digest byte 2 % 120, every ``stride``-th sampled)."""
+    import numpy as np
+
+    texts = batch["content"].to_pylist()
+    mids = batch["message_id"].to_pylist()
+    out_mid, out_idx, out_lum, out_delta, out_scene = [], [], [], [], []
+    for mid, t in zip(mids, texts):
+        payload = (t or "").encode("utf-8")
+        n_frames = 1 + hashlib.sha256(payload).digest()[2] % 120
+        idxs = list(range(0, n_frames, stride))
+        lums = np.fromiter(
+            (hashlib.sha256(payload + f":{i}".encode()).digest()[0]
+             for i in idxs), np.int64, len(idxs))
+        delta = np.abs(np.diff(lums, prepend=lums[:1]))
+        scene = (delta >= threshold).astype(np.int64)
+        scene[0] = 1
+        delta[0] = 0
+        out_mid.extend([mid] * len(idxs))
+        out_idx.extend(idxs)
+        out_lum.extend(lums.tolist())
+        out_delta.extend(delta.tolist())
+        out_scene.extend(scene.tolist())
+    return pa.table({
+        "message_id": pa.array(out_mid, pa.int64()),
+        "frame_idx": pa.array(out_idx, pa.int64()),
+        "lum": pa.array(out_lum, pa.int64()),
+        "delta": pa.array(out_delta, pa.int64()),
+        "is_scene": pa.array(out_scene, pa.int64()),
+    })

@@ -93,3 +93,35 @@ def test_image_phash_properties(ray_session):
         want = sum(int(b) << i for i, b in enumerate(bits)) % (1 << 63)
         assert got.loc[r["message_id"]] == want
     assert (got >= 0).all()
+
+
+def test_scene_change_semantics(ray_session):
+    import hashlib
+
+    import numpy as np
+
+    from amharic_ecommerce_data_extractor_ray.entrypoints import (
+        q_scene_changes)
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+
+    sf = "/root/testdata/sf0.001"
+    got = q_scene_changes(sf).to_pandas()
+    # every payload's first sampled frame is a boundary with delta 0
+    first = got.sort_values("frame_idx").groupby("message_id").head(1)
+    assert first["is_scene"].eq(1).all() and first["delta"].eq(0).all()
+    # boundaries fire exactly where |Δlum| >= 96 (hand replay, one message)
+    corpus = kg.corpus_ds(sf).to_pandas()
+    r = corpus.iloc[3]
+    payload = r["content"].encode("utf-8")
+    n_frames = 1 + hashlib.sha256(payload).digest()[2] % 120
+    idxs = list(range(0, n_frames, 5))
+    lums = [hashlib.sha256(payload + f":{i}".encode()).digest()[0]
+            for i in idxs]
+    g = got[got["message_id"] == r["message_id"]].sort_values("frame_idx")
+    assert g["frame_idx"].tolist() == idxs
+    assert g["lum"].tolist() == lums
+    want_scene = [1] + [int(abs(b - a) >= 96)
+                        for a, b in zip(lums, lums[1:])]
+    assert g["is_scene"].tolist() == want_scene
+    # on random-ish luminance, boundaries occur but are a strict subset
+    assert 0 < got["is_scene"].sum() < len(got)
