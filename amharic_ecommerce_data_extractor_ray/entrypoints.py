@@ -1090,6 +1090,14 @@ def q_similarity_topk(sf_dir: str):
     return similarity.brute_force_topk(emb, SIM_QUERY_IDS, k=SIM_K)
 
 
+def q_label_noise(sf_dir: str):
+    """kNN-majority label-noise scan over a 40-probe panel."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.label_noise_scan(emb, list(range(40)), k=10)
+
+
 def q_mmr_rerank(sf_dir: str):
     """MMR diversified rerank over the brute-force pool; k greedy steps
     unrolled in the oracle (kg_hits technique)."""
@@ -1553,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "similarity_topk": q_similarity_topk,
         "similarity_filtered": q_similarity_filtered,
         "mmr_rerank": q_mmr_rerank,
+        "label_noise": q_label_noise,
         "embedding_gram": q_embedding_gram,
         "embedding_pca": q_embedding_pca,
         "similarity_lsh": q_similarity_lsh,
@@ -1673,6 +1682,7 @@ def oracle_sql() -> dict[str, str]:
                                                          SIM_K),
         "mmr_rerank": oracles.mmr_rerank_sql(SIM_QUERY_IDS, k=5, pool=20,
                                              lam=0.7),
+        "label_noise": oracles.label_noise_scan_sql(list(range(40)), 10),
         "embedding_gram": oracles.embedding_gram_sql(64),
         "multimodal_meta": oracles.multimodal_meta_sql(),
         "rel_filter_project": oracles.filter_project_revenue_sql(),

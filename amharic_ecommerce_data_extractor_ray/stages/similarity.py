@@ -1115,3 +1115,50 @@ def mmr_rerank(emb_ds, query_ids: list[int], *, k: int = 5, pool: int = 20,
                          math.floor(best_sc * 1e6 + 0.5) / 1e6))
     return pd.DataFrame(rows, columns=["query_id", "rank", "selected_id",
                                        "mmr_score"])
+
+
+def label_noise_scan(emb_ds, probe_ids: list[int], *, k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     label_col: str = "label"):
+    """Label-noise detection (confident-learning family, Cleanlab-style
+    kNN vote): for each probe vector, take its k nearest neighbors
+    (excluding itself), compute the neighborhood's majority label
+    (ties → smallest label), and flag probes whose OWN label disagrees —
+    the candidates a labeling team re-audits.
+
+    Distributed part = the ``brute_force_topk`` retrieval (k+1 to absorb
+    the self-match); the vote folds the tiny q×k table driver-side.  At
+    corpus scale the retrieval swaps to ``ivf_topk`` unchanged — the vote
+    contract only needs (query, neighbor, label) rows.
+
+    Output: (vec_id, own_label, majority_label, n_agree, is_noisy)."""
+    nn = brute_force_topk(emb_ds, probe_ids, k=k + 1,
+                          vec_col=vec_col, id_col=id_col).to_pandas()
+    nn = nn[nn["query_id"] != nn["neighbor_id"]]
+    nn = (nn.sort_values(["cosine", "neighbor_id"],
+                         ascending=[False, True])
+          .groupby("query_id").head(k))
+
+    need = sorted(set(nn["neighbor_id"]) | set(probe_ids))
+    need_set = set(need)
+
+    def pick(b: pa.Table) -> pa.Table:
+        mask = [i in need_set for i in b[id_col].to_pylist()]
+        return b.filter(pa.array(mask))
+
+    lab = (emb_ds.map_batches(pick, batch_format="pyarrow")
+           .select_columns([id_col, label_col]).to_pandas()
+           .set_index(id_col)[label_col])
+
+    rows = []
+    for q in sorted(set(nn["query_id"]).union(probe_ids)):
+        neigh = nn.loc[nn["query_id"] == q, "neighbor_id"]
+        votes = lab.loc[neigh].value_counts()
+        top = votes.max()
+        majority = min(v for v, c in votes.items() if c == top)
+        own = lab.loc[q]
+        rows.append((int(q), int(own), int(majority), int(top),
+                     int(majority != own)))
+    return pd.DataFrame(rows, columns=["vec_id", "own_label",
+                                       "majority_label", "n_agree",
+                                       "is_noisy"])

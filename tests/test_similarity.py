@@ -335,3 +335,35 @@ def test_mmr_rerank_properties(ray_session):
                 .tolist())
         assert plain[plain["query_id"] == q].sort_values("rank")[
             "selected_id"].tolist() == want
+
+
+def test_label_noise_scan_vote_semantics(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import (
+        label_noise_scan)
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet")
+    probes = [0, 5, 9, 13]
+    got = label_noise_scan(emb, probes, k=10).set_index("vec_id")
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas() \
+        .set_index("vec_id")
+    X = np.asarray(t["embedding"].tolist(), np.float64)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = t.index.to_numpy()
+    for q in probes:
+        qi = np.where(ids == q)[0][0]
+        cos = U @ U[qi]
+        mask = ids != q
+        order = np.lexsort((ids[mask], -cos[mask]))[:10]
+        neigh = ids[mask][order]
+        labs = t.loc[neigh, "label"]
+        counts = labs.value_counts()
+        top = counts.max()
+        majority = min(int(v) for v, c in counts.items() if c == top)
+        assert got.loc[q, "majority_label"] == majority
+        assert got.loc[q, "n_agree"] == top
+        assert got.loc[q, "is_noisy"] == int(majority != t.loc[q, "label"])
