@@ -418,6 +418,16 @@ def q_compact(sf_dir: str):
     return ds.select_columns(["doc_id", "text", "lang", "source"])
 
 
+def q_zipf_fit(sf_dir: str):
+    """Zipf-law fit over the top-1000 token frequencies (corpus health)."""
+    import ray.data as rd
+
+    from .stages.corpus_stats import zipf_fit
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return zipf_fit(docs, k=1000)
+
+
 def q_token_topk(sf_dir: str):
     """Heavy-hitter vocabulary: global top-100 tokens by frequency."""
     import ray.data as rd
@@ -1464,6 +1474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": q_langid_confusion,
         "doc_fingerprint": q_fingerprint,
         "token_topk": q_token_topk,
+        "zipf_fit": q_zipf_fit,
         "token_topk_sketch": q_token_topk_sketch,
         "inverted_index": q_inverted_index,
         "token_pmi": q_token_pmi,
@@ -1782,6 +1793,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_cross_vendor": oracles.phash_cross_vendor_sql(8),
         "scene_changes": oracles.scene_changes_sql(5, 96),
         "token_topk": oracles.token_topk_sql(100),
+        "zipf_fit": oracles.zipf_fit_sql(1000),
         "token_topk_sketch": oracles.token_topk_sketch_sql(100),
         "inverted_index": oracles.inverted_index_sql(20),
         "token_pmi": oracles.token_pmi_sql(5, 50),

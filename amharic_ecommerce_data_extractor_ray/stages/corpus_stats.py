@@ -650,3 +650,36 @@ def source_mixture_weights(docs_ds, *, source_col: str = "source",
     out["token_share"] = r6(share)
     out["weight"] = r6(weight)
     return out.sort_values(source_col).reset_index(drop=True)
+
+
+def zipf_fit(docs_ds, *, k: int = 1000, text_col: str = "text"):
+    """Zipf-law fit over the top-``k`` token frequencies — the corpus-health
+    summary (natural text ≈ slope −1; templated/spammy corpora deviate):
+    least-squares slope/intercept of ln(freq) vs ln(rank).
+
+    Shape: reuses the ``token_topk`` heavy-hitter pass (vocab-sized
+    combiner groupby + top-k sort); the regression folds the tiny k-row
+    table driver-side with the same closed-form moments as
+    ``relational.daily_trend``, mirrored by DuckDB ``regr_*`` over the
+    identical rank window.  Output: one row
+    (n_types_topk, n_tokens_topk, zipf_slope, zipf_intercept)."""
+    import numpy as np
+    import pandas as pd
+
+    top = token_topk(docs_ds, k=k, text_col=text_col).to_pandas()
+    top = top.sort_values(["n", "token"],
+                          ascending=[False, True]).reset_index(drop=True)
+    rank = np.arange(1, len(top) + 1, dtype=np.float64)
+    x = np.log(rank)
+    y = np.log(top["n"].to_numpy(dtype=np.float64))
+    n = float(len(x))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return pd.DataFrame({
+        "n_types_topk": pd.array([len(top)], dtype="int64"),
+        "n_tokens_topk": pd.array([int(top["n"].sum())], dtype="int64"),
+        "zipf_slope": [r6(slope)],
+        "zipf_intercept": [r6(intercept)],
+    })

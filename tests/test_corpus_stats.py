@@ -202,3 +202,31 @@ def test_trending_tokens_topk_per_day(ray_session):
     assert list(d1["token"]) == ["x", "y"] and list(d1["n"]) == [3, 3]
     d2 = out[out["message_date"] == "2024-01-02"]
     assert list(d2["token"]) == ["a", "b"] and list(d2["n"]) == [2, 1]
+
+
+def test_zipf_fit_slope_negative_and_exact(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from collections import Counter
+
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import (
+        zipf_fit)
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    got = zipf_fit(docs, k=50)
+    # exact recompute from a local counter
+    texts = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["text"]).to_pandas()["text"]
+    c = Counter()
+    for t in texts:
+        c.update((t or "").split())
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    y = np.log([n for _, n in top])
+    x = np.log(np.arange(1, len(top) + 1))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(got["zipf_slope"].iloc[0] - slope) < 1e-6
+    assert abs(got["zipf_intercept"].iloc[0] - intercept) < 1e-6
+    # frequencies decay with rank
+    assert got["zipf_slope"].iloc[0] < 0
