@@ -1618,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": kg.kg_pagerank,
         "kg_hits": kg.kg_hits,
         "kg_ppr": kg.kg_ppr,
+        "kg_edge_churn": kg.kg_edge_churn,
         "kg_link_prediction": kg.kg_link_prediction,
         # round-3 batch 2: sequence / window-frame / outer-join / graph /
         # quality-filter coverage
@@ -1843,6 +1844,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": oracles.kg_pagerank_sql(),
         "kg_hits": oracles.kg_hits_sql(),
         "kg_ppr": oracles.kg_ppr_sql(),
+        "kg_edge_churn": oracles.kg_edge_churn_sql("2024-07-01"),
         "kg_link_prediction": oracles.kg_link_prediction_sql(2, 50),
         "rel_funnel": oracles.event_funnel_sql(24),
         "rel_moving_avg": oracles.daily_moving_avg_sql(7),

@@ -260,6 +260,72 @@ def kg_pagerank(sf_dir: str, *, damping: float = 0.85, n_iter: int = 5):
 
 
 
+
+def kg_edge_churn(sf_dir: str, *, split_date: str = "2024-07-01"):
+    """Temporal KG diff: edge churn between the corpus halves before and
+    after ``split_date`` — added / removed / retained edges with weight
+    deltas, the audit a daily KG maintainer reads ("which vendor-entity
+    relations appeared this period").
+
+    Shape: the two halves run the same fused-triples → canonical-edges
+    path on FILTERED corpus scans (predicate pushed into the streaming
+    pass, no extra materialization); the diff is a tagged UNION + one
+    (src,dst)-keyed groupby with per-side Sum — no outer join operator
+    needed, and the exchange is edge-vocabulary sized."""
+    import datetime as _dt
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.canonicalize import canonical_edges
+
+    split = _dt.date.fromisoformat(split_date)
+
+    def half(before: bool):
+        def keep(b: pa.Table) -> pa.Table:
+            m = pc.less(b["message_date"], pa.scalar(split))
+            return b.filter(m if before else pc.invert(m))
+
+        filtered = corpus_ds(sf_dir).map_batches(keep,
+                                                 batch_format="pyarrow")
+        triples = filtered.map_batches(fused_triples_batch,
+                                       batch_format="pyarrow",
+                                       batch_size=DEFAULT_BATCH)
+        return canonical_edges(triples)
+
+    def tag(early: bool):
+        def f(b: pa.Table) -> pa.Table:
+            w = pc.cast(b["weight"], pa.int64())
+            zero = pa.array([0] * b.num_rows, pa.int64())
+            return pa.table({
+                "src_id": b["src_id"], "dst_id": b["dst_id"],
+                "w_early": w if early else zero,
+                "w_late": zero if early else w,
+            })
+        return f
+
+    both = (half(True).map_batches(tag(True), batch_format="pyarrow")
+            .union(half(False).map_batches(tag(False),
+                                           batch_format="pyarrow")))
+    merged = (both.groupby(["src_id", "dst_id"])
+              .aggregate(Sum("w_early", alias_name="w_early"),
+                         Sum("w_late", alias_name="w_late")))
+
+    def classify(b: pa.Table) -> pa.Table:
+        e = b["w_early"]
+        l = b["w_late"]
+        status = pc.if_else(
+            pc.equal(e, pa.scalar(0)), pa.scalar("added"),
+            pc.if_else(pc.equal(l, pa.scalar(0)), pa.scalar("removed"),
+                       pa.scalar("retained")))
+        return pa.table({
+            "src_id": b["src_id"], "dst_id": b["dst_id"],
+            "w_early": e, "w_late": l,
+            "delta": pc.subtract(l, e),
+            "status": status,
+        })
+
+    return merged.map_batches(classify, batch_format="pyarrow")
+
 def kg_ppr(sf_dir: str, *, seed_vendor: str = "vendor_000",
            damping: float = 0.85, n_iter: int = 5):
     """Personalized PageRank from one seed vendor — "entities related to

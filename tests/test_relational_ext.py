@@ -232,3 +232,25 @@ def test_kg_ppr_matches_numpy_walk(ray_session):
     assert np.allclose(got.values, want.values, atol=2e-6)
     # seed retains the largest mass after 5 steps on this bipartite graph
     assert got.idxmax() == seed
+
+
+def test_kg_edge_churn_consistency(ray_session):
+    from amharic_ecommerce_data_extractor_ray.pipelines import kg
+
+    churn = kg.kg_edge_churn(SF, split_date="2024-07-01").to_pandas()
+    full = kg.kg_edges(SF).to_pandas()
+    # every churn edge exists in the full build, and early+late == full
+    # weight (the halves partition the corpus)
+    j = churn.merge(full[["src_id", "dst_id", "weight"]],
+                    on=["src_id", "dst_id"], how="outer", indicator=True)
+    assert (j["_merge"] == "both").all()
+    assert (j["w_early"] + j["w_late"] == j["weight"]).all()
+    # status classes are consistent with the weights
+    for _, r in churn.iterrows():
+        if r["status"] == "added":
+            assert r["w_early"] == 0 and r["w_late"] > 0
+        elif r["status"] == "removed":
+            assert r["w_late"] == 0 and r["w_early"] > 0
+        else:
+            assert r["w_early"] > 0 and r["w_late"] > 0
+    assert set(churn["status"]) == {"added", "removed", "retained"}
