@@ -38,6 +38,8 @@ def _to_matrix(col) -> np.ndarray:
         if (lens == lens[0]).all() and lens[0] > 0:
             flat = _pc.list_flatten(col).to_numpy(zero_copy_only=False)
             return flat.astype(np.float64).reshape(len(lens), lens[0])
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        col = col.to_pylist()
     return np.asarray([np.asarray(v, dtype=np.float64) for v in col])
 
 

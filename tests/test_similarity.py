@@ -367,3 +367,32 @@ def test_label_noise_scan_vote_semantics(ray_session):
         assert got.loc[q, "majority_label"] == majority
         assert got.loc[q, "n_agree"] == top
         assert got.loc[q, "is_noisy"] == int(majority != t.loc[q, "label"])
+
+
+def test_to_matrix_fast_path_edge_cases():
+    import numpy as np
+    import pyarrow as pa
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import (
+        _to_matrix)
+
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((50, 8)).astype(np.float32)
+    arr = pa.array(data.tolist(), pa.list_(pa.float32()))
+    # plain
+    assert np.allclose(_to_matrix(arr), data, atol=1e-6)
+    # SLICED array (nonzero offset — the classic Arrow buffer bug)
+    sl = arr.slice(10, 20)
+    assert np.allclose(_to_matrix(sl), data[10:30], atol=1e-6)
+    # chunked
+    ch = pa.chunked_array([arr.slice(0, 25), arr.slice(25, 25)])
+    assert np.allclose(_to_matrix(ch), data, atol=1e-6)
+    # ragged input is out of contract (uniform-width embeddings only) and
+    # raises — same behavior as the pre-fast-path code
+    import pytest
+
+    ragged = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float64()))
+    with pytest.raises(ValueError):
+        _to_matrix(ragged)
+    # python-list input (pandas Series path)
+    assert np.allclose(_to_matrix(data.tolist()), data, atol=1e-6)
