@@ -1521,6 +1521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rfm_scores": relational.rfm_scores,
         "rel_late_events": relational.late_event_audit,
         "rel_daily_trend": relational.daily_trend,
+        "rel_seasonal_anomalies": relational.seasonal_anomalies,
         "rel_small_qty_revenue": relational.small_quantity_revenue,
         "rel_priority_exists": relational.priority_order_counts,
         "rel_pushdown_scan": relational.pushdown_scan,
@@ -1741,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_rfm_scores": oracles.rfm_scores_sql(5),
         "rel_late_events": oracles.late_event_audit_sql(24),
         "rel_daily_trend": oracles.daily_trend_sql(),
+        "rel_seasonal_anomalies": oracles.seasonal_anomalies_sql(3.0),
         "rel_small_qty_revenue": oracles.small_quantity_revenue_sql(0.5),
         "rel_priority_exists": oracles.priority_order_counts_sql(),
         "rel_pushdown_scan": oracles.pushdown_scan_sql(),

@@ -3238,3 +3238,58 @@ def daily_trend(sf_dir: str):
         "slope": r6(slope),
         "intercept": r6(intercept),
     })
+
+
+def seasonal_anomalies(sf_dir: str, *, mad_k: float = 3.0):
+    """Seasonal-baseline anomaly detection: per event type, each day's
+    total is compared to that type's DAY-OF-WEEK mean (the weekly
+    seasonality baseline); days whose |residual| exceeds ``mad_k`` × the
+    type's median absolute residual are flagged — the robust
+    weekday-aware monitor that plain z-scores (which a weekend dip fools)
+    get wrong.
+
+    Shape: one combiner groupby to (type, day) totals (calendar-sized),
+    then ONE co-located per-type group scan computes baselines, residuals
+    and the MAD flag — no further shuffle.  Output rounds to 6dp."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts", "value"])
+
+    def day_partials(b: pa.Table) -> pa.Table:
+        days = b["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]")
+        t = pa.table({
+            "event_type": b["event_type"],
+            "day": pa.array(days),
+            "v": b["value"],
+        })
+        return (t.group_by(["event_type", "day"]).aggregate([("v", "sum")])
+                .rename_columns(["event_type", "day", "v"]))
+
+    daily = (ds.map_batches(day_partials, batch_format="pyarrow")
+             .groupby(["event_type", "day"])
+             .aggregate(Sum("v", alias_name="v")))
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("day").copy()
+        dow = pd.to_datetime(g["day"]).dt.dayofweek
+        base = g.groupby(dow)["v"].transform("mean")
+        resid = g["v"] - base
+        mad = float(np.median(np.abs(resid)))
+        r6 = lambda a: np.floor(np.asarray(a) * 1e6 + 0.5) / 1e6  # noqa
+        return pd.DataFrame({
+            "event_type": g["event_type"].to_numpy(),
+            "day": pd.to_datetime(g["day"]).dt.strftime("%Y-%m-%d")
+            .to_numpy(),
+            "v": r6(g["v"]),
+            "baseline": r6(base),
+            "residual": r6(resid),
+            "is_anomaly": (np.abs(resid.to_numpy()) > mad_k * mad)
+            .astype(np.int64),
+        })
+
+    return daily.groupby("event_type").map_groups(flag,
+                                                  batch_format="pandas")

@@ -119,3 +119,39 @@ def test_daily_trend_matches_numpy_polyfit(ray_session):
         assert abs(got.loc[et, "slope"] - slope) < 1e-6
         assert abs(got.loc[et, "intercept"] - intercept) < 1e-6
         assert got.loc[et, "n_days"] == len(d)
+
+
+def test_seasonal_anomalies_semantics(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        seasonal_anomalies)
+
+    sf = "/root/testdata/sf0.001"
+    got = seasonal_anomalies(sf, mad_k=3.0).to_pandas()
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_type", "ts", "value"]).to_pandas()
+    ev["day"] = ev["ts"].dt.floor("D")
+    daily = (ev.groupby(["event_type", "day"])["value"].sum()
+             .reset_index(name="v"))
+    # one output row per (type, day)
+    assert len(got) == len(daily)
+    # replay one type
+    et = daily["event_type"].iloc[0]
+    d = daily[daily["event_type"] == et].sort_values("day")
+    dow = d["day"].dt.dayofweek
+    base = d.groupby(dow)["v"].transform("mean")
+    resid = d["v"] - base
+    mad = float(np.median(np.abs(resid)))
+    want_flags = (np.abs(resid.to_numpy()) > 3.0 * mad).astype(int)
+    g = got[got["event_type"] == et].sort_values("day")
+    assert g["is_anomaly"].tolist() == want_flags.tolist()
+    assert np.allclose(
+        g["residual"].to_numpy(),
+        np.floor(resid.to_numpy() * 1e6 + 0.5) / 1e6, atol=1e-9)
+    # residuals sum ~0 within each (type, dow) cell by construction
+    g2 = got.copy()
+    g2["dow"] = pd.to_datetime(g2["day"]).dt.dayofweek
+    cell = g2.groupby(["event_type", "dow"])["residual"].sum()
+    assert (cell.abs() < 1e-3).all()
