@@ -304,6 +304,24 @@ def q_expectations(sf_dir: str):
     return expectations_report(sf_dir)
 
 
+def q_dedup_histogram(sf_dir: str):
+    """Duplicate-cluster size histogram: how much of the corpus is
+    singletons vs heavy clusters — the dedup diagnostic read before
+    choosing thresholds.  exact_dedup_groups (hash-keyed combiner) → one
+    tiny (n_dups)-keyed groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .stages.dedup import exact_dedup_groups
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return (exact_dedup_groups(docs)
+            .groupby("n_dups")
+            .aggregate(Count(alias_name="n_clusters"),
+                       Sum("n_dups", alias_name="n_docs")))
+
+
 def q_gopher_rules(sf_dir: str):
     """Gopher-style quality rule suite (Rae et al. 2021) with per-rule
     audit flags; stateless streaming kernel."""
@@ -1470,6 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "doc_quality": q_doc_quality,
         "gopher_rules": q_gopher_rules,
+        "dedup_histogram": q_dedup_histogram,
         "expectations": q_expectations,
         "langid_confusion": q_langid_confusion,
         "doc_fingerprint": q_fingerprint,
@@ -1686,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oracles.token_count_sql(),
         "doc_quality": oracles.quality_sql(),
         "gopher_rules": oracles.gopher_rules_sql(),
+        "dedup_histogram": oracles.dedup_histogram_sql(),
         "expectations": oracles.expectations_report_sql(),
         "langid_confusion": oracles.langid_confusion_sql(),
         "dedup_exact": oracles.exact_dedup_sql(),

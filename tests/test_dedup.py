@@ -302,3 +302,14 @@ def test_substring_window_short_docs_drop(ray_session):
     ds = rd.from_items([{"doc_id": i, "text": "too short here"}
                         for i in range(3)])
     assert substring_window_pairs(ds, window=8).count() == 0
+
+
+def test_dedup_histogram_mass_conservation(ray_session):
+    from amharic_ecommerce_data_extractor_ray.entrypoints import (
+        q_dedup_histogram)
+
+    h = q_dedup_histogram("/root/testdata/sf0.001").to_pandas()
+    # total docs across clusters == corpus size; cluster math consistent
+    assert int(h["n_docs"].sum()) == 500
+    assert (h["n_docs"] == h["n_dups"] * h["n_clusters"]).all()
+    assert (h["n_dups"] >= 1).all()
