@@ -3229,8 +3229,12 @@ def daily_trend(sf_dir: str):
     n = mom["n"].to_numpy(np.float64)
     sx, sy = mom["sx"].to_numpy(), mom["sy"].to_numpy()
     sxy, sxx = mom["sxy"].to_numpy(), mom["sxx"].to_numpy()
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    intercept = (sy - slope * sx) / n
+    # single-day group → zero denominator; emit NULL like DuckDB's
+    # regr_slope instead of inf/NaN-from-division (ADVICE r3)
+    den = n * sxx - sx * sx
+    with np.errstate(divide="ignore", invalid="ignore"):
+        slope = np.where(den == 0.0, np.nan, (n * sxy - sx * sy) / den)
+        intercept = np.where(den == 0.0, np.nan, (sy - slope * sx) / n)
     r6 = lambda a: np.floor(a * 1e6 + 0.5) / 1e6  # noqa: E731
     return pd.DataFrame({
         "event_type": mom["event_type"],

@@ -674,8 +674,12 @@ def zipf_fit(docs_ds, *, k: int = 1000, text_col: str = "text"):
     y = np.log(top["n"].to_numpy(dtype=np.float64))
     n = float(len(x))
     sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    intercept = (sy - slope * sx) / n
+    den = n * sxx - sx * sx
+    if den == 0.0:  # <2 distinct ranks → regr_slope is NULL (ADVICE r3)
+        slope, intercept = float("nan"), float("nan")
+    else:
+        slope = (n * sxy - sx * sy) / den
+        intercept = (sy - slope * sx) / n
     r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
     return pd.DataFrame({
         "n_types_topk": pd.array([len(top)], dtype="int64"),

@@ -71,9 +71,13 @@ def expectations_report(sf_dir: str, *, num_partitions: int = 16):
          lambda b: pc.is_null(b["o_custkey"])),
         ("orders.totalprice_positive",
          lambda b: pc.invert(pc.greater(b["o_totalprice"], pa.scalar(0.0)))),
+        # NULL status is NOT a domain violation (SQL NOT IN yields NULL →
+        # counted 0 by the oracle); mask nulls out of the inverted is_in
+        # so engine and oracle agree if null statuses appear (ADVICE r3)
         ("orders.status_in_domain",
-         lambda b: pc.invert(pc.is_in(b["o_orderstatus"],
-                                      value_set=domain))),
+         lambda b: pc.and_kleene(
+             pc.invert(pc.is_in(b["o_orderstatus"], value_set=domain)),
+             pc.is_valid(b["o_orderstatus"]))),
     ]
     l_checks = [
         ("lineitem.discount_in_range",

@@ -716,7 +716,11 @@ def unigram_train(docs_ds, *, text_col: str = "text",
 
     for it in range(n_iters):
         total = int(cur["n"].sum())
-        logp = {p: math.log(n / total)
+        # zero-count singles (kept only for segmentability) get a floor
+        # log-prob strictly below any count-1 piece — deterministic, and
+        # keeps the integer counts exact for every used piece.
+        floor_lp = math.log(0.5 / total)
+        logp = {p: (math.log(n / total) if n > 0 else floor_lp)
                 for p, n in zip(cur["piece"], cur["n"])}
         merged = (vocab.map_batches(
             lambda b, _lp=logp: viterbi_counts(b, _lp, max_piece_len),
@@ -728,12 +732,20 @@ def unigram_train(docs_ds, *, text_col: str = "text",
                                     ascending=[False, True])
         keep = merged.head(vocab_size)
         singles = merged[merged["piece"].str.len() == 1]
-        cur = (pd.concat([keep, singles]).drop_duplicates("piece")
-               .reset_index(drop=True))
+        # re-add singles from the PREVIOUS vocabulary that got zero Viterbi
+        # count this iteration — dropping them could make a word
+        # unsegmentable later and silently vanish its counts.
+        prev_singles = cur[cur["piece"].str.len() == 1]["piece"]
+        missing = prev_singles[~prev_singles.isin(merged["piece"])]
+        zero_rows = pd.DataFrame({"piece": missing.to_numpy(),
+                                  "n": 0}).astype({"n": "int64"})
+        cur = (pd.concat([keep, singles, zero_rows])
+               .drop_duplicates("piece").reset_index(drop=True))
 
     total = int(cur["n"].sum())
     cur = cur.sort_values(["n", "piece"],
                           ascending=[False, True]).reset_index(drop=True)
-    cur["logprob"] = (cur["n"] / total).map(
-        lambda p: round(math.log(p), 6))
+    floor_lp = math.log(0.5 / total)
+    cur["logprob"] = cur["n"].map(
+        lambda n: round(math.log(n / total) if n > 0 else floor_lp, 6))
     return cur

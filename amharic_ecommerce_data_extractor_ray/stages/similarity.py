@@ -972,6 +972,10 @@ def embedding_pca(ds, *, col: str = "embedding", id_col: str = "vec_id",
     decomposition) → gated by reconstruction/variance property tests, not
     an oracle."""
     n, s, S = _gram_fold(ds, col=col, dim=dim)
+    if n < 2:
+        raise ValueError(
+            f"embedding_pca needs >= 2 rows to form a covariance "
+            f"matrix, got {n}")
     mean = s / n
     cov = (S - n * np.outer(mean, mean)) / (n - 1)
     w, V = np.linalg.eigh(cov)

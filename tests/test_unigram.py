@@ -40,12 +40,16 @@ def test_em_learns_ab_piece(ray_session):
     # 'ab' dominates: ababab→3 uses, abab→2 uses ×2, total 7
     assert got.get("ab") == 7
     assert got.get("cd") == 3
-    # single chars 'a'/'b' are never used by Viterbi once 'ab' wins
-    assert "a" not in got or got["ab"] > got.get("a", 0)
-    # logprobs normalize over surviving counts
+    # single chars 'a'/'b' are never used by Viterbi once 'ab' wins, but
+    # stay in the vocabulary at count 0 (segmentability floor)
+    assert got.get("a") == 0 and got.get("b") == 0
+    # logprobs normalize over surviving counts; zero-count pieces carry
+    # the floor log(0.5/total), strictly below any count-1 piece
     total = out["n"].sum()
+    floor = math.log(0.5 / total)
     for _, r in out.iterrows():
-        assert abs(r["logprob"] - math.log(r["n"] / total)) < 1e-5
+        want = math.log(r["n"] / total) if r["n"] > 0 else floor
+        assert abs(r["logprob"] - want) < 1e-5
 
 
 def test_counts_partition_invariant(ray_session):
