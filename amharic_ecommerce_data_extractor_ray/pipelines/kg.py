@@ -27,6 +27,7 @@ from ..stages.enrich import (enrich_batch, fused_entities_batch,
                              fused_triples_batch, tag_batch)
 from ..stages.canonicalize import (canonical_edges, canonical_entities,
                                    vendor_nodes)
+from ..stages.joins import auto_partitions
 
 DEFAULT_BATCH = 8192
 
@@ -181,7 +182,8 @@ def kg_cooccurrence(sf_dir: str):
             .aggregate(Sum("n", alias_name="n_messages")))
 
 
-def kg_pagerank(sf_dir: str, *, damping: float = 0.85, n_iter: int = 5):
+def kg_pagerank(sf_dir: str, *, damping: float = 0.85, n_iter: int = 5,
+                num_partitions: int | None = None):
     """Weighted PageRank over the (symmetrized) KG — the second distributed
     ITERATIVE graph algorithm next to dedup.connected_components, and the
     standard entity-importance signal KG consumers rank by.
@@ -201,6 +203,7 @@ def kg_pagerank(sf_dir: str, *, damping: float = 0.85, n_iter: int = 5):
     only at ~1e-15 relative."""
     from ray.data.aggregate import Sum
 
+    nparts = auto_partitions(num_partitions)
     e = kg_edges(sf_dir).select_columns(["src_id", "dst_id", "weight"])
 
     def sym(b: pa.Table) -> pa.Table:
@@ -221,7 +224,7 @@ def kg_pagerank(sf_dir: str, *, damping: float = 0.85, n_iter: int = 5):
             "u": b["u"], "v": b["v"],
             "share": pc.divide(b["w"], b["wout"])})
 
-    shares = (sym_ds.join(wout, join_type="inner", num_partitions=8,
+    shares = (sym_ds.join(wout, join_type="inner", num_partitions=nparts,
                           on=("u",))
               .map_batches(to_share, batch_format="pyarrow")
               .materialize())
@@ -245,7 +248,7 @@ def kg_pagerank(sf_dir: str, *, damping: float = 0.85, n_iter: int = 5):
                 "r": pc.add(pa.scalar(base),
                             pc.multiply(pa.scalar(damping), b["c_sum"]))})
 
-        ranks = (shares.join(ranks, join_type="inner", num_partitions=8,
+        ranks = (shares.join(ranks, join_type="inner", num_partitions=nparts,
                              on=("u",))
                  .map_batches(contrib, batch_format="pyarrow")
                  .groupby("v").aggregate(Sum("c", alias_name="c_sum"))
@@ -327,7 +330,8 @@ def kg_edge_churn(sf_dir: str, *, split_date: str = "2024-07-01"):
     return merged.map_batches(classify, batch_format="pyarrow")
 
 def kg_ppr(sf_dir: str, *, seed_vendor: str = "vendor_000",
-           damping: float = 0.85, n_iter: int = 5):
+           damping: float = 0.85, n_iter: int = 5,
+           num_partitions: int | None = None):
     """Personalized PageRank from one seed vendor — "entities related to
     THIS vendor" as a random walk with restart, the standard KG
     recommendation signal (vs kg_pagerank's global importance).
@@ -344,6 +348,7 @@ def kg_ppr(sf_dir: str, *, seed_vendor: str = "vendor_000",
     from ..stages.canonicalize import node_id
 
     seed = node_id("vendor", seed_vendor)
+    nparts = auto_partitions(num_partitions)
     e = kg_edges(sf_dir).select_columns(["src_id", "dst_id", "weight"])
 
     def sym(b: pa.Table) -> pa.Table:
@@ -364,7 +369,7 @@ def kg_ppr(sf_dir: str, *, seed_vendor: str = "vendor_000",
             "u": b["u"], "v": b["v"],
             "share": pc.divide(b["w"], b["wout"])})
 
-    shares = (sym_ds.join(wout, join_type="inner", num_partitions=8,
+    shares = (sym_ds.join(wout, join_type="inner", num_partitions=nparts,
                           on=("u",))
               .map_batches(to_share, batch_format="pyarrow")
               .materialize())
@@ -399,7 +404,7 @@ def kg_ppr(sf_dir: str, *, seed_vendor: str = "vendor_000",
                 "r": pc.add(tele,
                             pc.multiply(pa.scalar(damping), b["c_sum"]))})
 
-        ranks = (shares.join(ranks, join_type="inner", num_partitions=8,
+        ranks = (shares.join(ranks, join_type="inner", num_partitions=nparts,
                              on=("u",))
                  .map_batches(contrib, batch_format="pyarrow")
                  .union(seed_row)
@@ -413,7 +418,8 @@ def kg_ppr(sf_dir: str, *, seed_vendor: str = "vendor_000",
 
     return ranks.map_batches(finish, batch_format="pyarrow")
 
-def kg_hits(sf_dir: str, *, n_iter: int = 3):
+def kg_hits(sf_dir: str, *, n_iter: int = 3,
+            num_partitions: int | None = None):
     """HITS hubs-and-authorities (Kleinberg 1999) over the DIRECTED
     vendor→entity KG — the companion importance signal to kg_pagerank:
     on the bipartite graph, hub scores rank vendors by how strongly they
@@ -431,6 +437,7 @@ def kg_hits(sf_dir: str, *, n_iter: int = 3):
     """
     from ray.data.aggregate import Sum
 
+    nparts = auto_partitions(num_partitions)
     e = (kg_edges(sf_dir).select_columns(["src_id", "dst_id", "weight"])
          .map_batches(
              lambda b: pa.table({
@@ -450,7 +457,7 @@ def kg_hits(sf_dir: str, *, n_iter: int = 3):
 
     a = None
     for _ in range(n_iter):
-        raw_a = (e.join(h, join_type="inner", num_partitions=8, on=("u",))
+        raw_a = (e.join(h, join_type="inner", num_partitions=nparts, on=("u",))
                  .map_batches(
                      lambda b: pa.table({"v": b["v"],
                                          "s": pc.multiply(b["w"], b["h"])}),
@@ -462,7 +469,7 @@ def kg_hits(sf_dir: str, *, n_iter: int = 3):
             lambda b, _n=norm: pa.table(
                 {"v": b["v"], "a": pc.divide(b["s"], pa.scalar(_n))}),
             batch_format="pyarrow").materialize()
-        raw_h = (e.join(a, join_type="inner", num_partitions=8, on=("v",))
+        raw_h = (e.join(a, join_type="inner", num_partitions=nparts, on=("v",))
                  .map_batches(
                      lambda b: pa.table({"u": b["u"],
                                          "s": pc.multiply(b["w"], b["a"])}),
@@ -646,7 +653,8 @@ def kg_link_prediction(sf_dir: str, *, min_common: int = 2, k: int = 50,
             .head(k).reset_index(drop=True))
 
 
-def kg_label_propagation(sf_dir: str, *, n_iter: int = 3):
+def kg_label_propagation(sf_dir: str, *, n_iter: int = 3,
+                         num_partitions: int | None = None):
     """Community detection by SYNCHRONOUS weighted label propagation over the
     (symmetrized) KG — the deterministic LPA variant: every node
     simultaneously adopts the label with the largest incident edge-weight sum
@@ -663,6 +671,7 @@ def kg_label_propagation(sf_dir: str, *, n_iter: int = 3):
     vocabulary-sized (|vendors| + |entities|), never corpus-sized."""
     from ray.data.aggregate import Count  # noqa: F401  (import parity)
 
+    nparts = auto_partitions(num_partitions)
     e = kg_edges(sf_dir).select_columns(["src_id", "dst_id", "weight"])
 
     def sym(b: pa.Table) -> pa.Table:
@@ -677,12 +686,14 @@ def kg_label_propagation(sf_dir: str, *, n_iter: int = 3):
 
     sym_ds = e.map_batches(sym, batch_format="pyarrow").materialize()
 
+    from ray.data.aggregate import Max, Min, Sum
+
     def init_labels(b: pa.Table) -> pa.Table:
         return pa.table({"u": b["u"], "label": b["u"]})
 
-    labels = (sym_ds.groupby("u").map_groups(
-        lambda g: g.head(1)[["u"]], batch_format="pandas")
-        .map_batches(init_labels, batch_format="pyarrow").materialize())
+    labels = (sym_ds.groupby("u").aggregate(Sum("w", alias_name="_"))
+              .select_columns(["u"])
+              .map_batches(init_labels, batch_format="pyarrow").materialize())
 
     def vote_partials(b: pa.Table) -> pa.Table:
         t = pa.table({"v": b["v"], "label": b["label"], "w": b["w"]})
@@ -690,19 +701,30 @@ def kg_label_propagation(sf_dir: str, *, n_iter: int = 3):
                 .aggregate([("w", "sum")])
                 .rename_columns(["v", "label", "ws"]))
 
-    def argmax_label(g: pd.DataFrame) -> pd.DataFrame:
-        votes = (g.groupby("label", as_index=False)["ws"].sum()
-                 .sort_values(["ws", "label"], ascending=[False, True]))
-        return pd.DataFrame({"u": [g["v"].iloc[0]],
-                             "label": [votes["label"].iloc[0]]})
+    def keep_best(b: pa.Table) -> pa.Table:
+        # winners = rows whose vote sum equals the node's max
+        return (b.filter(pc.equal(b["ws"], b["best_ws"]))
+                .select(["v", "label"]))
 
     for _ in range(n_iter):
-        labels = (sym_ds.join(labels, join_type="inner", num_partitions=8,
-                              on=("u",))
-                  .map_batches(vote_partials, batch_format="pyarrow")
-                  .groupby("v").map_groups(argmax_label,
-                                           batch_format="pandas")
-                  .map_batches(lambda b: b, batch_format="pyarrow")
+        # exact integer vote table (v, label, ws): per-batch Arrow combiner
+        # then ONE native grouped sum — no per-group Python frames anywhere
+        votes = (sym_ds.join(labels, join_type="inner",
+                             num_partitions=nparts, on=("u",))
+                 .map_batches(vote_partials, batch_format="pyarrow")
+                 .groupby(["v", "label"]).aggregate(Sum("ws", alias_name="ws"))
+                 .materialize())
+        # argmax by (ws desc, label asc) as native aggregates: per-node Max
+        # vote, reduce-side lookup join to keep the winning rows, then Min
+        # label as the deterministic tie-break (all tables vocabulary-sized)
+        best = votes.groupby("v").aggregate(Max("ws", alias_name="best_ws"))
+        labels = (votes.join(best, join_type="inner",
+                             num_partitions=nparts, on=("v",))
+                  .map_batches(keep_best, batch_format="pyarrow")
+                  .groupby("v").aggregate(Min("label", alias_name="label"))
+                  .map_batches(
+                      lambda b: pa.table({"u": b["v"], "label": b["label"]}),
+                      batch_format="pyarrow")
                   .materialize())
 
     def finish(b: pa.Table) -> pa.Table:

@@ -37,21 +37,8 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 
-def _auto_partitions(requested: int | None, cap: int = 16) -> int:
-    """Resolve a join/shuffle partition count: the caller's explicit value,
-    else min(cap, cluster CPUs).  Ray 2.49's hash-shuffle join spins up one
-    aggregator actor per partition — asking for more partitions than CPUs
-    DEADLOCKS a small cluster (observed: 16 partitions on 4 CPUs).  At real
-    cluster scale pass an explicit count sized to the data."""
-    if requested is not None:
-        return requested
-    import ray
-
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", cap))
-    except Exception:
-        cpus = cap
-    return max(2, min(cap, cpus))
+# shared shuffle-sizing helper now lives next to the join operators
+from ..stages.joins import auto_partitions as _auto_partitions  # noqa: E402
 
 
 def _nation_arrays(sf_dir: str):

@@ -24,6 +24,23 @@ import pyarrow as pa
 _SIDE = "_asof_side"
 
 
+def auto_partitions(requested: int | None, cap: int = 16) -> int:
+    """Resolve a join/shuffle partition count: the caller's explicit value,
+    else min(cap, cluster CPUs).  Ray 2.49's hash-shuffle join spins up one
+    aggregator actor per partition — asking for more partitions than CPUs
+    DEADLOCKS a small cluster (observed: 16 partitions on 4 CPUs).  At real
+    cluster scale pass an explicit count sized to the data."""
+    if requested is not None:
+        return requested
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", cap))
+    except Exception:
+        cpus = cap
+    return max(2, min(cap, cpus))
+
+
 def asof_join(left_ds, right_ds, *, by: str, on: str,
               right_cols: list[str], suffix: str = "_r"):
     """Backward as-of join of two Datasets.

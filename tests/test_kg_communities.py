@@ -31,3 +31,19 @@ def test_lpa_labels_are_node_ids_and_converge_toward_fewer(ray_session):
     assert set(three["community"]) <= nodes
     # propagation never increases the number of distinct communities
     assert three["community"].nunique() <= one["community"].nunique()
+
+
+def test_graph_join_partitions_track_cluster_cpus(ray_session):
+    """VERDICT r3 #2: iterative-graph joins must size their shuffle to the
+    cluster, not a hardcoded constant."""
+    import ray
+
+    from amharic_ecommerce_data_extractor_ray.stages.joins import (
+        auto_partitions)
+
+    cpus = int(ray.cluster_resources()["CPU"])
+    assert auto_partitions(None) == max(2, min(16, cpus))
+    # explicit request always wins (real-cluster escape hatch)
+    assert auto_partitions(48) == 48
+    # cap prevents aggregator actors outnumbering CPUs on big boxes
+    assert auto_partitions(None, cap=2) == 2
