@@ -76,7 +76,9 @@ def q_normalize_stopwords(sf_dir: str):
 
 
 def q_triples(sf_dir: str):
-    ds = kg.triples_ds(sf_dir)
+    # shared session-memoized tag pass (VERDICT r3 #1) — nodes/edges/graph
+    # queries in the same gate run reuse this boundary instead of re-tagging
+    ds = kg.triples_materialized(sf_dir)
     return ds.select_columns(["message_id", "subj", "pred", "obj", "obj_norm",
                               "price_value", "content_sha256"])
 

@@ -26,7 +26,7 @@ from ..sources.corpus import corpus_from_documents
 from ..stages.enrich import (enrich_batch, fused_entities_batch,
                              fused_triples_batch, tag_batch)
 from ..stages.canonicalize import (canonical_edges, canonical_entities,
-                                   vendor_nodes)
+                                   graph_from_triples, vendor_nodes)
 from ..stages.joins import auto_partitions
 
 DEFAULT_BATCH = 8192
@@ -67,13 +67,60 @@ def vendor_scorecard(sf_dir: str):
     return scorecard_from_corpus(corpus_ds(sf_dir))
 
 
+# -- shared tag-pass boundary (VERDICT r3 #1) --------------------------------
+# The fused normalize→tag→triples kernel is the single most expensive stage;
+# every KG query (nodes, edges, pagerank, hits, ppr, communities, degrees,
+# link prediction) derives from the SAME materialized triples boundary, the
+# way the product path (build_kg) already does — instead of re-tagging the
+# corpus per query.  Keyed by (Ray job, sf_dir) so a stale session's object
+# refs are never reused.
+
+_TRIPLES_CACHE: dict = {}
+_GRAPH_CACHE: dict = {}
+
+
+def _session_key(sf_dir: str):
+    import ray
+
+    return (ray.get_runtime_context().get_job_id(), sf_dir)
+
+
+def triples_materialized(sf_dir: str):
+    """The tag pass executed ONCE per (Ray session, sf_dir): the shared
+    materialized triples boundary every derived KG query reads."""
+    import ray
+
+    ds = triples_ds(sf_dir)
+    if not ray.is_initialized():
+        mat = ds.materialize()  # Ray auto-initializes here
+        _TRIPLES_CACHE[_session_key(sf_dir)] = mat
+        return mat
+    key = _session_key(sf_dir)
+    if key not in _TRIPLES_CACHE:
+        _TRIPLES_CACHE[key] = ds.materialize()
+    return _TRIPLES_CACHE[key]
+
+
+def kg_graph(sf_dir: str):
+    """(nodes, edges) built from ONE tag pass + ONE triples scan via
+    ``graph_from_triples`` (the build_kg shape), memoized per session —
+    both outputs are vocabulary-sized, so materializing them makes every
+    downstream graph query start from tiny in-memory tables."""
+    triples = triples_materialized(sf_dir)
+    key = _session_key(sf_dir)
+    if key not in _GRAPH_CACHE:
+        entity_nodes, edges = graph_from_triples(triples)
+        nodes = vendor_nodes(corpus_ds(sf_dir)).union(entity_nodes)
+        _GRAPH_CACHE[key] = (nodes.materialize(), edges.materialize())
+    return _GRAPH_CACHE[key]
+
+
 def kg_nodes(sf_dir: str):
-    return vendor_nodes(corpus_ds(sf_dir)).union(
-        canonical_entities(triples_ds(sf_dir)))
+    return kg_graph(sf_dir)[0]
 
 
 def kg_edges(sf_dir: str):
-    return canonical_edges(triples_ds(sf_dir))
+    return kg_graph(sf_dir)[1]
 
 
 def kg_degrees(sf_dir: str):

@@ -92,11 +92,14 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from amharic_ecommerce_data_extractor_ray.pipelines import relational
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import ENTITY_COLS
     from amharic_ecommerce_data_extractor_ray.stages import dedup, similarity
     from amharic_ecommerce_data_extractor_ray.stages.canonicalize import graph_from_triples
-    from amharic_ecommerce_data_extractor_ray.stages.enrich import fused_triples_batch
+    from amharic_ecommerce_data_extractor_ray.stages.enrich import (
+        fused_entities_batch, fused_triples_batch,
+        triples_from_entities_batch)
     from amharic_ecommerce_data_extractor_ray.stages.scorecard import (
-        fused_scorecard_partials_batch, finalize_scorecard,
+        scorecard_partials_batch, finalize_scorecard,
         merge_partials_group)
 
     n_rows = corpus_rows()
@@ -129,10 +132,19 @@ def run_bench() -> dict:
 
     # triples need only these three input columns — prune at the read
     TRIPLE_COLS = ["message_id", "repo", "content"]
+    # the product boundary additionally carries the scorecard metadata
+    ENTITY_INPUT_COLS = ["message_id", "repo", "content", "views",
+                         "message_date"]
 
     def triples_pipeline():
         return corpus(TRIPLE_COLS).map_batches(
             fused_triples_batch, batch_format="pyarrow", batch_size=8192)
+
+    def entities_pipeline():
+        return (corpus(ENTITY_INPUT_COLS)
+                .map_batches(fused_entities_batch, batch_format="pyarrow",
+                             batch_size=8192)
+                .select_columns(ENTITY_COLS))
 
     # Warm-up (untimed): spins up the worker pool, imports the package in
     # every worker, loads the OS page cache, and exercises the Parquet Write
@@ -148,16 +160,22 @@ def run_bench() -> dict:
                       batch_size=8192)
          .write_parquet("/tmp/bench_warmup"))
     else:
-        triples_pipeline().write_parquet("/tmp/bench_warmup")
+        (entities_pipeline().limit(500_000)
+         .write_parquet("/tmp/bench_warmup"))
 
-    # q1: flagship — corpus → normalize → tag → triples → parquet sink.
-    # Best-of-2 (fresh sink dir each attempt): single-shot timings on a busy
-    # shared host vary ±15%, and this number anchors the scaling-efficiency
-    # criterion.
+    # q1: flagship — ONE tag pass for the whole KG suite (VERDICT r3 #1):
+    # corpus → normalize → tag → per-message entities boundary (Parquet),
+    # then triples as a cheap explode of the stored boundary — exactly the
+    # product path (pipelines.kg.build_kg); canonicalize and the scorecard
+    # read the boundaries instead of re-tagging.  Best-of-2 (fresh sink dirs
+    # each attempt): single-shot timings on a busy shared host vary ±15%,
+    # and this number anchors the headline throughput.
     triples_out = f"/tmp/bench_out_triples_{NUM_CPUS}"
+    entities_out = f"/tmp/bench_out_entities_{NUM_CPUS}"
     best = float("inf")
     for _ in range(1 if KG_ONLY else 2):
         shutil.rmtree(triples_out, ignore_errors=True)
+        shutil.rmtree(entities_out, ignore_errors=True)
         t0 = time.time()
         if KG_ONLY:
             # SCALING-MODE SINK: consume the stream (count pulls every block
@@ -167,10 +185,16 @@ def run_bench() -> dict:
             # writes to its own disk — including single-box disk bandwidth in
             # the ratio systematically understates multi-node scaling (the
             # same argument as reserving daemon cores at both levels).  The
-            # headline (non-scaling) bench keeps the full Parquet sink.
+            # scaling job is the UNCHANGED r2/r3 code path (pure fused
+            # triples kernel) so the north-rule numbers stay comparable
+            # across rounds.
             triples_pipeline().count()
         else:
-            triples_pipeline().write_parquet(triples_out)
+            entities_pipeline().write_parquet(entities_out)
+            (rd.read_parquet(entities_out)
+             .map_batches(triples_from_entities_batch,
+                          batch_format="pyarrow", batch_size=8192)
+             .write_parquet(triples_out))
         best = min(best, time.time() - t0)
     timings["kg_triples"] = round(best, 3)
 
@@ -194,11 +218,12 @@ def run_bench() -> dict:
         n_nodes = nodes_ds.count()
         n_edges = edges_ds.count()
 
-    # q3: vendor scorecard — fully-fused partials kernel, pruned read
-    SCORECARD_COLS = ["message_id", "repo", "content", "views", "message_date"]
+    # q3: vendor scorecard — partials over the STORED entities boundary
+    # (no second tag pass; the boundary carries the per-message entity
+    # lists + metadata the scorecard folds)
     with timed("vendor_scorecard"):
-        partials = (corpus(SCORECARD_COLS)
-                    .map_batches(fused_scorecard_partials_batch,
+        partials = (rd.read_parquet(entities_out)
+                    .map_batches(scorecard_partials_batch,
                                  batch_format="pyarrow", batch_size=8192)
                     .materialize())
         merged = partials.groupby("repo").map_groups(merge_partials_group,
