@@ -858,6 +858,20 @@ def q_similarity_pq_adc(sf_dir: str):
                        k_codes=16, n_iter=2)
 
 
+def q_similarity_pq_rerank(sf_dir: str):
+    """ADC shortlist → exact cosine re-rank (Jégou et al. §V): the
+    production IVF-PQ pattern — compressed scan proposes, exact distances
+    on the |q|×shortlist gather decide."""
+    import ray.data as rd
+
+    from .stages.similarity import pq_adc_rerank_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return pq_adc_rerank_topk(emb, SIM_QUERY_IDS, k=SIM_K, shortlist=50,
+                              m_subspaces=2, k_codes=16, n_iter=2)
+
+
 def q_trainset_build(sf_dir: str):
     """Composed LLM training-set builder: curate (quality + exact dedup)
     -> survivor-corpus perplexity filter -> token chunking, one dataflow;
@@ -1531,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tagger_kappa": q_tagger_kappa,
         "pq_codes": q_pq_codes,
         "similarity_pq_adc": q_similarity_pq_adc,
+        "similarity_pq_rerank": q_similarity_pq_rerank,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
         "feather_roundtrip": q_feather_roundtrip,
@@ -1753,6 +1768,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes": oracles.pq_codes_sql(2, 16, 2, 64),
         "similarity_pq_adc": oracles.pq_adc_topk_sql(SIM_QUERY_IDS, SIM_K,
                                                       2, 16, 2, 64),
+        "similarity_pq_rerank": oracles.pq_adc_rerank_topk_sql(
+            SIM_QUERY_IDS, SIM_K, 50, 2, 16, 2, 64),
         "jsonl_roundtrip": oracles.jsonl_roundtrip_sql(),
         "orc_roundtrip": oracles.jsonl_roundtrip_sql(),
         "feather_roundtrip": oracles.jsonl_roundtrip_sql(),

@@ -825,6 +825,57 @@ def pq_adc_topk(emb_ds, query_ids: list[int], k: int = 10, *,
     return out
 
 
+def pq_adc_rerank_topk(emb_ds, query_ids: list[int], k: int = 10, *,
+                       shortlist: int = 50, m_subspaces: int = 2,
+                       k_codes: int = 16, n_iter: int = 2,
+                       id_col: str = "vec_id", emb_col: str = "embedding",
+                       round_to: int = 6):
+    """The production IVF-PQ search pattern: the compressed ADC scan only
+    PROPOSES a ``shortlist`` of candidates per query; exact cosine on that
+    tiny shortlist DECIDES the final top-k (Jégou et al. TPAMI 2011 §V's
+    re-ranking step).  Recovers most of the recall plain ADC loses to code
+    quantization while still never scanning raw floats corpus-wide.
+
+    Scale shape: ``pq_adc_topk`` does the corpus work (codes-only scan);
+    the re-rank then needs ONE filtered gather of |queries| x shortlist
+    vectors (id-set broadcast into the scan closure) and an O(nq x L x d)
+    driver matmul — both bounded by the shortlist, not the corpus.
+
+    Output: (query_id, neighbor_id, cosine), k rows per query ranked by
+    (rounded cosine desc, neighbor_id asc) — the brute_force_topk contract,
+    so recall is directly comparable."""
+    short = pq_adc_topk(emb_ds, query_ids, k=shortlist,
+                        m_subspaces=m_subspaces, k_codes=k_codes,
+                        n_iter=n_iter, id_col=id_col, emb_col=emb_col)
+    need = frozenset(short["neighbor_id"]).union(query_ids)
+
+    def gather(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        mask = _pc.is_in(b[id_col],
+                         value_set=pa.array(list(need), pa.int64()))
+        return b.filter(mask).select([id_col, emb_col])
+
+    got = (emb_ds.map_batches(gather, batch_format="pyarrow")
+           .to_pandas().sort_values(id_col))          # ≤ nq×L + nq rows
+    unit = _unit(_to_matrix(got[emb_col]))
+    row_of = {int(i): r for r, i in enumerate(got[id_col].to_numpy())}
+
+    out_q, out_n, out_c = [], [], []
+    for q in sorted(set(query_ids)):
+        cand = short.loc[short["query_id"] == q, "neighbor_id"] \
+            .to_numpy(np.int64)
+        rows = np.asarray([row_of[int(c)] for c in cand])
+        cos = np.round(unit[rows] @ unit[row_of[int(q)]], round_to)
+        order = np.lexsort((cand, -cos))[:min(k, len(cand))]
+        out_q.extend([q] * len(order))
+        out_n.extend(cand[order].tolist())
+        out_c.extend(cos[order].tolist())
+    return pd.DataFrame({"query_id": pd.array(out_q, dtype="int64"),
+                         "neighbor_id": pd.array(out_n, dtype="int64"),
+                         "cosine": out_c})
+
+
 def hard_negatives(emb_ds, query_ids: list[int], k: int = 5, *,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    label_col: str = "label"):

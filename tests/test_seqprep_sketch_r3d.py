@@ -338,6 +338,44 @@ def test_pq_adc_recall_vs_brute_force(ray_session):
     assert adc.equals(adc2)
 
 
+def test_pq_adc_rerank_recovers_recall(ray_session):
+    """Exact re-rank of the ADC shortlist must retrieve at least as much of
+    the true top-10 as plain ADC (it can only promote true neighbors the
+    shortlist contains), and a generous shortlist must pin a high floor."""
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import (
+        brute_force_topk, pq_adc_rerank_topk, pq_adc_topk)
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(16, 64))
+    vecs = base[rng.integers(0, 16, size=300)] + \
+        rng.normal(scale=0.1, size=(300, 64))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()}
+            for i in range(300)]
+    ds = rd.from_items(rows)
+    qids = list(range(5))
+    bf = brute_force_topk(ds, qids, k=10).to_pandas()
+    adc = pq_adc_topk(ds, qids, k=10, m_subspaces=2, k_codes=16, n_iter=2)
+    rr = pq_adc_rerank_topk(ds, qids, k=10, shortlist=50, m_subspaces=2,
+                            k_codes=16, n_iter=2)
+
+    def mean_recall(df):
+        rs = []
+        for q in qids:
+            a = set(df[df["query_id"] == q]["neighbor_id"])
+            b = set(bf[bf["query_id"] == q]["neighbor_id"])
+            rs.append(len(a & b) / 10)
+        return float(np.mean(rs))
+
+    assert mean_recall(rr) >= mean_recall(adc)
+    assert mean_recall(rr) >= 0.8, mean_recall(rr)
+    # block-layout invariance
+    rr2 = pq_adc_rerank_topk(ds.repartition(16), qids, k=10, shortlist=50,
+                             m_subspaces=2, k_codes=16, n_iter=2)
+    assert rr.equals(rr2)
+
+
 def test_partition_prune_reads_one_directory(ray_session, tmp_path):
     """The pruned read must touch only the selected partition directory
     (layout check) and reproduce the filtered aggregate."""
