@@ -603,6 +603,21 @@ def q_tfidf(sf_dir: str):
     return tfidf_topk(docs, k=3)
 
 
+BM25_QUERY = ["spark", "join", "window", "filter", "stream"]
+
+
+def q_bm25(sf_dir: str):
+    """BM25 top-20 documents for a fixed bag-of-terms query (query-term df
+    pass + broadcast idf, vectorized tf scoring, partial top-k)."""
+    import ray.data as rd
+
+    from .stages.corpus_stats import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return bm25_topk(docs, BM25_QUERY, k=20)
+
+
 def q_pii_scrub(sf_dir: str):
     """Training-data hygiene: email/phone redaction over the corpus."""
     ds = kg.corpus_ds(sf_dir).map_batches(textstats.pii_scrub_batch,
@@ -1523,6 +1538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "histogram_quantile": q_histogram_quantile,
         "tfidf_topk": q_tfidf,
+        "bm25_topk": q_bm25,
         "asof_clicks": q_asof_clicks,
         "pii_scrub": q_pii_scrub,
         "rel_quantiles": relational.value_quantiles,
@@ -1851,6 +1867,7 @@ def oracle_sql() -> dict[str, str]:
         "histogram_quantile": oracles.histogram_quantile_sql(
             HISTQ_QUANTILES, lo=HISTQ_LO, hi=HISTQ_HI, bins=HISTQ_BINS),
         "tfidf_topk": oracles.tfidf_topk_sql(3),
+        "bm25_topk": oracles.bm25_topk_sql(BM25_QUERY, 20),
         "asof_clicks": oracles.asof_clicks_sql(),
         "pii_scrub": oracles.pii_scrub_sql(),
         "rel_quantiles": oracles.value_quantiles_sql(),

@@ -687,3 +687,111 @@ def zipf_fit(docs_ds, *, k: int = 1000, text_col: str = "text"):
         "zipf_slope": [r6(slope)],
         "zipf_intercept": [r6(intercept)],
     })
+
+
+def bm25_topk(docs_ds, query_terms: list[str], k: int = 20, *,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1: float = 1.2, b: float = 0.75):
+    """BM25 document ranking for one bag-of-terms query (Robertson/
+    Sparck-Jones with the Lucene ``+1`` idf floor) — the retrieval-side
+    scorer next to ``tfidf_topk``/``inverted_index``:
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len(d)/avgdl))``,
+    ``idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)``.
+
+    Shape: pass 1 is ONE combiner scan emitting per-batch df partials for
+    the (broadcast, tiny) query-term set plus a sentinel row carrying
+    (n_docs, Σlen) — the shuffle is O(|Q| × blocks), never vocab-sized;
+    the driver folds idf/avgdl.  Pass 2 scores each batch with the idf
+    table broadcast via ``ray.put`` — tf from ONE vectorized explode +
+    bincount (no per-row Python), per-batch partial top-k, driver merges
+    O(k × blocks) rows.  Ranking uses the 6-dp-rounded score (ties then
+    doc_id asc) so float sum order cannot flip ranks vs the oracle.
+
+    Output: (doc_id, bm25), k rows, (bm25 desc, doc_id asc)."""
+    import math
+
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    terms = sorted(set(query_terms))
+    T = len(terms)
+    tset = pa.array(terms, pa.string())
+
+    def explode(bt: pa.Table):
+        """(row_index, token) pairs for non-empty whitespace tokens."""
+        import pyarrow.compute as pc
+
+        tl = pc.split_pattern_regex(bt[text_col], pattern=r"\s+")
+        n_tok = pc.list_value_length(tl).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(bt.num_rows, dtype=np.int64), n_tok)
+        flat = tl.combine_chunks().flatten() if isinstance(
+            tl, pa.ChunkedArray) else tl.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return rows[keep], flat.filter(pa.array(keep))
+
+    def stats_partials(bt: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rows, toks = explode(bt)
+        lens_sum = int(len(rows))
+        ti = pc.fill_null(pc.index_in(toks, value_set=tset), -1) \
+            .to_numpy(zero_copy_only=False)
+        hit = ti >= 0
+        # df partial: DISTINCT (row, term) pairs per batch
+        pairs = np.unique(rows[hit] * T + ti[hit])
+        dfp = np.bincount((pairs % T).astype(np.int64), minlength=T)
+        out_terms = [terms[i] for i in range(T)] + [""]
+        return pa.table({
+            "term": pa.array(out_terms, pa.string()),
+            "df": pa.array(list(dfp) + [0], pa.int64()),
+            "n_docs": pa.array([0] * T + [bt.num_rows], pa.int64()),
+            "sum_len": pa.array([0] * T + [lens_sum], pa.int64()),
+        })
+
+    merged = (docs_ds.map_batches(stats_partials, batch_format="pyarrow")
+              .groupby("term")
+              .aggregate(Sum("df", alias_name="df"),
+                         Sum("n_docs", alias_name="n_docs"),
+                         Sum("sum_len", alias_name="sum_len"))
+              .to_pandas())                      # ≤ |Q| + 1 rows
+    sent = merged[merged["term"] == ""]
+    n_docs = int(sent["n_docs"].iloc[0]) if len(sent) else 0
+    if n_docs == 0:
+        return pd.DataFrame({id_col: pd.array([], dtype="int64"),
+                             "bm25": pd.array([], dtype="float64")})
+    avgdl = int(sent["sum_len"].iloc[0]) / n_docs
+    dfs = dict(zip(merged["term"], merged["df"]))
+    idf = np.array([math.log((n_docs - dfs.get(t, 0) + 0.5)
+                             / (dfs.get(t, 0) + 0.5) + 1) for t in terms])
+    ref = ray.put((idf, avgdl))
+
+    def score_partials(bt: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idf_v, avg = ray.get(ref)
+        rows, toks = explode(bt)
+        lens = np.bincount(rows, minlength=bt.num_rows).astype(np.float64)
+        ti = pc.fill_null(pc.index_in(toks, value_set=tset), -1) \
+            .to_numpy(zero_copy_only=False)
+        hit = ti >= 0
+        if not hit.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "bm25": pa.array([], pa.float64())})
+        tf = np.bincount(rows[hit] * T + ti[hit],
+                         minlength=bt.num_rows * T) \
+            .reshape(bt.num_rows, T).astype(np.float64)
+        denom = tf + k1 * (1 - b + b * lens[:, None] / avg)
+        sc = (tf * (k1 + 1) / denom * idf_v[None, :]).sum(axis=1)
+        mask = tf.sum(axis=1) > 0
+        ids = bt[id_col].to_numpy(zero_copy_only=False)[mask]
+        sc6 = np.floor(sc[mask] * 1e6 + 0.5) / 1e6
+        order = np.lexsort((ids, -sc6))[:min(k, len(ids))]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "bm25": pa.array(sc6[order], pa.float64())})
+
+    parts = (docs_ds.map_batches(score_partials, batch_format="pyarrow")
+             .to_pandas())                       # ≤ k × n_blocks rows
+    return (parts.sort_values(["bm25", id_col], ascending=[False, True])
+            .head(k).reset_index(drop=True))
