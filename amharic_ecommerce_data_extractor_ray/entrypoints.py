@@ -964,6 +964,26 @@ def q_dedup_minhash(sf_dir: str):
     return dedup.minhash_lsh_pairs(docs)
 
 
+def q_dedup_minhash_join(sf_dir: str):
+    """Cross-corpus near-dup JOIN (even vs odd doc ids as the two corpora):
+    side-aware LSH banding — signatures ship only for buckets holding both
+    sides; the benchmark side never needs to be broadcastable."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def parity(p: int):
+        return lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b["doc_id"], 1), p))
+
+    left = docs.map_batches(parity(0), batch_format="pyarrow")
+    right = docs.map_batches(parity(1), batch_format="pyarrow")
+    return dedup.minhash_lsh_join(left, right)
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup CLUSTERS: MinHash pair list -> connected components via
     distributed min-label propagation; cluster_id = component min doc_id
@@ -1591,6 +1611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_important_parts": tpch_ext.important_parts,
         "rel_priority_shipments": tpch_ext.priority_shipments,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_join": q_dedup_minhash_join,
         "dedup_clusters": q_dedup_clusters,
         "dedup_survivors": q_dedup_survivors,
         "dedup_best_survivors": q_dedup_best_survivors,
@@ -1872,6 +1893,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oracles.pii_scrub_sql(),
         "rel_quantiles": oracles.value_quantiles_sql(),
         "dedup_minhash": oracles.minhash_sql(),
+        "dedup_minhash_join": oracles.minhash_join_sql(),
         "dedup_clusters": oracles.clusters_sql(oracles.minhash_sql()),
         "dedup_survivors":
             oracles.dedup_survivors_sql(oracles.minhash_sql()),

@@ -1010,3 +1010,154 @@ def set_similarity_join(docs_ds, *, text_col: str = "text",
     pdf["id_a"] = pdf["id_a"].astype("int64")
     pdf["id_b"] = pdf["id_b"].astype("int64")
     return pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def minhash_lsh_join(left_ds, right_ds, *, text_col="text", id_col="doc_id",
+                     num_perm=64, bands=16, shingle_k=3, threshold=0.5,
+                     seed=42, max_bucket_rows=4096):
+    """CROSS-corpus near-duplicate join via MinHash + LSH banding: pairs
+    (left_id, right_id, jaccard_est ≥ threshold) between two document
+    tables — contamination scanning when the benchmark side is itself too
+    big to broadcast (``contamination.scan``'s n-gram set would not fit),
+    or train/eval overlap auditing between two full corpora.
+
+    Shape: both sides stream through the SAME signature kernel with a side
+    tag; ONE union table holds each signature once.  The hot-bucket
+    prefilter is side-aware — a (band, bucket) key is a candidate only if
+    it holds rows from BOTH sides (Min/Max over the side tag, native
+    aggregates over 20-byte key rows), which prunes same-side-only buckets
+    the symmetric dedup would still have to visit.  Signatures ship only
+    for cross-side buckets; within a bucket the verification compares
+    left×right signature agreement (never left×left), with the same
+    star-pairing guard as ``minhash_lsh_pairs`` on degenerate buckets
+    (all rights vs the lowest left id).  Cross-band dedup via native Max.
+    """
+    assert shingle_k <= len(_SHINGLE_MIX), "shingle_k > supported mix width"
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    a_par, b_par = _minhash_params(num_perm, seed)
+    rows_per_band = num_perm // bands
+
+    def sig_rows_batch(side: int):
+        def kernel(batch: pa.Table) -> pa.Table:
+            texts = batch[text_col].to_pylist()
+            ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+            n = len(texts)
+            sigs = _minhash_sigs(texts, a_par, b_par, shingle_k, {})
+            chunks = sigs.reshape(n, bands, rows_per_band)
+            bh = chunks[:, :, 0].copy()
+            for r in range(1, rows_per_band):
+                bh = bh * np.uint64(0x100000001B3) + chunks[:, :, r]
+            return pa.table({
+                id_col: pa.array(ids),
+                "side": pa.array(np.full(n, side, dtype=np.int8)),
+                "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+                "band_hashes": pa.array(
+                    bh.view(np.int64).tolist(), pa.list_(pa.int64())),
+            })
+        return kernel
+
+    sig_rows = (left_ds.map_batches(sig_rows_batch(0),
+                                    batch_format="pyarrow")
+                .union(right_ds.map_batches(sig_rows_batch(1),
+                                            batch_format="pyarrow"))
+                .materialize())
+
+    def explode_keys(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        bhs = np.asarray([v for row in b["band_hashes"].to_pylist()
+                          for v in row], dtype=np.int64)
+        return pa.table({
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bhs),
+            "side": pa.array(np.repeat(
+                b["side"].to_numpy(zero_copy_only=False), bands)),
+        })
+
+    # side-aware prefilter: keep only buckets holding BOTH sides
+    counts = (sig_rows.map_batches(explode_keys, batch_format="pyarrow")
+              .groupby(["band_id", "band_hash"])
+              .aggregate(Min("side", alias_name="smin"),
+                         Max("side", alias_name="smax")))
+    hot_df = (counts.map_batches(
+        lambda b: b.filter(pc.and_(pc.equal(b["smin"], 0),
+                                   pc.equal(b["smax"], 1))),
+        batch_format="pyarrow").to_pandas())
+    hot = (set() if hot_df.empty
+           else set(zip(hot_df["band_id"], hot_df["band_hash"])))
+    _empty = pa.table({"left_id": pa.array([], pa.int64()),
+                       "right_id": pa.array([], pa.int64()),
+                       "jaccard_est": pa.array([], pa.float64())})
+    if not hot:
+        return rd.from_arrow(_empty)
+    hot_ref = ray.put(hot)
+
+    def explode_hot_with_sig(b: pa.Table) -> pa.Table:
+        hs = ray.get(hot_ref)
+        out_band, out_bhash, out_id, out_side, out_sig = [], [], [], [], []
+        for i, side, sig, row in zip(b[id_col].to_pylist(),
+                                     b["side"].to_pylist(),
+                                     b["sig"].to_pylist(),
+                                     b["band_hashes"].to_pylist()):
+            for bidx, bh in enumerate(row):
+                if (bidx, bh) in hs:
+                    out_band.append(bidx)
+                    out_bhash.append(bh)
+                    out_id.append(i)
+                    out_side.append(side)
+                    out_sig.append(sig)
+        return pa.table({
+            "band_id": pa.array(out_band, pa.int32()),
+            "band_hash": pa.array(out_bhash, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "side": pa.array(out_side, pa.int8()),
+            "sig": pa.array(out_sig, pa.binary()),
+        })
+
+    _EMPTY_PD = pd.DataFrame(
+        {"left_id": pd.Series(dtype="int64"),
+         "right_id": pd.Series(dtype="int64"),
+         "jaccard_est": pd.Series(dtype="float64")})
+
+    def bucket_cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["side"] == 0].sort_values(id_col)
+        rg = g[g["side"] == 1].sort_values(id_col)
+        if lg.empty or rg.empty:
+            return _EMPTY_PD.copy()
+        lids = lg[id_col].to_numpy(np.int64)
+        rids = rg[id_col].to_numpy(np.int64)
+        lsig = np.frombuffer(b"".join(lg["sig"]),
+                             dtype=np.uint64).reshape(len(lg), -1)
+        rsig = np.frombuffer(b"".join(rg["sig"]),
+                             dtype=np.uint64).reshape(len(rg), -1)
+        if len(g) > max_bucket_rows:
+            # degenerate bucket: all rights vs the lowest left only
+            est = (rsig == lsig[0]).mean(axis=1)
+            keep = est >= threshold
+            return pd.DataFrame({
+                "left_id": np.full(int(keep.sum()), lids[0], dtype=np.int64),
+                "right_id": rids[keep],
+                "jaccard_est": est[keep]})
+        out_l, out_r, out_e = [], [], []
+        for x in range(len(lids)):
+            est = (rsig == lsig[x]).mean(axis=1)
+            keep = est >= threshold
+            if keep.any():
+                out_l.append(np.full(int(keep.sum()), lids[x],
+                                     dtype=np.int64))
+                out_r.append(rids[keep])
+                out_e.append(est[keep])
+        if not out_l:
+            return _EMPTY_PD.copy()
+        return pd.DataFrame({"left_id": np.concatenate(out_l),
+                             "right_id": np.concatenate(out_r),
+                             "jaccard_est": np.concatenate(out_e)})
+
+    pairs = (sig_rows.map_batches(explode_hot_with_sig,
+                                  batch_format="pyarrow")
+             .groupby(["band_id", "band_hash"])
+             .map_groups(bucket_cross_pairs, batch_format="pandas"))
+    return pairs.groupby(["left_id", "right_id"]).aggregate(
+        Max("jaccard_est", alias_name="jaccard_est"))

@@ -1,6 +1,7 @@
 """Dedup operators on constructed corpora with known duplicates."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 
@@ -313,3 +314,38 @@ def test_dedup_histogram_mass_conservation(ray_session):
     assert int(h["n_docs"].sum()) == 500
     assert (h["n_docs"] == h["n_dups"] * h["n_clusters"]).all()
     assert (h["n_dups"] >= 1).all()
+
+
+def test_minhash_join_equals_cross_parity_subset_of_dedup(ray_session):
+    """The cross-corpus LSH join over an even/odd split must produce
+    exactly the cross-parity subset of the symmetric near-dup pair list
+    (same banding → same candidates → same estimates)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import (
+        minhash_lsh_join, minhash_lsh_pairs)
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def parity(p):
+        return lambda b: b.filter(
+            pc.equal(pc.bit_wise_and(b["doc_id"], 1), p))
+
+    left = docs.map_batches(parity(0), batch_format="pyarrow")
+    right = docs.map_batches(parity(1), batch_format="pyarrow")
+    got = (minhash_lsh_join(left, right).to_pandas()
+           .sort_values(["left_id", "right_id"]).reset_index(drop=True))
+
+    sym = minhash_lsh_pairs(docs).to_pandas()
+    cross = sym[(sym["id_a"] % 2) != (sym["id_b"] % 2)]
+    want = (pd.DataFrame({
+        "left_id": np.where(cross["id_a"] % 2 == 0,
+                            cross["id_a"], cross["id_b"]),
+        "right_id": np.where(cross["id_a"] % 2 == 0,
+                             cross["id_b"], cross["id_a"]),
+        "jaccard_est": cross["jaccard_est"],
+    }).sort_values(["left_id", "right_id"]).reset_index(drop=True))
+    assert len(got) > 0          # the corpus does contain cross-parity dups
+    assert got.equals(want)
