@@ -780,3 +780,95 @@ def kg_label_propagation(sf_dir: str, *, n_iter: int = 3,
     pdf = (labels.map_batches(finish, batch_format="pyarrow")
            .to_pandas())
     return pdf.sort_values("node_id").reset_index(drop=True)
+
+
+def kg_random_walks(sf_dir: str, *, walks_per_node: int = 2,
+                    walk_len: int = 3, num_partitions: int | None = None):
+    """DeepWalk-style random-walk corpus over the (symmetrized) KG
+    (Perozzi et al., KDD 2014) — the sequence-generation pass graph-
+    embedding training consumes ("sentences" of node ids for a skip-gram
+    model).  Deterministic: at step ``s`` walk ``w`` moves to the neighbor
+    ``v`` minimizing ``md5_u64(walk_id:s:v)`` — an argmin-hash uniform
+    choice that needs NO per-node neighbor ranks, so each step is ONE hash
+    join (state ⋈ edges on the current node) plus ONE native Min groupby
+    over a fixed-width ``(hash, v)`` string pack; ties (md5 collisions)
+    break by v asc.  No per-group Python anywhere; all shuffled tables are
+    (walks × avg-degree)-bounded, never corpus-sized.  The md5 keying is a
+    Python loop over the joined rows — acceptable because the joined table
+    is vocabulary-sized (same posture as hash_sample).
+
+    Output: (walk_id, step, node_id) for steps 0..walk_len, sorted
+    (walk_id asc, step asc); walk_id = start-node id + '#' + walk index.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.dedup import _stable_u64
+
+    nparts = auto_partitions(num_partitions)
+    e = kg_edges(sf_dir).select_columns(["src_id", "dst_id"])
+
+    def sym(b: pa.Table) -> pa.Table:
+        def chunked(c):
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        src, dst = chunked(b["src_id"]), chunked(b["dst_id"])
+        t = pa.table({"u": pa.concat_arrays([src, dst]),
+                      "v": pa.concat_arrays([dst, src])})
+        return t.group_by(["u", "v"]).aggregate([]) \
+            .rename_columns(["u", "v"])              # per-batch distinct
+
+    from ray.data.aggregate import Count
+
+    sym_ds = (e.map_batches(sym, batch_format="pyarrow")
+              .groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
+              .select_columns(["u", "v"]).materialize())
+
+    def init_walks(b: pa.Table) -> pa.Table:
+        us = b["u"].to_pylist()
+        wids = [f"{u}#{w}" for u in us for w in range(walks_per_node)]
+        curs = [u for u in us for _ in range(walks_per_node)]
+        return pa.table({"walk_id": pa.array(wids, pa.string()),
+                         "u": pa.array(curs, pa.string())})
+
+    state = (sym_ds.groupby("u").aggregate(Count(alias_name="_n"))
+             .select_columns(["u"])
+             .map_batches(init_walks, batch_format="pyarrow").materialize())
+
+    def trace_rows(step):
+        def kernel(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "walk_id": b["walk_id"],
+                "step": pa.array([step] * b.num_rows, pa.int64()),
+                "node_id": b["u"]})
+        return kernel
+
+    traces = [state.map_batches(trace_rows(0), batch_format="pyarrow")
+              .materialize()]
+
+    for s in range(1, walk_len + 1):
+        def pack_key(b: pa.Table, _s=s) -> pa.Table:
+            wids = b["walk_id"].to_pylist()
+            vs = b["v"].to_pylist()
+            packs = [f"{_stable_u64(f'{w}:{_s}:{v}'):020d}|{v}"
+                     for w, v in zip(wids, vs)]
+            return pa.table({"walk_id": b["walk_id"],
+                             "pack": pa.array(packs, pa.string())})
+
+        def unpack(b: pa.Table) -> pa.Table:
+            curs = [p.split("|", 1)[1] for p in b["pack"].to_pylist()]
+            return pa.table({"walk_id": b["walk_id"],
+                             "u": pa.array(curs, pa.string())})
+
+        state = (sym_ds.join(state, join_type="inner",
+                             num_partitions=nparts, on=("u",))
+                 .map_batches(pack_key, batch_format="pyarrow")
+                 .groupby("walk_id").aggregate(Min("pack", alias_name="pack"))
+                 .map_batches(unpack, batch_format="pyarrow")
+                 .materialize())
+        traces.append(state.map_batches(trace_rows(s),
+                                        batch_format="pyarrow").materialize())
+
+    out = traces[0]
+    for t in traces[1:]:
+        out = out.union(t)
+    return (out.to_pandas()
+            .sort_values(["walk_id", "step"]).reset_index(drop=True))

@@ -74,8 +74,14 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import ray
     ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -92,6 +98,7 @@ def main() -> None:
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
     n_ok = n_fail = 0
+    report: dict = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -99,26 +106,41 @@ def main() -> None:
             ray_df = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            report[name] = {"status": "fail", "oracle": name in sqls,
+                            "problems": [f"query raised {type(e).__name__}: {e}"]}
             n_fail += 1
             continue
         if name not in sqls:
             print(f"ok   {name}: rows={len(ray_df)} (no oracle — rows-only)")
+            report[name] = {"status": "ok", "rows": len(ray_df),
+                            "oracle": False}
             n_ok += 1
             continue
         try:
             sql_df = con.execute(sqls[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
+            report[name] = {"status": "fail", "oracle": True,
+                            "problems": [f"oracle raised {type(e).__name__}: {e}"]}
             n_fail += 1
             continue
         problems = compare(name, ray_df, sql_df)
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            report[name] = {"status": "fail", "rows": len(ray_df),
+                            "oracle": True, "problems": problems}
             n_fail += 1
         else:
             print(f"OK   {name}: rows={len(ray_df)}")
+            report[name] = {"status": "ok", "rows": len(ray_df),
+                            "oracle": True}
             n_ok += 1
     print(f"\n{n_ok} ok, {n_fail} failed")
+    if json_out:
+        import json as _json
+        with open(json_out, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "n_ok": n_ok, "n_fail": n_fail,
+                        "queries": report}, f, indent=1, sort_keys=True)
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 

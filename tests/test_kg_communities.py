@@ -47,3 +47,23 @@ def test_graph_join_partitions_track_cluster_cpus(ray_session):
     assert auto_partitions(48) == 48
     # cap prevents aggregator actors outnumbering CPUs on big boxes
     assert auto_partitions(None, cap=2) == 2
+
+
+def test_random_walks_follow_edges(ray_session):
+    """Every consecutive step of every walk must traverse a real
+    (symmetrized) KG edge, every walk has walk_len+1 rows, and step 0 is
+    the start node encoded in the walk_id."""
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import (
+        kg_edges, kg_random_walks)
+
+    out = kg_random_walks(SF, walks_per_node=2, walk_len=3)
+    edges = kg_edges(SF).to_pandas()
+    sym = set(zip(edges["src_id"], edges["dst_id"])) \
+        | set(zip(edges["dst_id"], edges["src_id"]))
+    assert (out.groupby("walk_id")["step"].count() == 4).all()
+    for wid, g in out.groupby("walk_id"):
+        g = g.sort_values("step")
+        assert g["node_id"].iloc[0] == wid.split("#")[0]
+        trail = g["node_id"].tolist()
+        for a, b in zip(trail, trail[1:]):
+            assert (a, b) in sym
