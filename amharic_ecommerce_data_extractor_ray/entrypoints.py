@@ -1600,6 +1600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_partition_prune": relational.partitioned_write_prune,
         "kg_communities": kg.kg_label_propagation,
         "kg_random_walks": kg.kg_random_walks,
+        "kg_walk_skipgrams": kg.kg_walk_skipgrams,
         "rel_nation_trade": tpch_ext.nation_trade_volume,
         "rel_market_share": tpch_ext.market_share,
         "rel_product_profit": tpch_ext.product_profit,
@@ -1826,6 +1827,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_partition_prune": oracles.partitioned_write_prune_sql(),
         "kg_communities": oracles.kg_label_propagation_sql(3),
         "kg_random_walks": oracles.kg_random_walks_sql(),
+        "kg_walk_skipgrams": oracles.kg_walk_skipgrams_sql(),
         "rel_nation_trade": oracles.nation_trade_volume_sql("1998-01-01"),
         "rel_market_share": oracles.market_share_sql("NATION_3", "ASIA",
                                                      "PROMO"),

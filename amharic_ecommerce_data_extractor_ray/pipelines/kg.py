@@ -872,3 +872,49 @@ def kg_random_walks(sf_dir: str, *, walks_per_node: int = 2,
         out = out.union(t)
     return (out.to_pandas()
             .sort_values(["walk_id", "step"]).reset_index(drop=True))
+
+
+def kg_walk_skipgrams(sf_dir: str, *, walks_per_node: int = 2,
+                      walk_len: int = 3, window: int = 2,
+                      num_partitions: int | None = None):
+    """Skip-gram (center, context) pair counts from the KG random-walk
+    corpus — the training table a node-embedding skip-gram model consumes
+    (word2vec over walks, Perozzi et al. 2014 / Grover & Leskovec 2016).
+
+    Shape: the walk trace is self-joined on walk_id (ONE hash join — walk
+    rows need no co-location assumption, unlike a per-walk map_groups) and
+    filtered to 0 < |step_a − step_b| ≤ window, then pair counts fold
+    through a per-batch Arrow combiner + native Sum groupby.  All tables
+    are (walks × walk_len)-bounded.  Output: (center, context, n_pairs),
+    sorted (center, context)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    nparts = auto_partitions(num_partitions)
+    walks = kg_random_walks(sf_dir, walks_per_node=walks_per_node,
+                            walk_len=walk_len,
+                            num_partitions=num_partitions)
+    walks_ds = rd.from_pandas(walks).map_batches(
+        lambda b: b, batch_format="pyarrow")
+
+    other = walks_ds.map_batches(
+        lambda b: pa.table({"walk_id": b["walk_id"],
+                            "step_b": b["step"],
+                            "context": b["node_id"]}),
+        batch_format="pyarrow")
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        d = pc.abs(pc.subtract(b["step"], b["step_b"]))
+        keep = pc.and_(pc.greater(d, 0), pc.less_equal(d, window))
+        t = b.filter(keep).select(["node_id", "context"])
+        return (t.group_by(["node_id", "context"])
+                .aggregate([("context", "count")])
+                .rename_columns(["center", "context", "n_pairs"]))
+
+    pairs = (walks_ds.join(other, join_type="inner",
+                           num_partitions=nparts, on=("walk_id",))
+             .map_batches(pair_partials, batch_format="pyarrow")
+             .groupby(["center", "context"])
+             .aggregate(Sum("n_pairs", alias_name="n_pairs")))
+    return (pairs.to_pandas()
+            .sort_values(["center", "context"]).reset_index(drop=True))

