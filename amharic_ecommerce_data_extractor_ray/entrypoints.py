@@ -887,6 +887,19 @@ def q_similarity_pq_rerank(sf_dir: str):
                               m_subspaces=2, k_codes=16, n_iter=2)
 
 
+def q_embedding_znorm(sf_dir: str):
+    """Per-dimension z-score standardization witness: one Gram fold for
+    (mean, std) per dim, one broadcast scale pass emitting each vector's
+    standardized L2 norm."""
+    import ray.data as rd
+
+    from .stages.similarity import embedding_standardize_norms
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    return embedding_standardize_norms(emb)
+
+
 def q_trainset_build(sf_dir: str):
     """Composed LLM training-set builder: curate (quality + exact dedup)
     -> survivor-corpus perplexity filter -> token chunking, one dataflow;
@@ -1582,6 +1595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_codes": q_pq_codes,
         "similarity_pq_adc": q_similarity_pq_adc,
         "similarity_pq_rerank": q_similarity_pq_rerank,
+        "embedding_znorm": q_embedding_znorm,
         "jsonl_roundtrip": q_jsonl_roundtrip,
         "orc_roundtrip": q_orc_roundtrip,
         "feather_roundtrip": q_feather_roundtrip,
@@ -1809,6 +1823,7 @@ def oracle_sql() -> dict[str, str]:
                                                       2, 16, 2, 64),
         "similarity_pq_rerank": oracles.pq_adc_rerank_topk_sql(
             SIM_QUERY_IDS, SIM_K, 50, 2, 16, 2, 64),
+        "embedding_znorm": oracles.embedding_znorm_sql(),
         "jsonl_roundtrip": oracles.jsonl_roundtrip_sql(),
         "orc_roundtrip": oracles.jsonl_roundtrip_sql(),
         "feather_roundtrip": oracles.jsonl_roundtrip_sql(),

@@ -1219,3 +1219,39 @@ def label_noise_scan(emb_ds, probe_ids: list[int], *, k: int = 10,
     return pd.DataFrame(rows, columns=["vec_id", "own_label",
                                        "majority_label", "n_agree",
                                        "is_noisy"])
+
+
+def embedding_standardize_norms(ds, *, col: str = "embedding",
+                                id_col: str = "vec_id", dim: int = 64,
+                                ndigits: int = 6):
+    """Per-dimension z-score standardization of an embedding column — the
+    feature-scaling pass before distance-based ops (k-means, cosine ANN)
+    when dimensions carry different scales.  Emits the per-vector L2 norm
+    of the STANDARDIZED vector, the scalar witness that makes the whole
+    transform SQL-checkable without shipping d columns per row.
+
+    Shape: ONE ``_gram_fold`` pass yields (n, Σx, XᵀX) — mean and sample
+    variance per dimension fall out of the diagonal — then one streaming
+    scale pass with the (mean, std) vectors broadcast in the task closure.
+    Output: (vec_id, znorm), znorm rounded to ``ndigits``."""
+    n, s, S = _gram_fold(ds, col=col, dim=dim)
+    if n < 2:
+        raise ValueError(
+            f"embedding_standardize_norms needs >= 2 rows, got {n}")
+    mean = s / n
+    var = (np.diag(S) - n * mean * mean) / (n - 1)
+    std = np.sqrt(var)
+    if (std == 0).any():
+        raise ValueError("constant dimension: std == 0 — drop it first")
+
+    def znorm(b: pa.Table) -> pa.Table:
+        X = (_to_matrix(b[col]) - mean) / std
+        zn = np.sqrt((X * X).sum(axis=1))
+        return pa.table({
+            id_col: b[id_col],
+            "znorm": pa.array(
+                np.floor(zn * 10.0 ** ndigits + 0.5) / 10.0 ** ndigits,
+                pa.float64()),
+        })
+
+    return ds.map_batches(znorm, batch_format="pyarrow")

@@ -396,3 +396,25 @@ def test_to_matrix_fast_path_edge_cases():
         _to_matrix(ragged)
     # python-list input (pandas Series path)
     assert np.allclose(_to_matrix(data.tolist()), data, atol=1e-6)
+
+
+def test_standardized_norms_properties(ray_session):
+    """Mean of squared znorms over the corpus equals dim (property of
+    sample-std z-scores: sum over rows of z_d^2 = n-1 per dim), and the
+    guard fires on <2 rows."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.similarity import (
+        embedding_standardize_norms)
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = embedding_standardize_norms(emb).to_pandas()
+    n = len(out)
+    # sum_d sum_i z_id^2 = d*(n-1)  →  mean(znorm^2) = d*(n-1)/n
+    got = float((out["znorm"] ** 2).mean())
+    assert abs(got - 64 * (n - 1) / n) < 1e-2
+    with pytest.raises(ValueError, match=">= 2 rows"):
+        embedding_standardize_norms(emb.limit(1))
