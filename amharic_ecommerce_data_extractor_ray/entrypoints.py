@@ -1636,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_setjoin": q_dedup_setjoin,
         "quality_lr": q_quality_lr,
         "rag_retrieve": rag.rag_retrieve,
+        "rag_rrf": lambda sf: rag.hybrid_rrf(sf, BM25_QUERY, k=20, pool=50),
         "entity_resolution": entity_res.entity_resolution,
         "bpe_train": q_bpe_train,
         "unigram_seed": q_unigram_seed,
@@ -1863,6 +1864,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_setjoin": oracles.set_similarity_join_sql(5, 1, 2),
         "quality_lr": oracles.quality_logreg_sql("en", 0.5, 4),
         "rag_retrieve": oracles.rag_retrieve_sql(32, 24, 8, 5, 97),
+        "rag_rrf": oracles.rag_rrf_sql(BM25_QUERY, k=20, pool=50),
         "entity_resolution": oracles.entity_resolution_sql("p_name", "part"),
         "bpe_train": oracles.bpe_train_sql(5),
         "unigram_seed": oracles.unigram_seed_sql(),

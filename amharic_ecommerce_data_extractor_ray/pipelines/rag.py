@@ -55,6 +55,93 @@ class _ChunkEmbedStage:
         })
 
 
+class _DocScoreStage:
+    """Actor-pool fused embed+score kernel for the dense side of hybrid
+    retrieval: HashEmbedder (md5 token-vector cache) built once per actor,
+    the unit query vector in the constructor args; each batch mean-pools
+    its docs, computes the 6-dp-rounded cosine and emits ONLY its local
+    top-``pool`` rows — document embeddings are never materialized."""
+
+    def __init__(self, qvec: np.ndarray, pool: int, dim: int):
+        self.model = HashEmbedder(dim=dim)
+        qn = float(np.linalg.norm(qvec))
+        self.qunit = qvec / (qn if qn else 1.0)
+        self.pool = pool
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        ids, cosines = [], []
+        for did, text in zip(b["doc_id"].to_pylist(),
+                             b["text"].to_pylist()):
+            v = self.model.embed(text)
+            if v is None:
+                continue
+            n = float(np.linalg.norm(v))
+            ids.append(did)
+            cosines.append(float(v @ self.qunit) / (n if n else 1.0))
+        ids_a = np.asarray(ids, dtype=np.int64)
+        cos_a = _r6(np.asarray(cosines, dtype=np.float64))
+        order = np.lexsort((ids_a, -cos_a))[:min(self.pool, len(ids_a))]
+        return pa.table({
+            "doc_id": pa.array(ids_a[order], pa.int64()),
+            "cosine": pa.array(cos_a[order], pa.float64()),
+        })
+
+
+def hybrid_rrf(sf_dir: str, query_terms: list[str], *, k: int = 20,
+               pool: int = 50, dim: int = 32, rrf_k: int = 60):
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher 2009): BM25 ranks and dense-cosine ranks over the SAME
+    document table, fused as ``Σ_systems 1 / (rrf_k + rank)`` over the
+    union of the two top-``pool`` lists (a system that didn't retrieve a
+    doc contributes 0) — the standard first-stage ranker in front of a
+    re-ranker, and the composition bm25_topk + embed_documents were built
+    to feed.  Reference analog: none (LLM-pipeline retrieval extension).
+
+    Shape: TWO streaming passes over the pruned (doc_id, text) projection —
+    the bm25_topk pass (query-term df combiner + broadcast-idf partial
+    top-k) and one fused embed+score actor-pool pass (per-batch partial
+    top-``pool``; embeddings never stored).  Fusion happens driver-side on
+    ≤ 2·pool rows.  Ranks use the 6-dp-rounded scores with doc_id
+    tie-breaks, so float noise cannot flip a rank vs the oracle.
+
+    Output: (doc_id, rrf, rank_bm25, rank_dense) — top-``k`` by
+    (rrf desc, doc_id asc); absent-side ranks are NULL."""
+    from ..stages.corpus_stats import bm25_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    sparse = bm25_topk(docs, query_terms, k=pool)      # (doc_id, bm25) sorted
+    sparse = sparse.assign(
+        rank_bm25=np.arange(1, len(sparse) + 1, dtype=np.int64))
+
+    model = HashEmbedder(dim=dim)
+    terms = sorted(set(query_terms))
+    qvec = np.mean([model.token_vec(t) for t in terms], axis=0)
+
+    parts = (docs.map_batches(
+        _DocScoreStage, batch_size=4096, concurrency=2,
+        fn_constructor_kwargs={"qvec": qvec, "pool": pool, "dim": dim},
+        batch_format="pyarrow").to_pandas())           # ≤ pool × blocks rows
+    dense = (parts.sort_values(["cosine", "doc_id"],
+                               ascending=[False, True])
+             .head(pool).reset_index(drop=True))
+    dense = dense.assign(
+        rank_dense=np.arange(1, len(dense) + 1, dtype=np.int64))
+
+    fused = sparse[["doc_id", "rank_bm25"]].merge(
+        dense[["doc_id", "rank_dense"]], on="doc_id", how="outer")
+    rs = fused["rank_bm25"].to_numpy(np.float64, na_value=np.nan)
+    rd_ = fused["rank_dense"].to_numpy(np.float64, na_value=np.nan)
+    score = (np.where(np.isnan(rs), 0.0, 1.0 / (rrf_k + rs))
+             + np.where(np.isnan(rd_), 0.0, 1.0 / (rrf_k + rd_)))
+    fused = fused.assign(rrf=_r6(score)).astype(
+        {"rank_bm25": "Int64", "rank_dense": "Int64"})
+    return (fused.sort_values(["rrf", "doc_id"], ascending=[False, True])
+            .head(k).reset_index(drop=True)
+            [["doc_id", "rrf", "rank_bm25", "rank_dense"]])
+
+
 def rag_retrieve(sf_dir: str, *, window: int = 32, stride: int = 24,
                  dim: int = 8, k: int = 5, query_mod: int = 97):
     """Top-``k`` chunks per query by exact cosine; queries are the FIRST

@@ -83,3 +83,61 @@ def test_rag_retrieve_composition(ray_session):
     top = got[got["rank"] == 1]
     assert (top["doc_id"].to_numpy() == top["query_doc"].to_numpy()).all()
     assert (top["cosine"] == 1.0).all()
+
+
+def test_hybrid_rrf_matches_sql_and_independent_recompute(ray_session):
+    """RRF fusion (round 4): engine == SQL mirror, AND == an independent
+    pandas recompute fusing the two already-gated component rankings."""
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.entrypoints import BM25_QUERY
+    from amharic_ecommerce_data_extractor_ray.functions.np_model import (
+        HashEmbedder)
+    from amharic_ecommerce_data_extractor_ray.oracles import rag_rrf_sql
+    from amharic_ecommerce_data_extractor_ray.pipelines.rag import hybrid_rrf
+    from amharic_ecommerce_data_extractor_ray.stages.corpus_stats import (
+        bm25_topk)
+
+    got = hybrid_rrf(SF, BM25_QUERY, k=20, pool=50)
+    want = _docs_con().execute(rag_rrf_sql(BM25_QUERY, k=20, pool=50)).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.abs(got["rrf"] - want["rrf"]).max() < 1e-12
+    assert (got["rank_bm25"].fillna(-1).to_numpy()
+            == want["rank_bm25"].fillna(-1).to_numpy()).all()
+    assert (got["rank_dense"].fillna(-1).to_numpy()
+            == want["rank_dense"].fillna(-1).to_numpy()).all()
+
+    # independent recompute: dense ranks via a dense-numpy pass over the
+    # whole table, sparse ranks via bm25_topk itself, fused in pandas
+    import pandas as pd
+
+    docs = (rd.read_parquet(f"{SF}/documents.parquet",
+                            columns=["doc_id", "text"]).to_pandas())
+    model = HashEmbedder(dim=32)
+    terms = sorted(set(BM25_QUERY))
+    qv = np.mean([model.token_vec(t) for t in terms], axis=0)
+    qv = qv / np.linalg.norm(qv)
+    rows = [(d, float(v @ qv / np.linalg.norm(v)))
+            for d, t in zip(docs["doc_id"], docs["text"])
+            if (v := model.embed(t)) is not None]
+    dense = pd.DataFrame(rows, columns=["doc_id", "cos"])
+    dense["cos"] = np.floor(dense["cos"] * 1e6 + 0.5) / 1e6
+    dense = (dense.sort_values(["cos", "doc_id"], ascending=[False, True])
+             .head(50).reset_index(drop=True))
+    dense["rd"] = np.arange(1, len(dense) + 1)
+    sparse = bm25_topk(
+        rd.read_parquet(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]), BM25_QUERY, k=50)
+    sparse["rs"] = np.arange(1, len(sparse) + 1)
+    fused = sparse[["doc_id", "rs"]].merge(dense[["doc_id", "rd"]],
+                                           on="doc_id", how="outer")
+    score = (np.where(fused["rs"].isna(), 0, 1.0 / (60 + fused["rs"]))
+             + np.where(fused["rd"].isna(), 0, 1.0 / (60 + fused["rd"])))
+    fused["rrf"] = np.floor(score * 1e6 + 0.5) / 1e6
+    fused = (fused.sort_values(["rrf", "doc_id"], ascending=[False, True])
+             .head(20).reset_index(drop=True))
+    assert got["doc_id"].tolist() == fused["doc_id"].tolist()
+    assert np.abs(got["rrf"] - fused["rrf"]).max() < 1e-12
+    # fusion is genuinely hybrid on this corpus: the top-20 contains docs
+    # ranked by BOTH systems (neither arm alone decides the list)
+    assert got["rank_bm25"].notna().any() and got["rank_dense"].notna().any()
