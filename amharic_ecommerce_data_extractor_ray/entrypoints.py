@@ -1718,6 +1718,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_full_outer": relational.customers_year_outer,
         "rel_event_paths": relational.event_paths,
         "rel_triangles": relational.part_triangles,
+        "rel_kcore": relational.part_kcore,
         "rel_cohort": relational.user_cohorts,
         "rel_khop": relational.part_khop,
         "rel_assoc_rules": relational.assoc_rules,
@@ -1952,6 +1953,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_full_outer": oracles.customers_year_outer_sql(1995, 2000),
         "rel_event_paths": oracles.event_paths_sql(40),
         "rel_triangles": oracles.part_triangles_sql(),
+        "rel_kcore": oracles.part_kcore_sql(68, 8),
         "rel_cohort": oracles.user_cohorts_sql(),
         "rel_khop": oracles.part_khop_sql(42, 3),
         "rel_assoc_rules": oracles.assoc_rules_sql(20),

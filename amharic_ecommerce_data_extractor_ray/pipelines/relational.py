@@ -3297,3 +3297,77 @@ def seasonal_anomalies(sf_dir: str, *, mad_k: float = 3.0):
 
     return daily.groupby("event_type").map_groups(flag,
                                                   batch_format="pandas")
+
+
+def part_kcore(sf_dir: str, *, k: int = 68, n_rounds: int = 8,
+               num_partitions: int | None = None):
+    """k-core decomposition (fixed-round peel) over the parts-bought-
+    together graph — the iterative-PEELING graph family next to
+    part_triangles (counting) and part_khop (traversal): ``n_rounds``
+    synchronous rounds of "drop every node with degree < k, then drop the
+    edges that lost an endpoint"; survivors with their within-core degrees
+    are the dense backbone community miners start from (Seidman 1983).
+
+    Shape per round: ONE native Count groupby over the symmetric edge list
+    (degrees) + TWO reduce-side semi-joins (``stages.joins.hash_semi_join``
+    — key-bucket co-shuffle, no broadcast of the node set, no
+    ``Dataset.join``), all edge-table sized and monotonically SHRINKING as
+    nodes peel.  The fixed round count is what makes the DuckDB mirror an
+    exact unrolled-CTE replay; the convergence test pins that the sf0.001
+    graph reaches its true fixpoint well inside the default rounds.
+
+    Output: (part, degree) for every node still in the core after
+    ``n_rounds``, degree counted over the surviving edge set.  The default
+    k=68 sits just below the test graphs' degree phase transition, so the
+    peel genuinely cascades (5 rounds at sf0.001) yet leaves a nonempty
+    core at both test scales; convergence inside the default rounds is
+    pinned by test."""
+    import numpy as np
+
+    from ..stages.joins import auto_partitions, hash_semi_join
+
+    nparts = auto_partitions(num_partitions)
+    ds = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        parts = np.unique(g["l_partkey"].to_numpy(np.int64))
+        if len(parts) < 2:
+            return pd.DataFrame({"e": pd.Series([], dtype="int64")})
+        i, j = np.triu_indices(len(parts), k=1)
+        return pd.DataFrame({"e": (parts[i] << 32) | parts[j]})
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        e = b["e"].to_numpy(zero_copy_only=False)
+        a, bb = e >> 32, e & 0xFFFFFFFF
+        return pa.table({
+            "u": pa.array(np.concatenate([a, bb]), pa.int64()),
+            "v": pa.array(np.concatenate([bb, a]), pa.int64())})
+
+    sym = (ds.groupby("l_orderkey").map_groups(per_order,
+                                               batch_format="pandas")
+           .groupby("e").aggregate(Count(alias_name="_n"))
+           .drop_columns(["_n"])
+           .map_batches(symmetrize, batch_format="pyarrow")
+           .materialize())
+
+    for _ in range(n_rounds):
+        deg = sym.groupby("u").aggregate(Count(alias_name="deg"))
+        surv = (deg.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["deg"], k))
+            .select(["u"]), batch_format="pyarrow"))
+        surv_v = surv.map_batches(
+            lambda b: pa.table({"v": b["u"]}), batch_format="pyarrow")
+        # each semi-join multiplies the block count ~3×; without the
+        # repartition the per-round block count (and scheduler overhead)
+        # compounds geometrically across rounds (measured 16 → 1296 blocks
+        # by round 3, 2.7 s → 160 s per round at sf0.001)
+        sym = hash_semi_join(sym, surv, on="u", num_partitions=nparts)
+        sym = (hash_semi_join(sym, surv_v, on="v",
+                              num_partitions=nparts)
+               .repartition(nparts).materialize())
+
+    out = (sym.groupby("u").aggregate(Count(alias_name="degree"))
+           .to_pandas())
+    out = out.rename(columns={"u": "part"}).astype(
+        {"part": "int64", "degree": "int64"})
+    return out.sort_values("part").reset_index(drop=True)

@@ -303,3 +303,39 @@ def test_transitions_counts_and_probs(ray_session, tmp_path):
     assert df.loc[("view", "click"), "p"] == round(2 / 3, 6)
     # singleton chains contribute nothing
     assert len(df) == 3
+
+
+def test_part_kcore_converged_and_independent_recompute(ray_session):
+    """k-core (round 4): the default round budget reaches the true
+    fixpoint at sf0.001 (one extra round changes nothing), every survivor
+    meets the degree bound, and the whole table equals an independent
+    pandas peel-to-fixpoint recompute."""
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        part_kcore)
+
+    got = part_kcore(SF)                       # k=68, n_rounds=8
+    more = part_kcore(SF, k=68, n_rounds=9)
+    assert got.equals(more)                    # converged inside budget
+    assert len(got) > 0
+    assert (got["degree"] >= 68).all()
+
+    # independent recompute: pandas peel loop to fixpoint
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pe = li.drop_duplicates()
+    e = pe.merge(pe, on="l_orderkey")
+    e = e[e["l_partkey_x"] != e["l_partkey_y"]][
+        ["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+    e.columns = ["u", "v"]
+    while True:
+        deg = e.groupby("u").size()
+        surv = set(deg[deg >= 68].index)
+        e2 = e[e["u"].isin(surv) & e["v"].isin(surv)]
+        if len(e2) == len(e):
+            break
+        e = e2
+    want = (e.groupby("u").size().rename("degree").reset_index()
+            .rename(columns={"u": "part"})
+            .sort_values("part").reset_index(drop=True))
+    assert got["part"].tolist() == want["part"].tolist()
+    assert got["degree"].tolist() == want["degree"].tolist()
