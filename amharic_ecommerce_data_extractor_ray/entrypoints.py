@@ -1719,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_event_paths": relational.event_paths,
         "rel_triangles": relational.part_triangles,
         "rel_kcore": relational.part_kcore,
+        "rel_assortativity": relational.part_assortativity,
         "rel_cohort": relational.user_cohorts,
         "rel_khop": relational.part_khop,
         "rel_assoc_rules": relational.assoc_rules,
@@ -1954,6 +1955,7 @@ def oracle_sql() -> dict[str, str]:
         "rel_event_paths": oracles.event_paths_sql(40),
         "rel_triangles": oracles.part_triangles_sql(),
         "rel_kcore": oracles.part_kcore_sql(68, 8),
+        "rel_assortativity": oracles.part_assortativity_sql(),
         "rel_cohort": oracles.user_cohorts_sql(),
         "rel_khop": oracles.part_khop_sql(42, 3),
         "rel_assoc_rules": oracles.assoc_rules_sql(20),

@@ -3371,3 +3371,88 @@ def part_kcore(sf_dir: str, *, k: int = 68, n_rounds: int = 8,
     out = out.rename(columns={"u": "part"}).astype(
         {"part": "int64", "degree": "int64"})
     return out.sort_values("part").reset_index(drop=True)
+
+
+def part_assortativity(sf_dir: str, *, num_partitions: int | None = None):
+    """Degree assortativity (Newman 2002) of the parts-bought-together
+    graph: the Pearson correlation of (deg(u), deg(v)) over the DIRECTED
+    edge list — one scalar summarizing whether hubs attach to hubs
+    (positive) or to the periphery (negative); the structural-health
+    metric next to part_triangles' clustering signal.
+
+    Shape: the same distinct symmetric edge list as part_kcore, ONE native
+    Count groupby for degrees, TWO reduce-side lookup joins
+    (``hash_lookup_join`` — bucket co-shuffle, no broadcast of the degree
+    table) to attach both endpoint degrees, then per-batch INTEGER moment
+    partials (n, Σx, Σy, Σxy, Σx², Σy²) folded by native Sums — the
+    rel_daily_trend algebraic-moments pattern, so the final double
+    arithmetic is bit-identical to the SQL mirror regardless of
+    partitioning.  Driver sees six integers.
+
+    Output: one row (n_edges, assortativity), NULL when a degree side is
+    constant (zero variance)."""
+    import math
+
+    import numpy as np
+
+    from ..stages.joins import auto_partitions, hash_lookup_join
+
+    nparts = auto_partitions(num_partitions)
+    ds = _lineitem(sf_dir, ["l_orderkey", "l_partkey"])
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        parts = np.unique(g["l_partkey"].to_numpy(np.int64))
+        if len(parts) < 2:
+            return pd.DataFrame({"e": pd.Series([], dtype="int64")})
+        i, j = np.triu_indices(len(parts), k=1)
+        return pd.DataFrame({"e": (parts[i] << 32) | parts[j]})
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        e = b["e"].to_numpy(zero_copy_only=False)
+        a, bb = e >> 32, e & 0xFFFFFFFF
+        return pa.table({
+            "u": pa.array(np.concatenate([a, bb]), pa.int64()),
+            "v": pa.array(np.concatenate([bb, a]), pa.int64())})
+
+    sym = (ds.groupby("l_orderkey").map_groups(per_order,
+                                               batch_format="pandas")
+           .groupby("e").aggregate(Count(alias_name="_n"))
+           .drop_columns(["_n"])
+           .map_batches(symmetrize, batch_format="pyarrow")
+           .materialize())
+
+    deg_u = sym.groupby("u").aggregate(Count(alias_name="du"))
+    deg_v = deg_u.map_batches(
+        lambda b: pa.table({"v": b["u"], "dv": b["du"]}),
+        batch_format="pyarrow")
+    withx = hash_lookup_join(sym, deg_u, on="u", num_partitions=nparts)
+    withxy = hash_lookup_join(withx, deg_v, on="v", num_partitions=nparts)
+
+    def moments(b: pa.Table) -> pa.Table:
+        x = b["du"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b["dv"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64())})
+
+    agg = (withxy.map_batches(moments, batch_format="pyarrow")
+           .sum(["n", "sx", "sy", "sxy", "sxx", "syy"]))
+    n, sx, sy = int(agg["sum(n)"]), int(agg["sum(sx)"]), int(agg["sum(sy)"])
+    sxy, sxx, syy = (int(agg["sum(sxy)"]), int(agg["sum(sxx)"]),
+                     int(agg["sum(syy)"]))
+    denx, deny = n * sxx - sx * sx, n * syy - sy * sy
+    if denx <= 0 or deny <= 0:
+        r = None
+    else:
+        # each variance factor is converted to double BEFORE the product
+        # (the exact int64 product overflows; the SQL mirror casts the
+        # same way so both sides round identically)
+        r = float(np.floor((n * sxy - sx * sy)
+                           / math.sqrt(float(denx) * float(deny))
+                           * 1e6 + 0.5) / 1e6)
+    return pd.DataFrame({"n_edges": pd.array([n], dtype="int64"),
+                         "assortativity": pd.array([r], dtype="float64")})

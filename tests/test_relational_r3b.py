@@ -339,3 +339,28 @@ def test_part_kcore_converged_and_independent_recompute(ray_session):
             .sort_values("part").reset_index(drop=True))
     assert got["part"].tolist() == want["part"].tolist()
     assert got["degree"].tolist() == want["degree"].tolist()
+
+
+def test_part_assortativity_matches_numpy_corrcoef(ray_session):
+    """Assortativity (round 4): the distributed integer-moment fold equals
+    a dense numpy Pearson correlation over the recomputed edge list."""
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        part_assortativity)
+
+    got = part_assortativity(SF)
+    assert len(got) == 1
+
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    pe = li.drop_duplicates()
+    e = pe.merge(pe, on="l_orderkey")
+    e = e[e["l_partkey_x"] != e["l_partkey_y"]][
+        ["l_partkey_x", "l_partkey_y"]].drop_duplicates()
+    deg = e.groupby("l_partkey_x").size()
+    x = e["l_partkey_x"].map(deg).to_numpy(np.float64)
+    y = e["l_partkey_y"].map(deg).to_numpy(np.float64)
+    r = np.corrcoef(x, y)[0, 1]
+    assert got["n_edges"][0] == len(e)
+    assert abs(got["assortativity"][0] - r) < 1e-6
+    # a dense co-purchase graph disassortates (hubs touch the periphery)
+    assert got["assortativity"][0] < 0
