@@ -1711,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": kg.kg_ppr,
         "kg_edge_churn": kg.kg_edge_churn,
         "kg_link_prediction": kg.kg_link_prediction,
+        "kg_components": kg.kg_components,
         # round-3 batch 2: sequence / window-frame / outer-join / graph /
         # quality-filter coverage
         "rel_funnel": relational.event_funnel,
@@ -1949,6 +1950,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ppr": oracles.kg_ppr_sql(),
         "kg_edge_churn": oracles.kg_edge_churn_sql("2024-07-01"),
         "kg_link_prediction": oracles.kg_link_prediction_sql(2, 50),
+        "kg_components": oracles.kg_components_sql(),
         "rel_funnel": oracles.event_funnel_sql(24),
         "rel_moving_avg": oracles.daily_moving_avg_sql(7),
         "rel_full_outer": oracles.customers_year_outer_sql(1995, 2000),

@@ -918,3 +918,72 @@ def kg_walk_skipgrams(sf_dir: str, *, walks_per_node: int = 2,
              .aggregate(Sum("n_pairs", alias_name="n_pairs")))
     return (pairs.to_pandas()
             .sort_values(["center", "context"]).reset_index(drop=True))
+
+
+def kg_components(sf_dir: str, *, num_partitions: int | None = None):
+    """Connected components over the entity CO-MENTION graph — the
+    cluster structure of "which entities get talked about together",
+    complementing kg_label_propagation's weighted communities with exact
+    reachability components (what a KG consumer uses to split the graph
+    into independent work units).
+
+    Shape: pair edges come from ``kg_cooccurrence``'s combiner pass
+    (distinct pair keys, vocabulary²-bounded); the node set (including
+    singletons that never co-mention, via self-pairs) comes from the
+    SHARED materialized triples boundary.  Node keys are 63-bit md5 ids
+    (``_stable_u64 >> 1``, identical to ``md5_number_lower`` in SQL), so
+    the BSP min-label + pointer-jumping components
+    (``stages.dedup.connected_components``, O(log diameter) rounds with an
+    exact integer convergence witness) run on int64 and the recursive-CTE
+    mirror replays them bit-exactly.  Every in-flight table is
+    vocabulary-sized; the final size attach happens driver-side on the
+    node-count-sized membership table.
+
+    Output: (node, cluster_id, cluster_size) sorted by node, where node =
+    ``pred || ':' || obj_norm`` and cluster_id is the component's minimum
+    member id."""
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import _stable_u64, connected_components
+    from ..stages.joins import hash_lookup_join
+
+    nparts = auto_partitions(num_partitions)
+
+    def _ids(keys: list[str]) -> pa.Array:
+        return pa.array([_stable_u64(k) >> 1 for k in keys], pa.int64())
+
+    nodes = (triples_materialized(sf_dir)
+             .select_columns(["pred", "obj_norm"])
+             .groupby(["pred", "obj_norm"])
+             .aggregate(Count(alias_name="_n"))
+             .drop_columns(["_n"]))
+
+    def add_id(b: pa.Table) -> pa.Table:
+        ks = [p + ":" + o for p, o in zip(b["pred"].to_pylist(),
+                                          b["obj_norm"].to_pylist())]
+        return pa.table({"node": pa.array(ks, pa.string()),
+                         "nid": _ids(ks)})
+
+    nid = nodes.map_batches(add_id, batch_format="pyarrow").materialize()
+
+    def pair_ids(b: pa.Table) -> pa.Table:
+        ka = [p + ":" + o for p, o in zip(b["pred_a"].to_pylist(),
+                                          b["obj_a"].to_pylist())]
+        kb = [p + ":" + o for p, o in zip(b["pred_b"].to_pylist(),
+                                          b["obj_b"].to_pylist())]
+        return pa.table({"id_a": _ids(ka), "id_b": _ids(kb)})
+
+    pairs = (kg_cooccurrence(sf_dir)
+             .map_batches(pair_ids, batch_format="pyarrow")
+             .union(nid.map_batches(
+                 lambda b: pa.table({"id_a": b["nid"], "id_b": b["nid"]}),
+                 batch_format="pyarrow")))
+    cc = connected_components(pairs, id_a="id_a", id_b="id_b",
+                              out_id_col="nid", num_partitions=nparts)
+
+    members = hash_lookup_join(nid, cc, on="nid",
+                               num_partitions=nparts).to_pandas()
+    sizes = members.groupby("cluster_id")["node"].transform("size")
+    members = members.assign(cluster_size=sizes.astype("int64"))
+    return (members[["node", "cluster_id", "cluster_size"]]
+            .sort_values("node").reset_index(drop=True))

@@ -657,11 +657,23 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
     def attach(t: pa.Table) -> pa.Table:
         """One bucket: vectorized merge of the bucket's label rows onto its
         edge rows by src; emits (src=dst, label) proposals.  Arrow in/out so
-        the downstream union with the Arrow-blocked labels type-matches."""
-        g = t.to_pandas()
-        lab = g[g["dst"].isna()][["src", "label"]]
-        ed = g[g["label"].isna()][["src", "dst"]]
-        m = ed.merge(lab, on="src", how="inner")
+        the downstream union with the Arrow-blocked labels type-matches.
+
+        The label/edge split happens in ARROW, never through a whole-table
+        ``to_pandas``: pandas coerces the null-bearing dst/label columns to
+        float64, which silently corrupts ids above 2**53 — with 63-bit md5
+        vertex ids every proposal landed on a phantom vertex and labels
+        never propagated (caught by kg_components; dedup's small doc ids
+        masked it)."""
+        lab = t.filter(pc.is_null(t["dst"]))
+        ed = t.filter(pc.is_null(t["label"]))
+        m = pd.DataFrame({
+            "src": ed["src"].to_numpy(zero_copy_only=False),
+            "dst": ed["dst"].to_numpy(zero_copy_only=False),
+        }).merge(pd.DataFrame({
+            "src": lab["src"].to_numpy(zero_copy_only=False),
+            "label": lab["label"].to_numpy(zero_copy_only=False),
+        }), on="src", how="inner")
         return pa.table({
             "src": pa.array(m["dst"].to_numpy(dtype="int64"), pa.int64()),
             "label": pa.array(m["label"].to_numpy(dtype="int64"), pa.int64()),

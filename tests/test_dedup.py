@@ -349,3 +349,29 @@ def test_minhash_join_equals_cross_parity_subset_of_dedup(ray_session):
     }).sort_values(["left_id", "right_id"]).reset_index(drop=True))
     assert len(got) > 0          # the corpus does contain cross-parity dups
     assert got.equals(want)
+
+
+def test_connected_components_md5_scale_ids(ray_session):
+    """Regression (round 4): a PATH graph whose vertex ids exceed 2**53
+    must collapse to ONE component labeled by the global min id.  The old
+    per-bucket attach round-tripped the null-bearing columns through
+    pandas float64, silently corrupting 63-bit md5 ids into phantom
+    vertices — labels never propagated past round 0."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import (
+        connected_components)
+
+    rng = np.random.default_rng(7)
+    ids = rng.integers(2 ** 53, 2 ** 62, size=40, dtype=np.int64)
+    ids = np.unique(ids)
+    pairs = pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})  # one path
+    cc = connected_components(rd.from_pandas(pairs), id_a="id_a",
+                              id_b="id_b", out_id_col="nid",
+                              num_partitions=8).to_pandas()
+    assert len(cc) == len(ids)
+    assert set(cc["nid"]) == set(ids)
+    assert cc["cluster_id"].nunique() == 1
+    assert int(cc["cluster_id"].iloc[0]) == int(ids.min())

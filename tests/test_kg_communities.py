@@ -81,3 +81,45 @@ def test_skipgram_pairs_are_symmetric_and_window_bounded(ray_session):
     assert len(counts) > 0
     for (a, b), n in counts.items():
         assert counts[(b, a)] == n
+
+
+def test_kg_components_match_union_find(ray_session):
+    """kg_components (round 4): the distributed BSP labels equal a dense
+    union-find over the recomputed co-mention pair list, including
+    singleton mentions."""
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import (
+        kg_components, kg_cooccurrence, triples_materialized)
+
+    got = kg_components(SF)
+    t = triples_materialized(SF).to_pandas()
+    nodes = sorted(set(t["pred"] + ":" + t["obj_norm"]))
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    c = kg_cooccurrence(SF).to_pandas()
+    for ka, kb in zip(c["pred_a"] + ":" + c["obj_a"],
+                      c["pred_b"] + ":" + c["obj_b"]):
+        ra, rb = find(ka), find(kb)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {n: find(n) for n in nodes}
+    import collections
+    sizes = collections.Counter(comp.values())
+    assert got["node"].tolist() == nodes
+    # same partition structure: members of one true component share one
+    # engine cluster_id and vice versa
+    eng = dict(zip(got["node"], got["cluster_id"]))
+    rep_map = {}
+    for n in nodes:
+        r = comp[n]
+        assert rep_map.setdefault(r, eng[n]) == eng[n]
+    assert len(set(rep_map.values())) == len(rep_map)
+    want_sizes = {n: sizes[comp[n]] for n in nodes}
+    assert [want_sizes[n] for n in nodes] == got["cluster_size"].tolist()
+    # the giant co-mention component exists (the graph isn't all singletons)
+    assert got["cluster_size"].max() >= 10
