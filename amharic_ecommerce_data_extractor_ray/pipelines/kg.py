@@ -987,3 +987,98 @@ def kg_components(sf_dir: str, *, num_partitions: int | None = None):
     members = members.assign(cluster_size=sizes.astype("int64"))
     return (members[["node", "cluster_id", "cluster_size"]]
             .sort_values("node").reset_index(drop=True))
+
+
+def kg_wl_colors(sf_dir: str, *, n_rounds: int = 3,
+                 num_partitions: int | None = None):
+    """1-WL color refinement (Weisfeiler-Leman; Shervashidze et al. 2011)
+    over the symmetrized KG: each round every node's color becomes a hash
+    of (own color, SORTED multiset of neighbor colors).  After a few
+    rounds equal colors ≡ equal local neighborhood trees — the structural
+    node fingerprint role-mining and graph-matching pipelines start from,
+    and the iterative-HASHING graph family next to PageRank (numeric),
+    LPA (argmax) and k-core (peeling).
+
+    Shape per round: neighbor colors attach by ONE reduce-side lookup
+    join; own+neighbor rows co-shuffle by a hash BUCKET of the node (the
+    CC/joins pattern — never one Ray group per node), and each bucket
+    folds its nodes vectorized-by-group (sort + per-group string join +
+    md5).  Colors are 63-bit md5 ids (``_stable_u64 >> 1``), so the
+    DuckDB mirror (string_agg ORDER BY + md5_number_lower) replays every
+    round bit-exactly.  All tables are vocabulary-sized.
+
+    Output: (node_id, degree, wl_color) sorted by node_id; wl_color after
+    ``n_rounds`` rounds, degree = round-0 color input."""
+    import numpy as np
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import _stable_u64
+    from ..stages.joins import auto_partitions, hash_lookup_join
+
+    nparts = auto_partitions(num_partitions)
+
+    def sym(b: pa.Table) -> pa.Table:
+        def chunked(c):
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        src, dst = chunked(b["src_id"]), chunked(b["dst_id"])
+        return pa.table({"u": pa.concat_arrays([src, dst]),
+                         "v": pa.concat_arrays([dst, src])})
+
+    sym_ds = (kg_edges(sf_dir).select_columns(["src_id", "dst_id"])
+              .map_batches(sym, batch_format="pyarrow").materialize())
+
+    labels = (sym_ds.groupby("u").aggregate(Count(alias_name="l"))
+              .map_batches(lambda b: b, batch_format="pyarrow")
+              .materialize())
+    degrees = labels
+
+    def bucket_col(b: pa.Table, col: str) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(b[col].to_pylist(), dtype=object))
+        return b.append_column(
+            "part", pa.array((h % np.uint64(nparts)).astype(np.int64)))
+
+    def refine(g: pd.DataFrame) -> pd.DataFrame:
+        own = g[g["tag"] == 1]
+        nb = g[g["tag"] == 0].sort_values(["u", "l"], kind="mergesort")
+        joined = (nb.groupby("u", sort=False)["l"]
+                  .agg(lambda s: ",".join(str(int(x)) for x in s)))
+        m = own.set_index("u")["l"]
+        out_u = joined.index.to_numpy()
+        new = [ _stable_u64(f"{int(m[u])}|{joined[u]}") >> 1 for u in out_u ]
+        return pd.DataFrame({"u": out_u, "l": np.asarray(new, np.int64)})
+
+    for _ in range(n_rounds):
+        lv = labels.map_batches(
+            lambda b: pa.table({"v": b["u"], "lv": b["l"]}),
+            batch_format="pyarrow")
+        nb_rows = (hash_lookup_join(sym_ds, lv, on="v",
+                                    num_partitions=nparts)
+                   .map_batches(lambda b: pa.table(
+                       {"u": b["u"], "l": b["lv"],
+                        "tag": pa.array([0] * b.num_rows, pa.int8())}),
+                       batch_format="pyarrow"))
+        own_rows = labels.map_batches(
+            lambda b: pa.table({"u": b["u"], "l": b["l"],
+                                "tag": pa.array([1] * b.num_rows, pa.int8())}),
+            batch_format="pyarrow")
+        labels = (nb_rows.union(own_rows)
+                  .map_batches(lambda b: bucket_col(b, "u"),
+                               batch_format="pyarrow")
+                  .groupby("part")
+                  .map_groups(refine, batch_format="pandas")
+                  .map_batches(lambda b: b, batch_format="pyarrow")
+                  .repartition(nparts).materialize())
+
+    out = hash_lookup_join(
+        degrees.map_batches(
+            lambda b: pa.table({"u": b["u"], "degree": b["l"]}),
+            batch_format="pyarrow"),
+        labels.map_batches(
+            lambda b: pa.table({"u": b["u"], "wl_color": b["l"]}),
+            batch_format="pyarrow"),
+        on="u", num_partitions=nparts).to_pandas()
+    out = out.rename(columns={"u": "node_id"}).astype(
+        {"degree": "int64", "wl_color": "int64"})
+    return (out[["node_id", "degree", "wl_color"]]
+            .sort_values("node_id").reset_index(drop=True))

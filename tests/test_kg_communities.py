@@ -123,3 +123,30 @@ def test_kg_components_match_union_find(ray_session):
     assert [want_sizes[n] for n in nodes] == got["cluster_size"].tolist()
     # the giant co-mention component exists (the graph isn't all singletons)
     assert got["cluster_size"].max() >= 10
+
+
+def test_kg_wl_colors_match_dense_recompute(ray_session):
+    """WL refinement (round 4): engine colors equal a dense Python 1-WL
+    replay, and refinement is monotone (distinct colors never decrease
+    round over round)."""
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import (
+        kg_edges, kg_wl_colors)
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import (
+        _stable_u64)
+
+    got = kg_wl_colors(SF, n_rounds=3)
+    e = kg_edges(SF).to_pandas()
+    adj = {}
+    for s, d in zip(e["src_id"], e["dst_id"]):
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+    lab = {u: len(vs) for u, vs in adj.items()}
+    distinct = [len(set(lab.values()))]
+    for _ in range(3):
+        lab = {u: _stable_u64(
+            f"{lab[u]}|{','.join(str(x) for x in sorted(lab[v] for v in vs))}"
+        ) >> 1 for u, vs in adj.items()}
+        distinct.append(len(set(lab.values())))
+    assert got["node_id"].tolist() == sorted(adj)
+    assert got["wl_color"].tolist() == [lab[u] for u in sorted(adj)]
+    assert all(a <= b for a, b in zip(distinct, distinct[1:]))
