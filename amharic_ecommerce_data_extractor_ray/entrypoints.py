@@ -1713,6 +1713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_prediction": kg.kg_link_prediction,
         "kg_components": kg.kg_components,
         "kg_wl_colors": kg.kg_wl_colors,
+        "kg_butterflies": kg.kg_butterflies,
         # round-3 batch 2: sequence / window-frame / outer-join / graph /
         # quality-filter coverage
         "rel_funnel": relational.event_funnel,
@@ -1953,6 +1954,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_prediction": oracles.kg_link_prediction_sql(2, 50),
         "kg_components": oracles.kg_components_sql(),
         "kg_wl_colors": oracles.kg_wl_colors_sql(3),
+        "kg_butterflies": oracles.kg_butterflies_sql(),
         "rel_funnel": oracles.event_funnel_sql(24),
         "rel_moving_avg": oracles.daily_moving_avg_sql(7),
         "rel_full_outer": oracles.customers_year_outer_sql(1995, 2000),

@@ -1082,3 +1082,63 @@ def kg_wl_colors(sf_dir: str, *, n_rounds: int = 3,
         {"degree": "int64", "wl_color": "int64"})
     return (out[["node_id", "degree", "wl_color"]]
             .sort_values("node_id").reset_index(drop=True))
+
+
+def kg_butterflies(sf_dir: str, *, max_entity_fanout: int = 4096,
+                   num_partitions: int | None = None):
+    """Per-vendor BUTTERFLY counts over the bipartite KG — the (2,2)-
+    biclique / 4-cycle motif (Wang et al., "Butterfly counting in
+    bipartite networks"): a butterfly is two vendors sharing two
+    entities, the bipartite analog of the triangle and the densest
+    cohesion signal a vendor↔entity graph has (catalog overlap
+    strength).  b(u) = Σ_{u'≠u} C(|N(u) ∩ N(u')|, 2).
+
+    Shape: the same per-entity candidate-pair generation as
+    kg_link_prediction (pairs are emitted only inside an entity's vendor
+    list, ``max_entity_fanout``-guarded; per-batch pre-aggregation), ONE
+    native Sum groupby folds common-neighbor counts per vendor pair, the
+    C(n,2) transform is vectorized, and the per-vendor rollup is one more
+    explode + Sum groupby.  Every shuffled table is vendor-pair bounded
+    (vocabulary², tiny in practice), never corpus-sized.
+
+    Output: (vendor, n_butterflies) for vendors in ≥1 butterfly, sorted
+    by vendor."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    inc = kg_edges(sf_dir).select_columns(["subj", "dst_id"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        vs = np.sort(g["subj"].unique())
+        if len(vs) > max_entity_fanout:
+            raise ValueError(
+                f"entity {g['dst_id'].iloc[0]!r} is shared by {len(vs)} "
+                f"vendors (> max_entity_fanout={max_entity_fanout}); "
+                "raise the cap or pre-filter hub entities")
+        if len(vs) < 2:
+            return pd.DataFrame({"vendor_a": [], "vendor_b": [], "n": []})
+        ia, ib = np.triu_indices(len(vs), k=1)
+        return pd.DataFrame({"vendor_a": vs[ia], "vendor_b": vs[ib],
+                             "n": np.ones(len(ia), np.int64)})
+
+    common = (inc.groupby("dst_id").map_groups(pairs, batch_format="pandas")
+              .groupby(["vendor_a", "vendor_b"])
+              .aggregate(Sum("n", alias_name="n_common")))
+
+    def explode_bf(b: pa.Table) -> pa.Table:
+        n = b["n_common"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bf = n * (n - 1) // 2
+        keep = bf > 0
+        va = b["vendor_a"].to_numpy(zero_copy_only=False)[keep]
+        vb = b["vendor_b"].to_numpy(zero_copy_only=False)[keep]
+        bf = bf[keep]
+        return pa.table({
+            "vendor": pa.array(np.concatenate([va, vb]), pa.string()),
+            "bf": pa.array(np.concatenate([bf, bf]), pa.int64())})
+
+    out = (common.map_batches(explode_bf, batch_format="pyarrow")
+           .groupby("vendor").aggregate(Sum("bf",
+                                            alias_name="n_butterflies"))
+           .to_pandas())
+    out["n_butterflies"] = out["n_butterflies"].astype("int64")
+    return out.sort_values("vendor").reset_index(drop=True)

@@ -150,3 +150,26 @@ def test_kg_wl_colors_match_dense_recompute(ray_session):
     assert got["node_id"].tolist() == sorted(adj)
     assert got["wl_color"].tolist() == [lab[u] for u in sorted(adj)]
     assert all(a <= b for a, b in zip(distinct, distinct[1:]))
+
+
+def test_kg_butterflies_match_dense_recompute(ray_session):
+    """Butterflies (round 4): engine counts equal a dense itertools
+    recompute over the recomputed vendor→entity incidence."""
+    import itertools
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import (
+        kg_butterflies, kg_edges)
+
+    got = kg_butterflies(SF)
+    e = kg_edges(SF).to_pandas()
+    nbr = e.groupby("subj")["dst_id"].agg(set)
+    bf = {}
+    for a, b in itertools.combinations(sorted(nbr.index), 2):
+        c = len(nbr[a] & nbr[b])
+        if c >= 2:
+            k = c * (c - 1) // 2
+            bf[a] = bf.get(a, 0) + k
+            bf[b] = bf.get(b, 0) + k
+    assert got["vendor"].tolist() == sorted(bf)
+    assert got["n_butterflies"].tolist() == [bf[v] for v in sorted(bf)]
+    assert got["n_butterflies"].min() > 0
