@@ -1142,3 +1142,97 @@ def kg_butterflies(sf_dir: str, *, max_entity_fanout: int = 4096,
            .to_pandas())
     out["n_butterflies"] = out["n_butterflies"].astype("int64")
     return out.sort_values("vendor").reset_index(drop=True)
+
+
+def kg_alias_edges(sf_dir: str, *, num_partitions: int | None = None):
+    """KG edge canonicalization through FUZZY alias resolution — the
+    north-star canonicalization step applied to the graph itself: entity
+    mention keys within edit distance 1 (typos, spacing drift) collapse
+    into one canonical node (most-mentioned form, ties to the smallest),
+    and the edge table is rewritten onto the canonical nodes with weights
+    re-aggregated.  Composes fuzzy blocking (SymSpell deletion
+    neighborhoods), distributed connected components and the edge-table
+    groupby — the exact-match canonicalization kg_edges already does,
+    upgraded to fuzzy.
+
+    Mention keys are ``pred || ':' || obj_norm``; predicates differ by ≥2
+    edits, so an edit-distance-1 pair can never cross predicates and the
+    composite key needs no per-type blocking.  All tables in flight are
+    vocabulary-sized; CC runs on 63-bit md5 ids (the pandas-float
+    corruption class is pinned by test_connected_components_md5_scale_ids).
+
+    Output: (subj, node_canon, weight) sorted, weight = total mentions of
+    the vendor against ANY alias in the canonical cluster."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.dedup import _stable_u64, connected_components
+    from ..stages.fuzzy import fuzzy_form_pairs
+    from ..stages.joins import auto_partitions, hash_lookup_join
+
+    nparts = auto_partitions(num_partitions)
+
+    def add_key(b: pa.Table) -> pa.Table:
+        ks = [p + ":" + o for p, o in zip(b["pred"].to_pylist(),
+                                          b["obj_norm"].to_pylist())]
+        return pa.table({"mention": pa.array(ks, pa.string())})
+
+    mentions = (triples_materialized(sf_dir)
+                .select_columns(["pred", "obj_norm"])
+                .map_batches(add_key, batch_format="pyarrow"))
+
+    from ray.data.aggregate import Count
+
+    forms = (mentions.groupby("mention")
+             .aggregate(Count(alias_name="n"))
+             .map_batches(lambda b: pa.table({
+                 "form": b["mention"], "n": b["n"],
+                 "fid": pa.array([_stable_u64(s) >> 1
+                                  for s in b["mention"].to_pylist()],
+                                 pa.int64())}), batch_format="pyarrow")
+             .materialize())
+
+    pairs = fuzzy_form_pairs(mentions, col="mention")
+
+    def pair_ids(b: pa.Table) -> pa.Table:
+        a = [_stable_u64(s) >> 1 for s in b["name_a"].to_pylist()]
+        c = [_stable_u64(s) >> 1 for s in b["name_b"].to_pylist()]
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(c, pa.int64())})
+
+    all_pairs = (pairs.map_batches(pair_ids, batch_format="pyarrow")
+                 .union(forms.map_batches(
+                     lambda b: pa.table({"id_a": b["fid"],
+                                         "id_b": b["fid"]}),
+                     batch_format="pyarrow")))
+    cc = connected_components(all_pairs, id_a="id_a", id_b="id_b",
+                              out_id_col="fid", num_partitions=nparts)
+
+    members = hash_lookup_join(forms, cc, on="fid",
+                               num_partitions=nparts)
+
+    def canon(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "form"], ascending=[False, True])
+        return pd.DataFrame({"form": g["form"],
+                             "node_canon": g["form"].iloc[0]})
+
+    resolution = (members.groupby("cluster_id")
+                  .map_groups(canon, batch_format="pandas")
+                  .map_batches(lambda b: b, batch_format="pyarrow"))
+
+    edges = (kg_edges(sf_dir)
+             .map_batches(lambda b: pa.table({
+                 "subj": b["subj"],
+                 "form": pa.array(
+                     [p + ":" + o for p, o in
+                      zip(b["pred"].to_pylist(),
+                          b["obj_norm"].to_pylist())], pa.string()),
+                 "weight": b["weight"]}), batch_format="pyarrow"))
+
+    out = (hash_lookup_join(edges, resolution, on="form",
+                            num_partitions=nparts)
+           .groupby(["subj", "node_canon"])
+           .aggregate(Sum("weight", alias_name="weight"))
+           .to_pandas())
+    out["weight"] = out["weight"].astype("int64")
+    return (out.sort_values(["subj", "node_canon"])
+            .reset_index(drop=True))

@@ -173,3 +173,22 @@ def test_kg_butterflies_match_dense_recompute(ray_session):
     assert got["vendor"].tolist() == sorted(bf)
     assert got["n_butterflies"].tolist() == [bf[v] for v in sorted(bf)]
     assert got["n_butterflies"].min() > 0
+
+
+def test_kg_alias_edges_conserve_weight(ray_session):
+    """Alias canonicalization (round 4): total mention mass is conserved,
+    the edge table shrinks (aliases really collapse), and canonical keys
+    are themselves mention keys."""
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import (
+        kg_alias_edges, kg_edges)
+
+    got = kg_alias_edges(SF)
+    e = kg_edges(SF).to_pandas()
+    assert got["weight"].sum() == e["weight"].sum()
+    assert len(got) < len(e)
+    keys = set(e["pred"] + ":" + e["obj_norm"])
+    assert set(got["node_canon"]) <= keys
+    # per-vendor mass conserved too (collapse never crosses vendors)
+    lhs = got.groupby("subj")["weight"].sum().sort_index()
+    rhs = e.groupby("subj")["weight"].sum().sort_index()
+    assert (lhs == rhs).all()
