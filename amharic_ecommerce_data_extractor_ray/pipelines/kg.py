@@ -1236,3 +1236,66 @@ def kg_alias_edges(sf_dir: str, *, num_partitions: int | None = None):
     out["weight"] = out["weight"].astype("int64")
     return (out.sort_values(["subj", "node_canon"])
             .reset_index(drop=True))
+
+
+def kg_edge_span(sf_dir: str, *, num_partitions: int | None = None):
+    """Edge PROVENANCE: for every (vendor, predicate, entity) edge, the
+    first/last mention date and the mention count — the freshness /
+    lineage metadata an incrementally-maintained KG serves next to the
+    edge itself (is this relation current? when did it appear?).
+
+    Shape: the (message_id, date) projection of the corpus attaches to the
+    shared materialized triples boundary by ONE reduce-side lookup join on
+    message_id, a per-batch Arrow ``group_by`` combiner collapses
+    (edge, min-day, max-day, n) partials BEFORE the shuffle, and one
+    native Min/Max/Sum groupby folds them — the shuffle carries distinct
+    edge keys only.  Dates travel as int32 epoch days (native Min/Max)
+    and render to strings at the end (driver-compare convention).
+
+    Output: (subj, pred, obj_norm, first_seen, last_seen, n_mentions)
+    sorted by (subj, pred, obj_norm)."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min, Sum
+
+    from ..stages.joins import auto_partitions, hash_lookup_join
+
+    nparts = auto_partitions(num_partitions)
+
+    dates = corpus_ds(sf_dir).select_columns(
+        ["message_id", "message_date"]).map_batches(
+        lambda b: pa.table({
+            "message_id": b["message_id"],
+            "day": pc.cast(b["message_date"], pa.int32())}),
+        batch_format="pyarrow")
+
+    triples = triples_materialized(sf_dir).select_columns(
+        ["message_id", "subj", "pred", "obj_norm"])
+
+    joined = hash_lookup_join(triples, dates, on="message_id",
+                              num_partitions=nparts)
+
+    def partials(b: pa.Table) -> pa.Table:
+        t = pa.table({"subj": b["subj"], "pred": b["pred"],
+                      "obj_norm": b["obj_norm"], "day": b["day"]})
+        g = (t.group_by(["subj", "pred", "obj_norm"])
+             .aggregate([("day", "min"), ("day", "max"),
+                         ([], "count_all")]))
+        return g.rename_columns(["subj", "pred", "obj_norm",
+                                 "dmin", "dmax", "n"])
+
+    agg = (joined.map_batches(partials, batch_format="pyarrow")
+           .groupby(["subj", "pred", "obj_norm"])
+           .aggregate(Min("dmin", alias_name="dmin"),
+                      Max("dmax", alias_name="dmax"),
+                      Sum("n", alias_name="n_mentions"))
+           .to_pandas())
+
+    agg["first_seen"] = pd.to_datetime(
+        agg["dmin"].astype("int64"), unit="D").dt.strftime("%Y-%m-%d")
+    agg["last_seen"] = pd.to_datetime(
+        agg["dmax"].astype("int64"), unit="D").dt.strftime("%Y-%m-%d")
+    agg["n_mentions"] = agg["n_mentions"].astype("int64")
+    return (agg[["subj", "pred", "obj_norm", "first_seen", "last_seen",
+                 "n_mentions"]]
+            .sort_values(["subj", "pred", "obj_norm"])
+            .reset_index(drop=True))

@@ -192,3 +192,21 @@ def test_kg_alias_edges_conserve_weight(ray_session):
     lhs = got.groupby("subj")["weight"].sum().sort_index()
     rhs = e.groupby("subj")["weight"].sum().sort_index()
     assert (lhs == rhs).all()
+
+
+def test_kg_edge_span_consistent_with_edges(ray_session):
+    """Edge provenance (round 4): spans cover exactly the edge table,
+    n_mentions equals the edge weights, and first_seen <= last_seen."""
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import (
+        kg_edge_span, kg_edges)
+
+    got = kg_edge_span(SF)
+    e = (kg_edges(SF).to_pandas()
+         .sort_values(["subj", "pred", "obj_norm"]).reset_index(drop=True))
+    assert len(got) == len(e)
+    assert (got["subj"] == e["subj"]).all()
+    assert (got["n_mentions"].to_numpy() == e["weight"].to_numpy()).all()
+    assert (got["first_seen"] <= got["last_seen"]).all()
+    # edges mentioned more than once genuinely span time on this corpus
+    multi = got[got["n_mentions"] > 1]
+    assert (multi["first_seen"] < multi["last_seen"]).any()
