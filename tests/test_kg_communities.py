@@ -210,3 +210,47 @@ def test_kg_edge_span_consistent_with_edges(ray_session):
     # edges mentioned more than once genuinely span time on this corpus
     multi = got[got["n_mentions"] > 1]
     assert (multi["first_seen"] < multi["last_seen"]).any()
+
+
+def test_kg_closeness_matches_dense_bfs(ray_session):
+    """Closeness (round 4): engine scores equal a dense Python BFS from
+    the same md5-sampled seed set."""
+    import collections
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import (
+        kg_closeness, kg_cooccurrence)
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import (
+        _stable_u64)
+
+    got = kg_closeness(SF, max_hops=4, seed_mod=3)
+    c = kg_cooccurrence(SF).to_pandas()
+    adj = collections.defaultdict(set)
+    for ka, kb in zip(c["pred_a"] + ":" + c["obj_a"],
+                      c["pred_b"] + ":" + c["obj_b"]):
+        adj[ka].add(kb)
+        adj[kb].add(ka)
+    seeds = [u for u in adj if _stable_u64(u) % 3 == 0]
+    score = collections.defaultdict(int)
+    reached = collections.defaultdict(int)
+    for s in seeds:
+        dist = {s: 0}
+        frontier = [s]
+        for d in range(1, 5):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        for v, d in dist.items():
+            if d > 0:
+                score[v] += 12 // d
+                reached[v] += 1
+    import numpy as np
+    want = sorted(score)
+    assert got["node"].tolist() == want
+    assert got["n_reached"].tolist() == [reached[v] for v in want]
+    exp = [float(np.floor(score[v] / 12.0 * 1e6 + 0.5) / 1e6)
+           for v in want]
+    assert got["closeness"].tolist() == exp
