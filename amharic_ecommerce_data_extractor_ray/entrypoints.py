@@ -1717,6 +1717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_alias_edges": kg.kg_alias_edges,
         "kg_edge_span": kg.kg_edge_span,
         "kg_closeness": kg.kg_closeness,
+        "kg_edge_pmi": kg.kg_edge_pmi,
+        "kg_negative_samples": kg.kg_negative_samples,
         # round-3 batch 2: sequence / window-frame / outer-join / graph /
         # quality-filter coverage
         "rel_funnel": relational.event_funnel,
@@ -1961,6 +1963,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_alias_edges": oracles.kg_alias_edges_sql(),
         "kg_edge_span": oracles.kg_edge_span_sql(),
         "kg_closeness": oracles.kg_closeness_sql(4, 3),
+        "kg_edge_pmi": oracles.kg_edge_pmi_sql(),
+        "kg_negative_samples": oracles.kg_negative_samples_sql(2),
         "rel_funnel": oracles.event_funnel_sql(24),
         "rel_moving_avg": oracles.daily_moving_avg_sql(7),
         "rel_full_outer": oracles.customers_year_outer_sql(1995, 2000),

@@ -1381,3 +1381,139 @@ def kg_closeness(sf_dir: str, *, max_hops: int = 4, seed_mod: int = 3,
     out = out.astype({"n_reached": "int64"})
     return (out[["node", "n_reached", "closeness"]]
             .sort_values("node").reset_index(drop=True))
+
+
+def kg_edge_pmi(sf_dir: str, *, num_partitions: int | None = None):
+    """Edge ASSOCIATION strength: pointwise mutual information of each
+    (vendor, entity) edge against the mention marginals —
+    ``pmi = ln(n_uv · N / (n_u · n_v))`` — the statistical edge weighting
+    KG consumers rank by when raw counts are dominated by prolific
+    vendors (token_pmi's graph sibling).
+
+    Shape: ONE scan of the (vocabulary-sized) edge table; marginals are
+    two small groupby folds joined back reduce-side; N is one Sum fold.
+    The log ratio is computed from EXACT int64 counts on both sides, so
+    only the final ln/round double step exists.
+
+    Output: (subj, pred, obj_norm, n_uv, pmi) sorted by (subj, pred,
+    obj_norm); pmi rounded 6dp."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import auto_partitions, hash_lookup_join
+
+    nparts = auto_partitions(num_partitions)
+    edges = (kg_edges(sf_dir)
+             .map_batches(lambda b: pa.table({
+                 "subj": b["subj"], "pred": b["pred"],
+                 "obj_norm": b["obj_norm"],
+                 "ent": pa.array([p + ":" + o for p, o in
+                                  zip(b["pred"].to_pylist(),
+                                      b["obj_norm"].to_pylist())],
+                                 pa.string()),
+                 "w": pc.cast(b["weight"], pa.int64())}),
+                 batch_format="pyarrow")
+             .materialize())
+
+    nu = (edges.groupby("subj").aggregate(Sum("w", alias_name="n_u"))
+          .map_batches(lambda b: b, batch_format="pyarrow"))
+    nv = (edges.groupby("ent").aggregate(Sum("w", alias_name="n_v"))
+          .map_batches(lambda b: b, batch_format="pyarrow"))
+    total = int(edges.sum("w"))
+
+    j = hash_lookup_join(edges, nu, on="subj", num_partitions=nparts)
+    j = hash_lookup_join(j, nv, on="ent", num_partitions=nparts)
+
+    def score(b: pa.Table) -> pa.Table:
+        w = b["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_u = b["n_u"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_v = b["n_v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log(w * float(total) / (n_u * n_v))
+        pmi = np.floor(pmi * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "subj": b["subj"], "pred": b["pred"],
+            "obj_norm": b["obj_norm"],
+            "n_uv": pc.cast(b["w"], pa.int64()),
+            "pmi": pa.array(pmi, pa.float64())})
+
+    out = (j.map_batches(score, batch_format="pyarrow").to_pandas())
+    return (out.sort_values(["subj", "pred", "obj_norm"])
+            .reset_index(drop=True))
+
+
+def kg_negative_samples(sf_dir: str, *, k: int = 2,
+                        num_partitions: int | None = None):
+    """Deterministic NEGATIVE sampling for KG-embedding training (the
+    corrupted-tail data prep of TransE, Bordes et al. 2013): for every
+    positive edge (vendor, entity) emit ``k`` tail candidates drawn by
+    hash from the entity vocabulary, then drop any candidate that is a
+    TRUE edge of that vendor — via the distributed ANTI join, never a
+    broadcast positive set (the edge table may not fit one worker at
+    100 TB; only the sorted entity ARRAY ships via ``ray.put``, the
+    standard KG-training assumption of an in-memory entity vocabulary).
+
+    Candidate i for edge (s, e) is ``E[md5(s|e|i) % |E|]`` — collisions
+    with positives are DROPPED, not re-drawn (rejection would be
+    iterative and data-dependent; the fixed-draw-then-filter form is
+    one-pass and exactly SQL-replayable).
+
+    Output: (subj, ent_pos, sample_idx, ent_neg), sorted."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Count
+
+    from ..stages.dedup import _stable_u64
+    from ..stages.joins import auto_partitions, hash_anti_join
+
+    nparts = auto_partitions(num_partitions)
+
+    edges = (kg_edges(sf_dir)
+             .map_batches(lambda b: pa.table({
+                 "subj": b["subj"],
+                 "ent": pa.array([p + ":" + o for p, o in
+                                  zip(b["pred"].to_pylist(),
+                                      b["obj_norm"].to_pylist())],
+                                 pa.string())}), batch_format="pyarrow")
+             .materialize())
+
+    ents = sorted(edges.groupby("ent")
+                  .aggregate(Count(alias_name="_n"))
+                  .to_pandas()["ent"])
+    n_ent = len(ents)
+    ents_ref = ray.put(np.asarray(ents, dtype=object))
+
+    def candidates(b: pa.Table) -> pa.Table:
+        evoc = ray.get(ents_ref)
+        subj = b["subj"].to_pylist()
+        ent = b["ent"].to_pylist()
+        out = {"subj": [], "ent_pos": [], "sample_idx": [], "key": [],
+               "ent_neg": []}
+        for s, e in zip(subj, ent):
+            for i in range(1, k + 1):
+                neg = evoc[_stable_u64(f"{s}|{e}|{i}") % n_ent]
+                out["subj"].append(s)
+                out["ent_pos"].append(e)
+                out["sample_idx"].append(i)
+                out["key"].append(f"{s}|{neg}")
+                out["ent_neg"].append(neg)
+        return pa.table({
+            "subj": pa.array(out["subj"], pa.string()),
+            "ent_pos": pa.array(out["ent_pos"], pa.string()),
+            "sample_idx": pa.array(out["sample_idx"], pa.int64()),
+            "key": pa.array(out["key"], pa.string()),
+            "ent_neg": pa.array(out["ent_neg"], pa.string())})
+
+    cand = edges.map_batches(candidates, batch_format="pyarrow")
+    pos_keys = edges.map_batches(
+        lambda b: pa.table({"key": pa.array(
+            [f"{s}|{e}" for s, e in zip(b["subj"].to_pylist(),
+                                        b["ent"].to_pylist())],
+            pa.string())}), batch_format="pyarrow")
+
+    out = (hash_anti_join(cand, pos_keys, on="key",
+                          num_partitions=nparts)
+           .drop_columns(["key"]).to_pandas())
+    out["sample_idx"] = out["sample_idx"].astype("int64")
+    return (out[["subj", "ent_pos", "sample_idx", "ent_neg"]]
+            .sort_values(["subj", "ent_pos", "sample_idx"])
+            .reset_index(drop=True))

@@ -188,12 +188,16 @@ def _hash_filter_join(left_ds, right_ds, *, on: str, num_partitions: int,
     _KNUTH = np.uint64(2654435761)
 
     def _part(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
-        col = np.asarray(
-            arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr,
-            dtype=np.int64)
-        p = ((col.astype(np.uint64) * _KNUTH) >> np.uint64(16)) \
-            % np.uint64(num_partitions)
-        return pa.array(p.astype(np.int64))
+        # same dual path as hash_lookup_join: zero-copy Knuth hash for
+        # integer keys, pandas siphash for strings (both sides of one join
+        # always take the same branch, so co-location holds)
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if pa.types.is_integer(a.type):
+            col = a.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (col * _KNUTH) >> np.uint64(16)
+        else:
+            h = pd.util.hash_array(np.asarray(a.to_pandas(), dtype=object))
+        return pa.array((h % np.uint64(num_partitions)).astype(np.int64))
 
     def tag_left(b: pa.Table) -> pa.Table:
         cols = {n: b[n] for n in left_names}

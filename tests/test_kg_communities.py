@@ -254,3 +254,34 @@ def test_kg_closeness_matches_dense_bfs(ray_session):
     exp = [float(np.floor(score[v] / 12.0 * 1e6 + 0.5) / 1e6)
            for v in want]
     assert got["closeness"].tolist() == exp
+
+
+def test_kg_negative_samples_properties(ray_session):
+    """Negative sampling (round 4): no emitted candidate is a positive
+    edge, draws are the deterministic md5 indices, and the string-key
+    ANTI join (new in this round) filters exactly."""
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import (
+        kg_edges, kg_negative_samples)
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import (
+        _stable_u64)
+
+    got = kg_negative_samples(SF, k=2)
+    e = kg_edges(SF).to_pandas()
+    e["ent"] = e["pred"] + ":" + e["obj_norm"]
+    positives = set(zip(e["subj"], e["ent"]))
+    assert not (set(zip(got["subj"], got["ent_neg"])) & positives)
+
+    ents = sorted(set(e["ent"]))
+    n = len(ents)
+    expected = []
+    for s, ent in sorted(zip(e["subj"], e["ent"])):
+        for i in (1, 2):
+            neg = ents[_stable_u64(f"{s}|{ent}|{i}") % n]
+            if (s, neg) not in positives:
+                expected.append((s, ent, i, neg))
+    expected.sort()
+    assert list(map(tuple, got[["subj", "ent_pos", "sample_idx",
+                                "ent_neg"]].itertuples(index=False))) \
+        == expected
+    # some collisions with positives were genuinely dropped
+    assert len(got) < 2 * len(e)
