@@ -1719,6 +1719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_closeness": kg.kg_closeness,
         "kg_edge_pmi": kg.kg_edge_pmi,
         "kg_negative_samples": kg.kg_negative_samples,
+        "kg_truss": kg.kg_truss,
         # round-3 batch 2: sequence / window-frame / outer-join / graph /
         # quality-filter coverage
         "rel_funnel": relational.event_funnel,
@@ -1965,6 +1966,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_closeness": oracles.kg_closeness_sql(4, 3),
         "kg_edge_pmi": oracles.kg_edge_pmi_sql(),
         "kg_negative_samples": oracles.kg_negative_samples_sql(2),
+        "kg_truss": oracles.kg_truss_sql(6, 5),
         "rel_funnel": oracles.event_funnel_sql(24),
         "rel_moving_avg": oracles.daily_moving_avg_sql(7),
         "rel_full_outer": oracles.customers_year_outer_sql(1995, 2000),

@@ -1517,3 +1517,96 @@ def kg_negative_samples(sf_dir: str, *, k: int = 2,
     return (out[["subj", "ent_pos", "sample_idx", "ent_neg"]]
             .sort_values(["subj", "ent_pos", "sample_idx"])
             .reset_index(drop=True))
+
+
+def kg_truss(sf_dir: str, *, k: int = 6, n_rounds: int = 5,
+             max_node_fanout: int = 4096,
+             num_partitions: int | None = None):
+    """k-truss decomposition (Cohen 2008) of the entity co-mention graph —
+    the EDGE-peeling iterative family next to k-core's node peel: each
+    round drops every edge in fewer than ``k-2`` triangles, until only the
+    cohesive triangle-dense backbone remains (the subgraph community
+    miners trust more than raw co-mention counts).
+
+    Shape per round: wedges are generated only inside each anchor node's
+    neighbor list (``groupby(anchor).map_groups``, fanout-guarded — the
+    kg_link_prediction posture), closed against the edge set by the
+    string-key SEMI join, supports folded by one native Sum groupby, and
+    survivors kept by a second semi-join; block count re-bounded per
+    round (the k-core lesson).  Everything in flight is
+    vocabulary²-bounded.  The final support column is recomputed over the
+    SURVIVING edge set so the output is self-consistent.
+
+    Output: (node_a, node_b, support) for surviving edges, sorted."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import (auto_partitions, hash_lookup_join,
+                                hash_semi_join)
+
+    nparts = auto_partitions(num_partitions)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        ka = [p + ":" + o for p, o in zip(b["pred_a"].to_pylist(),
+                                          b["obj_a"].to_pylist())]
+        kb = [p + ":" + o for p, o in zip(b["pred_b"].to_pylist(),
+                                          b["obj_b"].to_pylist())]
+        return pa.table({
+            "a": pa.array(ka, pa.string()), "b": pa.array(kb, pa.string()),
+            "key": pa.array([x + "|" + y for x, y in zip(ka, kb)],
+                            pa.string())})
+
+    edges = (kg_cooccurrence(sf_dir)
+             .map_batches(edge_rows, batch_format="pyarrow")
+             .repartition(nparts).materialize())
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        bs = np.sort(g["b"].unique())
+        if len(bs) > max_node_fanout:
+            raise ValueError(
+                f"anchor {g['a'].iloc[0]!r} has {len(bs)} oriented "
+                f"neighbors (> max_node_fanout={max_node_fanout}); "
+                "switch to degree orientation before trussing this graph")
+        if len(bs) < 2:
+            return pd.DataFrame({"a": [], "u": [], "v": [], "key": []})
+        i, j = np.triu_indices(len(bs), k=1)
+        return pd.DataFrame({
+            "a": g["a"].iloc[0], "u": bs[i], "v": bs[j],
+            "key": [x + "|" + y for x, y in zip(bs[i], bs[j])]})
+
+    def support_of(e_ds):
+        """(key, s) triangle-support table of the given edge set."""
+        w = e_ds.groupby("a").map_groups(wedges, batch_format="pandas")
+        closed = hash_semi_join(
+            w, e_ds.select_columns(["key"]), on="key",
+            num_partitions=nparts)
+
+        def edge_keys(b: pa.Table) -> pa.Table:
+            a = b["a"].to_pylist()
+            u = b["u"].to_pylist()
+            v = b["v"].to_pylist()
+            ks = ([x + "|" + y for x, y in zip(a, u)]
+                  + [x + "|" + y for x, y in zip(a, v)]
+                  + [x + "|" + y for x, y in zip(u, v)])
+            return pa.table({"key": pa.array(ks, pa.string()),
+                             "n": pa.array([1] * len(ks), pa.int64())})
+
+        return (closed.map_batches(edge_keys, batch_format="pyarrow")
+                .groupby("key").aggregate(Sum("n", alias_name="s")))
+
+    for _ in range(n_rounds):
+        strong = (support_of(edges)
+                  .map_batches(lambda b: b.filter(
+                      pc.greater_equal(b["s"], k - 2)).select(["key"]),
+                      batch_format="pyarrow"))
+        edges = (hash_semi_join(edges, strong, on="key",
+                                num_partitions=nparts)
+                 .repartition(nparts).materialize())
+
+    final = hash_lookup_join(edges, support_of(edges),
+                             on="key", num_partitions=nparts).to_pandas()
+    final = final.rename(columns={"a": "node_a", "b": "node_b",
+                                  "s": "support"})
+    final["support"] = final["support"].astype("int64")
+    return (final[["node_a", "node_b", "support"]]
+            .sort_values(["node_a", "node_b"]).reset_index(drop=True))

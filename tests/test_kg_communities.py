@@ -285,3 +285,36 @@ def test_kg_negative_samples_properties(ray_session):
         == expected
     # some collisions with positives were genuinely dropped
     assert len(got) < 2 * len(e)
+
+
+def test_kg_truss_fixpoint_and_dense_recompute(ray_session):
+    """k-truss (round 4): the default round budget reaches the fixpoint
+    (an extra round changes nothing), every surviving edge meets the
+    support bound, and the table equals a dense Python peel."""
+    import itertools
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import (
+        kg_cooccurrence, kg_truss)
+
+    got = kg_truss(SF, k=6, n_rounds=5)
+    more = kg_truss(SF, k=6, n_rounds=6)
+    assert got.equals(more)
+    assert len(got) > 0
+    assert (got["support"] >= 4).all()
+
+    c = kg_cooccurrence(SF).to_pandas()
+    edges = set(zip(c["pred_a"] + ":" + c["obj_a"],
+                    c["pred_b"] + ":" + c["obj_b"]))
+    while True:
+        nbr = {}
+        for a, b in edges:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        sup = {e: len(nbr[e[0]] & nbr[e[1]]) for e in edges}
+        keep = {e for e, s in sup.items() if s >= 4}
+        if keep == edges:
+            break
+        edges = keep
+    want = sorted(edges)
+    assert list(zip(got["node_a"], got["node_b"])) == want
+    assert got["support"].tolist() == [sup[e] for e in want]
