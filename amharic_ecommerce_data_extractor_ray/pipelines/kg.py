@@ -77,6 +77,7 @@ def vendor_scorecard(sf_dir: str):
 
 _TRIPLES_CACHE: dict = {}
 _GRAPH_CACHE: dict = {}
+_COOC_CACHE: dict = {}
 
 
 def _session_key(sf_dir: str):
@@ -166,67 +167,63 @@ def kg_cooccurrence(sf_dir: str):
     link entities beyond the vendor→entity bipartite edges (e.g. product ⋈
     location co-listings).
 
-    Scale shape: pair generation happens INSIDE map_batches on the fused
-    per-message entity rows (each row is a complete message, so no pairs
-    cross batch boundaries), vectorized as a pandas self-merge per batch
-    with per-batch pre-aggregation — the groupby that follows shuffles only
-    DISTINCT pair keys (vocabulary² bounded, and in practice tiny because
-    messages mention ≤ a handful of entities), never corpus-sized data.
+    Scale shape (ADVICE r4 #1): derives from the SHARED memoized
+    ``triples_materialized`` boundary — no second corpus tag pass — and the
+    pair table itself is memoized, so kg_components / kg_closeness /
+    kg_truss all read one cached vocabulary²-bounded table.  Pair
+    generation happens INSIDE map_batches, vectorized as a pandas
+    self-merge per block with per-block pre-aggregation; the groupby that
+    follows shuffles only DISTINCT pair keys, never corpus-sized data.
+
+    Partitioning assumption (documented per the co-location contract): a
+    message's triples never straddle a block boundary, because
+    ``fused_triples_batch`` emits every triple of a message inside ONE
+    output table (~25 K narrow rows per 8192-message batch, a few MB —
+    far below ``target_max_block_size``, so Ray never splits it) and
+    ``materialize()`` preserves those blocks.  The sf0.001/sf0.01 SQL
+    oracle gate recomputes pairs from scratch and would catch any split.
+
     Pair order is canonical: key(pred, obj_norm) = ``pred + ':' + obj_norm``
     compared as code points (== DuckDB byte-wise UTF-8 compare)."""
-    import numpy as np
     import pandas as pd
     from ray.data.aggregate import Sum
 
-    from ..functions.tagger import PRED_BY_TYPE
-
-    ent_cols = (("products", PRED_BY_TYPE["PRODUCT"]),
-                ("prices", PRED_BY_TYPE["PRICE"]),
-                ("locations", PRED_BY_TYPE["LOC"]),
-                ("contact_info", PRED_BY_TYPE["CONTACT_INFO"]))
+    key = _session_key(sf_dir)
+    if key in _COOC_CACHE:
+        return _COOC_CACHE[key]
 
     def pair_partials(b: pa.Table) -> pa.Table:
-        frames = []
-        for col, pred in ent_cols:
-            lc = (b[col].combine_chunks()
-                  if isinstance(b[col], pa.ChunkedArray) else b[col])
-            flat = lc.flatten()  # offset-aware, aligns with parent indices
-            if len(flat) == 0:
-                continue
-            # same obj_norm derivation as triples_from_entities_batch
-            norm = [" ".join(s.lower().split()) for s in flat.to_pylist()]
-            frames.append(pd.DataFrame({
-                "mid": np.asarray(lc.value_parent_indices()),
-                "pred": pred, "obj": norm}))
         empty = pa.table({
             "pred_a": pa.array([], pa.string()),
             "obj_a": pa.array([], pa.string()),
             "pred_b": pa.array([], pa.string()),
             "obj_b": pa.array([], pa.string()),
             "n": pa.array([], pa.int64())})
-        if not frames:
+        if b.num_rows == 0:
             return empty
-        m = pd.concat(frames, ignore_index=True).drop_duplicates()
-        m["key"] = m["pred"] + ":" + m["obj"]
-        j = m.merge(m, on="mid")           # within-message cross product
+        m = b.to_pandas().drop_duplicates()   # distinct mentions per message
+        m["key"] = m["pred"] + ":" + m["obj_norm"]
+        j = m.merge(m, on="message_id")    # within-message cross product
         j = j[j["key_x"] < j["key_y"]]     # unordered pairs, canonical order
         if j.empty:
             return empty
-        g = (j.groupby(["pred_x", "obj_x", "pred_y", "obj_y"])
+        g = (j.groupby(["pred_x", "obj_norm_x", "pred_y", "obj_norm_y"])
              .size().reset_index(name="n"))
         return pa.table({
             "pred_a": pa.array(g["pred_x"], pa.string()),
-            "obj_a": pa.array(g["obj_x"], pa.string()),
+            "obj_a": pa.array(g["obj_norm_x"], pa.string()),
             "pred_b": pa.array(g["pred_y"], pa.string()),
-            "obj_b": pa.array(g["obj_y"], pa.string()),
+            "obj_b": pa.array(g["obj_norm_y"], pa.string()),
             "n": pa.array(g["n"], pa.int64())})
 
-    return (messages_with_entities(sf_dir)
-            .select_columns(["products", "prices", "locations",
-                             "contact_info"])
+    cooc = (triples_materialized(sf_dir)
+            .select_columns(["message_id", "pred", "obj_norm"])
             .map_batches(pair_partials, batch_format="pyarrow")
             .groupby(["pred_a", "obj_a", "pred_b", "obj_b"])
-            .aggregate(Sum("n", alias_name="n_messages")))
+            .aggregate(Sum("n", alias_name="n_messages"))
+            .materialize())
+    _COOC_CACHE[key] = cooc
+    return cooc
 
 
 def kg_pagerank(sf_dir: str, *, damping: float = 0.85, n_iter: int = 5,
@@ -1455,7 +1452,10 @@ def kg_negative_samples(sf_dir: str, *, k: int = 2,
     Candidate i for edge (s, e) is ``E[md5(s|e|i) % |E|]`` — collisions
     with positives are DROPPED, not re-drawn (rejection would be
     iterative and data-dependent; the fixed-draw-then-filter form is
-    one-pass and exactly SQL-replayable).
+    one-pass and exactly SQL-replayable).  The anti-join key uses
+    the \\x1f unit separator, which cannot appear in normalized
+    text, so distinct (subj, entity) pairs can never alias
+    (ADVICE r4 #5).
 
     Output: (subj, ent_pos, sample_idx, ent_neg), sorted."""
     import numpy as np
@@ -1494,7 +1494,7 @@ def kg_negative_samples(sf_dir: str, *, k: int = 2,
                 out["subj"].append(s)
                 out["ent_pos"].append(e)
                 out["sample_idx"].append(i)
-                out["key"].append(f"{s}|{neg}")
+                out["key"].append(s + "\x1f" + neg)
                 out["ent_neg"].append(neg)
         return pa.table({
             "subj": pa.array(out["subj"], pa.string()),
@@ -1506,7 +1506,7 @@ def kg_negative_samples(sf_dir: str, *, k: int = 2,
     cand = edges.map_batches(candidates, batch_format="pyarrow")
     pos_keys = edges.map_batches(
         lambda b: pa.table({"key": pa.array(
-            [f"{s}|{e}" for s, e in zip(b["subj"].to_pylist(),
+            [s + "\x1f" + e for s, e in zip(b["subj"].to_pylist(),
                                         b["ent"].to_pylist())],
             pa.string())}), batch_format="pyarrow")
 

@@ -367,7 +367,8 @@ def inverted_index(docs_ds, *, id_col: str = "doc_id",
         # one vectorized explode (same \s+ split the SQL oracle uses), no
         # per-row Python: doc ids repeat by list length, empties filtered,
         # per-doc DISTINCT via Arrow hash group_by
-        tl = pc.split_pattern_regex(b[text_col], pattern=r"\s+")
+        tl = pc.split_pattern_regex(pc.fill_null(b[text_col], ""),
+                                    pattern=r"\s+")
         n_tok = pc.list_value_length(tl).to_numpy(zero_copy_only=False)
         ids = np.repeat(b[id_col].to_numpy(zero_copy_only=False), n_tok)
         flat = tl.combine_chunks().flatten() if isinstance(
@@ -421,7 +422,8 @@ def token_pmi(docs_ds, *, text_col: str = "text", min_support: int = 5,
 
         # vectorized explode -> per-doc DISTINCT -> per-token df, all in
         # Arrow hash group_by (no Counter loop)
-        tl = pc.split_pattern_regex(b[text_col], pattern=r"\s+")
+        tl = pc.split_pattern_regex(pc.fill_null(b[text_col], ""),
+                                    pattern=r"\s+")
         n_tok = pc.list_value_length(tl).to_numpy(zero_copy_only=False)
         d = np.repeat(np.arange(b.num_rows, dtype=np.int64), n_tok)
         flat = tl.combine_chunks().flatten() if isinstance(
@@ -448,7 +450,8 @@ def token_pmi(docs_ds, *, text_col: str = "text", min_support: int = 5,
         # indexing (duplicate (doc, code) writes are idempotent 1.0s)
         vocab_arr = ray.get(vocab_ref)
         nv = len(vocab_arr)
-        tl = pc.split_pattern_regex(b[text_col], pattern=r"\s+")
+        tl = pc.split_pattern_regex(pc.fill_null(b[text_col], ""),
+                                    pattern=r"\s+")
         n_tok = pc.list_value_length(tl).to_numpy(zero_copy_only=False)
         d = np.repeat(np.arange(b.num_rows, dtype=np.int64), n_tok)
         flat = tl.combine_chunks().flatten() if isinstance(
@@ -723,7 +726,8 @@ def bm25_topk(docs_ds, query_terms: list[str], k: int = 20, *,
         """(row_index, token) pairs for non-empty whitespace tokens."""
         import pyarrow.compute as pc
 
-        tl = pc.split_pattern_regex(bt[text_col], pattern=r"\s+")
+        tl = pc.split_pattern_regex(pc.fill_null(bt[text_col], ""),
+                                    pattern=r"\s+")
         n_tok = pc.list_value_length(tl).to_numpy(zero_copy_only=False)
         rows = np.repeat(np.arange(bt.num_rows, dtype=np.int64), n_tok)
         flat = tl.combine_chunks().flatten() if isinstance(

@@ -866,7 +866,11 @@ def pq_adc_rerank_topk(emb_ds, query_ids: list[int], k: int = 10, *,
         cand = short.loc[short["query_id"] == q, "neighbor_id"] \
             .to_numpy(np.int64)
         rows = np.asarray([row_of[int(c)] for c in cand])
-        cos = np.round(unit[rows] @ unit[row_of[int(q)]], round_to)
+        # floor(x*10^d+0.5)/10^d — the repo-wide half-up convention (matches
+        # the SQL mirror exactly; np.round's half-to-even can flip ranks on
+        # a cosine landing exactly on a .5 ulp boundary — ADVICE r4 #2)
+        raw = unit[rows] @ unit[row_of[int(q)]]
+        cos = np.floor(raw * 10.0 ** round_to + 0.5) / 10.0 ** round_to
         order = np.lexsort((cand, -cos))[:min(k, len(cand))]
         out_q.extend([q] * len(order))
         out_n.extend(cand[order].tolist())
