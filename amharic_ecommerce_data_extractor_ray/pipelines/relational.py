@@ -998,11 +998,17 @@ def part_triangles(sf_dir: str):
         i, j = np.triu_indices(len(parts), k=1)
         return pd.DataFrame({"e": (parts[i] << 32) | parts[j]})
 
+    from ..stages.joins import exact_fold
+
     # distinct undirected edges, packed (lo<<32 | hi) so every shuffle key
-    # is one int64; materialized because three stages consume it
-    edges = (ds.groupby("l_orderkey").map_groups(per_order,
-                                                 batch_format="pandas")
-             .groupby("e").aggregate(Count(alias_name="_n"))
+    # is one int64; materialized because three stages consume it.  Every
+    # fold below a map_groups goes through exact_fold: the schema-less
+    # empty blocks map_groups emits otherwise poison the sort-aggregate's
+    # partial merge into float64, corrupting packed keys above 2**53
+    # (part ids past 2**21, ~sf10 — see exact_fold's docstring).
+    edges = (exact_fold(ds.groupby("l_orderkey")
+                        .map_groups(per_order, batch_format="pandas"),
+                        "e", Count(alias_name="_n"))
              .drop_columns(["_n"])
              .map_batches(lambda b: b, batch_format="pyarrow")
              .materialize())
@@ -1033,29 +1039,41 @@ def part_triangles(sf_dir: str):
               .union(edges.map_batches(degree_partials,
                                        batch_format="pyarrow")))
 
-    def attach_deg(g: pd.DataFrame) -> pd.DataFrame:
+    def attach_deg(g: pa.Table) -> pa.Table:
         """One node's rows (vectorized): total the degree partials, stamp
         the degree onto that node's endpoint rows as deg_lo / deg_hi
         contributions (the other endpoint's slot stays 0 and the
-        downstream per-edge Sum merges the two rows)."""
-        deg = int(g.loc[g["pos"] == -1, "deg"].sum())
-        ed = g[g["pos"] >= 0]
-        is_lo = (ed["pos"] == 0).to_numpy()
-        return pd.DataFrame({
-            "e": ed["e"].astype("int64"),
-            "deg_lo": np.where(is_lo, deg, 0).astype("int64"),
-            "deg_hi": np.where(is_lo, 0, deg).astype("int64"),
-        })
+        downstream per-edge Sum merges the two rows).
 
-    endpoint_degs = tagged.groupby("node").map_groups(
-        attach_deg, batch_format="pandas")
+        ARROW in/out: the partial rows carry a NULL ``e``, and a pandas
+        group conversion would coerce the whole int64 column to float64 —
+        silently corrupting packed ``lo<<32|hi`` keys once part ids pass
+        2**21 (~sf10).  Split the tagged sides in Arrow first (the
+        connected_components fix, VERDICT r4 #2)."""
+        part = g.filter(pc.equal(g["pos"], -1))
+        deg = int(pc.sum(part["deg"]).as_py() or 0)
+        ed = g.filter(pc.greater_equal(g["pos"], 0))
+        is_lo = pc.equal(ed["pos"], 0).to_numpy(zero_copy_only=False)
+        n = ed.num_rows
+        return pa.table({
+            "e": ed["e"],
+            "deg_lo": pa.array(np.where(is_lo, deg, 0).astype(np.int64)),
+            "deg_hi": pa.array(np.where(is_lo, 0, deg).astype(np.int64)),
+        }) if n else pa.table({
+            "e": pa.array([], pa.int64()),
+            "deg_lo": pa.array([], pa.int64()),
+            "deg_hi": pa.array([], pa.int64())})
+
+    from ..stages.joins import exact_map_groups
+
+    # exact_map_groups: the tagged union's null-padded int64 "e" must not
+    # ride a pandas-majority sort merge (see exact_map_groups docstring)
+    endpoint_degs = exact_map_groups(tagged, "node", attach_deg)
 
     # fold the two endpoint rows per edge with a NATIVE aggregate
-    edge_degs = (endpoint_degs
-                 .map_batches(lambda b: b, batch_format="pyarrow")
-                 .groupby("e")
-                 .aggregate(Sum("deg_lo", alias_name="deg_lo"),
-                            Sum("deg_hi", alias_name="deg_hi")))
+    edge_degs = exact_fold(endpoint_degs, "e",
+                           Sum("deg_lo", alias_name="deg_lo"),
+                           Sum("deg_hi", alias_name="deg_hi"))
 
     def orient_batch(b: pa.Table) -> pa.Table:
         """Vectorized orientation: src = lower-(deg, id) endpoint (ids are
@@ -1098,10 +1116,9 @@ def part_triangles(sf_dir: str):
                             "m": pa.array(np.ones(b.num_rows, np.int64))}),
         batch_format="pyarrow")
 
-    closed = (wedge_rows.union(edge_rows)
-              .groupby("e")
-              .aggregate(Sum("n", alias_name="n"),
-                         Sum("m", alias_name="m")))
+    closed = exact_fold(wedge_rows.union(edge_rows), "e",
+                        Sum("n", alias_name="n"),
+                        Sum("m", alias_name="m"))
     triangles = (closed.map_batches(
         lambda b: pa.table({"t": pc.multiply(
             b["n"], pc.cast(pc.greater(b["m"], 0), pa.int64()))}),
@@ -1195,9 +1212,14 @@ def part_khop(sf_dir: str, *, seed: int = 42, k: int = 3,
                          "dst": pa.array(e & 0xFFFFFFFF, pa.int64()),
                          "hop": pa.nulls(len(e), pa.int64())})
 
-    edges = (ds.groupby("l_orderkey").map_groups(per_order,
-                                                 batch_format="pandas")
-             .groupby("e").aggregate(Count(alias_name="_n"))
+    from ..stages.joins import exact_fold, exact_map_groups
+
+    # exact_fold everywhere below a map_groups: its schema-less empty
+    # blocks otherwise float64-poison sort-aggregate partials, corrupting
+    # packed int64 keys above 2**53 (see exact_fold's docstring)
+    edges = (exact_fold(ds.groupby("l_orderkey")
+                        .map_groups(per_order, batch_format="pandas"),
+                        "e", Count(alias_name="_n"))
              .drop_columns(["_n"])
              .map_batches(unpack, batch_format="pyarrow")
              .materialize())
@@ -1205,15 +1227,30 @@ def part_khop(sf_dir: str, *, seed: int = 42, k: int = 3,
     dist = rd.from_items([{"node": seed, "hop": 0}]).map_batches(
         lambda b: b, batch_format="pyarrow").materialize()
 
-    def expand(g: pd.DataFrame) -> pd.DataFrame:
+    def expand(g: pa.Table) -> pa.Table:
         """One bucket: merge frontier rows onto edge rows by src; propose
-        (dst, hop+1)."""
-        fr = g[g["dst"].isna()][["src", "hop"]]
-        ed = g[g["hop"].isna()][["src", "dst"]]
-        m = ed.merge(fr, on="src", how="inner")
-        return pd.DataFrame({
-            "node": m["dst"].to_numpy(dtype="int64"),
-            "hop": (m["hop"] + 1).to_numpy(dtype="int64"),
+        (dst, hop+1).
+
+        ARROW in/out with the side split done in Arrow BEFORE any pandas
+        conversion: the tagged union pads dst/hop with nulls, and pandas
+        would coerce those int64 columns to float64, corrupting packed
+        node ids above 2**53 (part ids past 2**21, ~sf10) — the
+        connected_components bug class (VERDICT r4 #2).  The per-bucket
+        merge itself runs on null-free numpy views, which pandas keeps
+        exact int64."""
+        fr = g.filter(pc.is_null(g["dst"]))
+        ed = g.filter(pc.is_null(g["hop"]))
+        m = pd.DataFrame({
+            "src": ed["src"].to_numpy(zero_copy_only=False),
+            "dst": ed["dst"].to_numpy(zero_copy_only=False),
+        }).merge(pd.DataFrame({
+            "src": fr["src"].to_numpy(zero_copy_only=False),
+            "hop": fr["hop"].to_numpy(zero_copy_only=False),
+        }), on="src", how="inner")
+        return pa.table({
+            "node": pa.array(m["dst"].to_numpy(dtype="int64"), pa.int64()),
+            "hop": pa.array((m["hop"] + 1).to_numpy(dtype="int64"),
+                            pa.int64()),
         })
 
     for h in range(1, k + 1):
@@ -1226,12 +1263,11 @@ def part_khop(sf_dir: str, *, seed: int = 42, k: int = 3,
                 "dst": pa.nulls(f.num_rows, pa.int64()),
                 "hop": f["hop"]}))(b.filter(pc.equal(b["hop"], lvl))),
             batch_format="pyarrow")
-        proposals = (edges.union(frontier)
-                     .groupby("part").map_groups(expand,
-                                                 batch_format="pandas")
+        proposals = (exact_map_groups(edges.union(frontier), "part",
+                                      expand)
                      .map_batches(lambda b: b, batch_format="pyarrow"))
-        dist = (proposals.union(dist)
-                .groupby("node").aggregate(Min("hop", alias_name="hop"))
+        dist = (exact_fold(proposals.union(dist), "node",
+                           Min("hop", alias_name="hop"))
                 .map_batches(lambda b: b, batch_format="pyarrow")
                 .materialize())
 
@@ -1279,10 +1315,14 @@ def assoc_rules(sf_dir: str, *, top_n: int = 20):
                                     np.ones(len(pair), np.int8)]),
         })
 
-    counts = (ds.groupby("l_orderkey").map_groups(per_order,
-                                                  batch_format="pandas")
-              .map_batches(lambda b: b, batch_format="pyarrow")
-              .groupby(["e", "kind"]).aggregate(Count(alias_name="n"))
+    from ..stages.joins import exact_fold
+
+    # exact_fold below every map_groups — schema-less empty blocks would
+    # float64-poison the fold's partials and corrupt packed int64 keys
+    # above 2**53 (see exact_fold's docstring)
+    counts = (exact_fold(ds.groupby("l_orderkey")
+                         .map_groups(per_order, batch_format="pandas"),
+                         ["e", "kind"], Count(alias_name="n"))
               .map_batches(lambda b: b, batch_format="pyarrow")
               .materialize())
 
@@ -1313,24 +1353,30 @@ def assoc_rules(sf_dir: str, *, top_n: int = 20):
     tagged = (counts.map_batches(endpoint_rows, batch_format="pyarrow")
               .union(counts.map_batches(item_rows, batch_format="pyarrow")))
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        cnt = int(g.loc[g["pos"] == -1, "cnt"].sum())
-        ed = g[g["pos"] >= 0]
-        is_a = (ed["pos"] == 0).to_numpy()
-        return pd.DataFrame({
-            "e": ed["e"].astype("int64"),
-            "n_pair": ed["np"].astype("int64"),
-            "n_a": np.where(is_a, cnt, 0).astype("int64"),
-            "n_b": np.where(is_a, 0, cnt).astype("int64"),
+    def attach(g: pa.Table) -> pa.Table:
+        # ARROW in/out: item rows pad ``e`` with nulls, so a pandas group
+        # would coerce the packed lo<<32|hi int64 keys to float64 and
+        # corrupt them above 2**53 (part ids past 2**21, ~sf10) — split
+        # the tagged sides in Arrow (VERDICT r4 #2 bug class)
+        item = g.filter(pc.equal(g["pos"], -1))
+        cnt = int(pc.sum(item["cnt"]).as_py() or 0)
+        ed = g.filter(pc.greater_equal(g["pos"], 0))
+        is_a = pc.equal(ed["pos"], 0).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "e": ed["e"],
+            "n_pair": ed["np"],
+            "n_a": pa.array(np.where(is_a, cnt, 0).astype(np.int64)),
+            "n_b": pa.array(np.where(is_a, 0, cnt).astype(np.int64)),
         })
 
-    per_edge = (tagged.groupby("node").map_groups(attach,
-                                                  batch_format="pandas")
-                .map_batches(lambda b: b, batch_format="pyarrow")
-                .groupby("e")
-                .aggregate(Sum("n_pair", alias_name="n_pair"),
-                           Sum("n_a", alias_name="n_a"),
-                           Sum("n_b", alias_name="n_b")))
+    from ..stages.joins import exact_map_groups
+
+    per_edge = exact_fold(
+        exact_map_groups(tagged, "node", attach),
+        "e",
+        Sum("n_pair", alias_name="n_pair"),
+        Sum("n_a", alias_name="n_a"),
+        Sum("n_b", alias_name="n_b"))
 
     def finalize(b: pa.Table) -> pa.Table:
         e = b["e"].to_numpy(zero_copy_only=False)
@@ -3343,15 +3389,21 @@ def part_kcore(sf_dir: str, *, k: int = 68, n_rounds: int = 8,
             "u": pa.array(np.concatenate([a, bb]), pa.int64()),
             "v": pa.array(np.concatenate([bb, a]), pa.int64())})
 
-    sym = (ds.groupby("l_orderkey").map_groups(per_order,
-                                               batch_format="pandas")
-           .groupby("e").aggregate(Count(alias_name="_n"))
+    from ..stages.joins import exact_fold
+
+    # exact_fold below the map_groups: its schema-less empty blocks would
+    # float64-poison the fold and crash symmetrize's int shifts once part
+    # ids pack past 2**53 (see exact_fold's docstring)
+    sym = (exact_fold(ds.groupby("l_orderkey")
+                      .map_groups(per_order, batch_format="pandas"),
+                      "e", Count(alias_name="_n"))
            .drop_columns(["_n"])
            .map_batches(symmetrize, batch_format="pyarrow")
            .materialize())
 
     for _ in range(n_rounds):
-        deg = sym.groupby("u").aggregate(Count(alias_name="deg"))
+        deg = exact_fold(sym, "u", Count(alias_name="deg"),
+                         nparts=nparts)
         surv = (deg.map_batches(
             lambda b: b.filter(pc.greater_equal(b["deg"], k))
             .select(["u"]), batch_format="pyarrow"))
@@ -3366,7 +3418,8 @@ def part_kcore(sf_dir: str, *, k: int = 68, n_rounds: int = 8,
                               num_partitions=nparts)
                .repartition(nparts).materialize())
 
-    out = (sym.groupby("u").aggregate(Count(alias_name="degree"))
+    out = (exact_fold(sym, "u", Count(alias_name="degree"),
+                      nparts=nparts)
            .to_pandas())
     out = out.rename(columns={"u": "part"}).astype(
         {"part": "int64", "degree": "int64"})
@@ -3414,14 +3467,22 @@ def part_assortativity(sf_dir: str, *, num_partitions: int | None = None):
             "u": pa.array(np.concatenate([a, bb]), pa.int64()),
             "v": pa.array(np.concatenate([bb, a]), pa.int64())})
 
-    sym = (ds.groupby("l_orderkey").map_groups(per_order,
-                                               batch_format="pandas")
-           .groupby("e").aggregate(Count(alias_name="_n"))
+    from ..stages.joins import exact_fold
+
+    # exact_fold below the map_groups: its schema-less empty blocks would
+    # float64-poison the fold and crash symmetrize's int shifts once part
+    # ids pack past 2**53 (see exact_fold's docstring)
+    sym = (exact_fold(ds.groupby("l_orderkey")
+                      .map_groups(per_order, batch_format="pandas"),
+                      "e", Count(alias_name="_n"))
            .drop_columns(["_n"])
            .map_batches(symmetrize, batch_format="pyarrow")
            .materialize())
 
-    deg_u = sym.groupby("u").aggregate(Count(alias_name="du"))
+    # exact_fold again: the sym fold's own aggregate can emit fresh
+    # schema-less empties, and a float64-drifted ``u`` would break the
+    # lookup join's integer-hash co-location silently
+    deg_u = exact_fold(sym, "u", Count(alias_name="du"), nparts=nparts)
     deg_v = deg_u.map_batches(
         lambda b: pa.table({"v": b["u"], "dv": b["du"]}),
         batch_format="pyarrow")

@@ -693,8 +693,16 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
         proposals = (tagged.groupby("part")
                      .map_groups(attach, batch_format="pyarrow")
                      .map_batches(lambda b: b, batch_format="pyarrow"))
-        labels = (proposals.union(labels)
-                  .groupby("src").aggregate(Min("label", alias_name="label"))
+        # exact_fold (repartition → groupby): map_groups tasks whose sort
+        # partition held no groups emit SCHEMA-LESS empty pandas blocks
+        # that Ray's sort-aggregate partial merge turns into float64
+        # columns, upcasting the int64 src key — on 63-bit md5 vertex ids
+        # that is the exact phantom-vertex corruption r4 fixed in the
+        # attach, resurfacing one stage later (see joins.exact_fold)
+        from .joins import exact_fold
+        labels = (exact_fold(proposals.union(labels), "src",
+                             Min("label", alias_name="label"),
+                             nparts=num_partitions)
                   .map_batches(lambda b: b, batch_format="pyarrow")
                   .materialize())
         # Ray's hash aggregate emits ~one block per input block, and the

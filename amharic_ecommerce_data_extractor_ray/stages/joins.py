@@ -24,6 +24,103 @@ import pyarrow as pa
 _SIDE = "_asof_side"
 
 
+def exact_fold(ds, key, *aggs, nparts: int = 8):
+    """``ds.groupby(key).aggregate(*aggs)`` with the aggregate's reduce
+    pinned to ARROW blocks — the REQUIRED fold shape whenever ``ds``
+    descends from a ``map_groups``/aggregate output and the key (or any
+    payload) is int64 that can exceed 2**53.
+
+    Why (VERDICT r4 #2 bug class, second instance, found in round 5):
+    a ``map_groups`` or aggregate task whose sort partition holds no
+    groups emits a SCHEMA-LESS empty pandas block (0 columns — Ray's sort
+    machinery, not the UDF, builds it, so no identity ``map_batches``
+    normalizer can fix it: Ray never calls UDFs on empty blocks).  Ray's
+    sort-aggregate reduce then normalizes mixed partials toward the
+    MAJORITY block type (``Aggregate(batch_format="default")`` →
+    ``_derive_target_block_type`` → None → majority vote, ray 2.49
+    ``aggregate_task_spec.py:86``); with many empty partitions the empty
+    pandas partials win, the real Arrow partials round-trip through
+    pandas, and the schema-less empties' invented float64 columns upcast
+    the int64 key — silently corrupting values above 2**53 (reproduced:
+    part_triangles' packed lo<<32|hi edge keys with part ids past 2**21,
+    ~sf10; the same poison DRIFTS dtypes below 2**53, which breaks the
+    integer-hash branch of downstream bucket joins).  Constructing the
+    ``Aggregate`` logical op with ``batch_format="arrow"`` pins the
+    normalization target to Arrow, where empty blocks are dropped before
+    the row-merge and every dtype is preserved exactly — verified for
+    chained folds whose INPUT already carries poisoned empties.
+
+    Falls back to a ``repartition(nparts)``-fronted pandas-safe fold if
+    the (public-source, version-coupled) logical-op constructor moves —
+    exact only for null-free inputs, which every attach/partial emitted
+    upstream of a fold in this repo is by construction."""
+    try:
+        from ray.data._internal.logical.interfaces import LogicalPlan
+        from ray.data._internal.logical.operators.all_to_all_operator import (
+            Aggregate)
+        from ray.data.dataset import Dataset
+
+        plan = ds._plan.copy()
+        # NOTE: the exchange target compares against BatchFormat.ARROW,
+        # whose string value is "arrow" (NOT the user-facing "pyarrow")
+        op = Aggregate(ds._logical_plan.dag, key=key, aggs=list(aggs),
+                       batch_format="arrow")
+        return Dataset(plan, LogicalPlan(op, ds.context))
+    except (ImportError, AttributeError, TypeError):
+        return ds.repartition(nparts).groupby(key).aggregate(*aggs)
+
+
+def exact_map_groups(ds, keys, fn, *, batch_format: str = "pyarrow"):
+    """``ds.groupby(keys).map_groups(fn, batch_format=...)`` with the
+    underlying SORT shuffle pinned to ARROW blocks — the map_groups
+    counterpart of :func:`exact_fold`, REQUIRED whenever the grouped input
+    is a tagged union whose null-padded int64 columns can exceed 2**53.
+
+    Ray's ``map_groups`` co-locates groups via a sort whose reduce step
+    normalizes mixed block types toward the MAJORITY type
+    (``Sort(batch_format="default")`` → target None, ray 2.49
+    ``sort_task_spec.py:155``).  Upstream stages leak SCHEMA-LESS empty
+    pandas blocks (any map task whose input block was empty — Ray skips
+    the UDF — and any sort/aggregate partition that held no rows), so a
+    sort partition where those empties outnumber the Arrow blocks merges
+    through PANDAS — coercing every null-bearing int64 column (by
+    construction, both pads of a tagged union) to float64 and silently
+    corrupting ids above 2**53 BEFORE the group UDF ever runs.  Pinning
+    the sort's ``batch_format`` to Arrow makes the merge drop empty blocks
+    and keep exact dtypes (ray 2.49 ``arrow_block.py:403``).
+
+    Falls back to the stock ``map_groups`` if the (public-source,
+    version-coupled) internals move."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    try:
+        from ray.data._internal.logical.interfaces import LogicalPlan
+        from ray.data._internal.logical.operators.all_to_all_operator import (
+            Sort)
+        from ray.data._internal.planner.exchange.sort_task_spec import (
+            SortKey)
+        from ray.data.dataset import Dataset
+        from ray.data.grouped_data import _apply_udf_to_groups
+
+        plan = ds._plan.copy()
+        # "arrow" = BatchFormat.ARROW (the exchange-layer spelling)
+        op = Sort(ds._logical_plan.dag, sort_key=SortKey(key_list),
+                  batch_format="arrow")
+        sorted_ds = Dataset(plan, LogicalPlan(op, ds.context))
+    except (ImportError, AttributeError, TypeError):
+        return ds.groupby(keys).map_groups(fn, batch_format=batch_format)
+
+    def wrapped_fn(batch, *args, **kwargs):
+        yield from _apply_udf_to_groups(fn, batch, key_list, batch_format,
+                                        *args, **kwargs)
+
+    wrapped_fn.__name__ = getattr(fn, "__name__", "exact_map_groups")
+    return sorted_ds._map_batches_without_batch_size_validation(
+        wrapped_fn, batch_size=None, batch_format=None,
+        zero_copy_batch=False, compute=None, fn_args=None, fn_kwargs=None,
+        fn_constructor_args=None, fn_constructor_kwargs=None, num_cpus=None,
+        num_gpus=None, memory=None, concurrency=None, ray_remote_args_fn=None)
+
+
 def arrow_inner_merge(left: pa.Table, right: pa.Table, on: str) -> pa.Table:
     """Inner merge of two Arrow tables on one key column WITHOUT a pandas
     round-trip — the shared reduce-side attach helper (VERDICT r4 #2).
@@ -117,27 +214,42 @@ def asof_join(left_ds, right_ds, *, by: str, on: str,
 
     on_r = on + suffix
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g[_SIDE] == 1]
-        right = g[g[_SIDE] == 0]
-        out = left[list(left_names)].copy()
-        if right.empty:
-            for c in right_renamed.values():
-                out[c] = None
-            return out
-        right = right.sort_values(list(right_renamed.values()))
-        r_on = right[on_r].to_numpy()
-        idx = np.searchsorted(r_on, left[on].to_numpy(), side="right") - 1
-        matched = idx >= 0
-        for c in right_renamed.values():
-            vals = right[c].to_numpy()
-            col = np.where(matched, vals[np.clip(idx, 0, None)], None)
-            out[c] = col
-        return out
+    def merge(g: pa.Table) -> pa.Table:
+        """One key's rows, ARROW in/out: the tagged union pads each side's
+        missing columns with typed nulls, and a pandas group conversion
+        would coerce any null-bearing int64 payload to float64 — silently
+        corrupting values above 2**53 (the connected_components bug class,
+        VERDICT r4 #2).  Splitting the sides in Arrow first keeps every
+        dtype exact; the backward-match itself is one searchsorted."""
+        import pyarrow.compute as pc
 
-    return (left_tagged.union(right_tagged)
-            .groupby(by)
-            .map_groups(merge, batch_format="pandas"))
+        left = g.filter(pc.equal(g[_SIDE], 1))
+        right = g.filter(pc.equal(g[_SIDE], 0))
+        out_cols = {c: left[c] for c in left_names}
+        if right.num_rows == 0:
+            for c in right_renamed.values():
+                out_cols[c] = pa.nulls(left.num_rows, types[c])
+            return pa.table(out_cols)
+        order = pc.sort_indices(
+            right, sort_keys=[(c, "ascending")
+                              for c in right_renamed.values()])
+        right = right.take(order)
+        r_on = right[on_r].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(r_on, left[on].to_numpy(zero_copy_only=False),
+                              side="right") - 1
+        take_idx = pa.array(
+            np.where(idx >= 0, np.clip(idx, 0, None), -1), pa.int64())
+        take_idx = pc.if_else(pc.greater_equal(take_idx, 0), take_idx,
+                              pa.scalar(None, pa.int64()))
+        for c in right_renamed.values():
+            col = right[c].take(take_idx)
+            out_cols[c] = (col.combine_chunks()
+                           if isinstance(col, pa.ChunkedArray) else col)
+        return pa.table(out_cols)
+
+    # exact_map_groups: the union's null-padded int64 payloads must not
+    # ride through a pandas-majority sort merge (see its docstring)
+    return exact_map_groups(left_tagged.union(right_tagged), by, merge)
 
 
 def hash_anti_join(left_ds, right_ds, *, on: str, num_partitions: int = 16):
@@ -247,8 +359,10 @@ def _hash_filter_join(left_ds, right_ds, *, on: str, num_partitions: int,
     tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
               .union(right_ds.select_columns([on])
                      .map_batches(tag_right, batch_format="pyarrow")))
-    return tagged.groupby("_part").map_groups(bucket_filter,
-                                              batch_format="pyarrow")
+    # exact_map_groups: left payload columns are null-padded on right rows,
+    # so a pandas-majority sort merge would float64-corrupt int64 payloads
+    # above 2**53 before bucket_filter runs (see its docstring)
+    return exact_map_groups(tagged, "_part", bucket_filter)
 
 
 def build_bloom(ds, *, on: str, m_bits: int = 1 << 20,
@@ -410,10 +524,12 @@ def upsert_merge(base_ds, delta_ds, *, key: str, version_col: str,
         return (g.drop_duplicates(subset=[key], keep="last")
                 .drop(columns=["_part"]))
 
-    return (base_ds.union(delta_ds)
-            .map_batches(tag, batch_format="pyarrow")
-            .groupby("_part")
-            .map_groups(resolve, batch_format="pandas"))
+    # exact_map_groups pins the sort merge to Arrow (dtype drift guard);
+    # the per-group pandas conversion is exact because the union is
+    # null-free by contract (shared schema, no padding)
+    return exact_map_groups(
+        base_ds.union(delta_ds).map_batches(tag, batch_format="pyarrow"),
+        "_part", resolve, batch_format="pandas")
 
 
 def _arrow_types(ds) -> dict[str, pa.DataType]:
@@ -498,8 +614,10 @@ def hash_lookup_join(left_ds, right_ds, *, on: str,
     tagged = (left_ds.map_batches(tag_left, batch_format="pyarrow")
               .union(right_ds.map_batches(tag_right,
                                           batch_format="pyarrow")))
-    return (tagged.groupby("_part")
-            .map_groups(bucket_merge, batch_format="pyarrow")
+    # exact_map_groups: the tagged union pads both sides' columns with
+    # nulls, so a pandas-majority sort merge would float64-corrupt int64
+    # keys/payloads above 2**53 before bucket_merge's cast can see them
+    return (exact_map_groups(tagged, "_part", bucket_merge)
             # pin blocks to Arrow: group-less partitions emit empty PANDAS
             # blocks that break later arrow-only stages (see
             # dedup.connected_components)

@@ -287,3 +287,43 @@ def test_best_survivor_big_cluster_ids_exact(ray_session):
     assert [int(d) for d in out["doc_id"]] == [11, 12]
     assert [int(q) for q in out["n_chars"]] == [9, 7]
     assert [int(n) for n in out["n_members"]] == [2, 1]
+
+
+def test_asof_join_big_int64_payload_exact(ray_session):
+    """Regression (VERDICT r4 #2 class): the as-of merge previously ran as
+    a pandas group over the tagged union, coercing null-padded int64
+    payloads to float64 (>2**53 values corrupt).  Arrow-split version must
+    carry them exactly, and pad unmatched left rows with typed nulls."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.joins import asof_join
+
+    big = (1 << 59) + 3
+    left = rd.from_arrow(pa.table({
+        "uid": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([5, 50, 5], pa.int64()),
+        "lpay": pa.array([big, big + 2, None], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "uid": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([10, 40], pa.int64()),
+        "rpay": pa.array([big + 1, None], pa.int64()),
+    }))
+    out = (asof_join(left, right, by="uid", on="ts", right_cols=["rpay"])
+           .sort(["uid", "ts"]).take_batch(10, batch_format="pyarrow"))
+    assert out["lpay"].to_pylist() == [big, big + 2, None]
+    # uid=1 ts=5 precedes every right row -> null; ts=50 matches ts=40 row
+    # (rpay null); uid=2 has no right rows at all -> typed null
+    assert out["rpay_r"].to_pylist() == [None, None, None]
+    assert out["ts_r"].to_pylist() == [None, 40, None]
+
+    # a matched non-null big payload round-trips exactly
+    right2 = rd.from_arrow(pa.table({
+        "uid": pa.array([1], pa.int64()),
+        "ts": pa.array([10], pa.int64()),
+        "rpay": pa.array([big + 7], pa.int64()),
+    }))
+    out2 = (asof_join(left, right2, by="uid", on="ts", right_cols=["rpay"])
+            .sort(["uid", "ts"]).take_batch(10, batch_format="pyarrow"))
+    assert out2["rpay_r"].to_pylist() == [None, big + 7, None]

@@ -254,3 +254,37 @@ def test_kg_edge_churn_consistency(ray_session):
         else:
             assert r["w_early"] > 0 and r["w_late"] > 0
     assert set(churn["status"]) == {"added", "removed", "retained"}
+
+
+def test_graph_ops_big_packed_ids_exact(ray_session, tmp_path):
+    """Regression (VERDICT r4 #2 class): part ids above 2**21 pack into
+    lo<<32|hi edge keys above 2**53 — the old pandas attach/expand groups
+    coerced the null-padded int64 key column to float64 and corrupted them
+    (reachable at ~sf10 where partkeys pass 2 million).  The triangle
+    count, k-hop frontier and association rules must all stay exact."""
+    P = 3_000_000                          # (P << 32) | x ≈ 1.29e16 > 2**53
+    tbl = pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "l_partkey": pa.array([P, P + 1, P + 2, P, P + 3], pa.int64()),
+    })
+    pq.write_table(tbl, tmp_path / "lineitem.parquet")
+
+    from amharic_ecommerce_data_extractor_ray.pipelines.relational import (
+        assoc_rules, part_khop, part_triangles)
+
+    tri = part_triangles(str(tmp_path))
+    assert int(tri["triangles"].iloc[0]) == 1   # {P, P+1, P+2}
+
+    kh = part_khop(str(tmp_path), seed=P, k=2).set_index("hop")
+    assert int(kh.loc[0, "n_nodes"]) == 1       # the seed
+    assert int(kh.loc[1, "n_nodes"]) == 3       # P+1, P+2, P+3
+    assert len(kh) == 2                         # nothing new at hop 2
+
+    ar = assoc_rules(str(tmp_path))
+    pairs = set(zip(ar["part_a"].astype("int64"),
+                    ar["part_b"].astype("int64")))
+    # exact unpacked endpoints — float64 round-off would shift these by ±1
+    assert pairs == {(P, P + 1), (P, P + 2), (P + 1, P + 2), (P, P + 3)}
+    both = ar.set_index(["part_a", "part_b"])
+    assert int(both.loc[(P, P + 3), "n_a"]) == 2      # P appears in 2 orders
+    assert int(both.loc[(P, P + 3), "n_b"]) == 1
