@@ -46,7 +46,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
-def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame,
+            float_atol: float = 1e-9) -> list[str]:
     problems = []
     if len(ray_df) != len(sql_df):
         problems.append(f"rowcount ray={len(ray_df)} sql={len(sql_df)}")
@@ -61,7 +62,8 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
             if str(av.dtype).startswith("float") or str(bv.dtype).startswith("float"):
                 av = pd.to_numeric(av, errors="coerce")
                 bv = pd.to_numeric(bv, errors="coerce")
-                bad = ~((av.isna() & bv.isna()) | (abs(av - bv) <= 1e-9))
+                bad = ~((av.isna() & bv.isna())
+                        | (abs(av - bv) <= float_atol))
             else:
                 avs = av.map(lambda v: "" if v is None or (isinstance(v, float) and math.isnan(v)) else str(v))
                 bvs = bv.map(lambda v: "" if v is None or (isinstance(v, float) and math.isnan(v)) else str(v))
@@ -97,6 +99,9 @@ def main() -> None:
 
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
+    from amharic_ecommerce_data_extractor_ray.np_oracles import (
+        numpy_oracles)
+    np_oracles = numpy_oracles()
     n_ok = n_fail = 0
     report: dict = {}
     for name, fn in qs.items():
@@ -111,6 +116,26 @@ def main() -> None:
             n_fail += 1
             continue
         if name not in sqls:
+            # non-SQL-expressible queries: value-compare against the
+            # committed single-process numpy oracle (VERDICT r4 #4) —
+            # wider float atol because both sides round to 1e-6 but fold
+            # sums in different orders (see np_oracles module docstring)
+            if name in np_oracles:
+                expected = np_oracles[name](sf_dir)
+                problems = compare(name, ray_df, expected, float_atol=2e-6)
+                if problems:
+                    print(f"FAIL {name} (numpy oracle): "
+                          + "; ".join(problems))
+                    report[name] = {"status": "fail", "rows": len(ray_df),
+                                    "oracle": "numpy",
+                                    "problems": problems}
+                    n_fail += 1
+                else:
+                    print(f"OK   {name}: rows={len(ray_df)} (numpy oracle)")
+                    report[name] = {"status": "ok", "rows": len(ray_df),
+                                    "oracle": "numpy"}
+                    n_ok += 1
+                continue
             print(f"ok   {name}: rows={len(ray_df)} (no oracle — rows-only)")
             report[name] = {"status": "ok", "rows": len(ray_df),
                             "oracle": False}
