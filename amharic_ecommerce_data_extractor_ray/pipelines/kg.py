@@ -18,6 +18,7 @@ against.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -843,17 +844,31 @@ def kg_random_walks(sf_dir: str, *, walks_per_node: int = 2,
 
     for s in range(1, walk_len + 1):
         def pack_key(b: pa.Table, _s=s) -> pa.Table:
+            # md5 keying stays a Python loop (no vectorized md5 kernel
+            # exists; the SQL oracle mirrors md5 exactly), but the ordered
+            # pack itself is built with Arrow kernels: zero-padded hash ++
+            # "|" ++ v, fixed offset — no per-row f-string
             wids = b["walk_id"].to_pylist()
             vs = b["v"].to_pylist()
-            packs = [f"{_stable_u64(f'{w}:{_s}:{v}'):020d}|{v}"
-                     for w, v in zip(wids, vs)]
-            return pa.table({"walk_id": b["walk_id"],
-                             "pack": pa.array(packs, pa.string())})
+            h = np.fromiter(
+                (_stable_u64(f"{w}:{_s}:{v}") for w, v in zip(wids, vs)),
+                dtype=np.uint64, count=len(wids))
+            hstr = pc.utf8_lpad(pa.array(h.astype("U20")), 20, "0")
+            v_arr = b["v"].combine_chunks() if isinstance(
+                b["v"], pa.ChunkedArray) else b["v"]
+            return pa.table({
+                "walk_id": b["walk_id"],
+                "pack": pc.binary_join_element_wise(hstr, v_arr, "|")})
 
         def unpack(b: pa.Table) -> pa.Table:
-            curs = [p.split("|", 1)[1] for p in b["pack"].to_pylist()]
-            return pa.table({"walk_id": b["walk_id"],
-                             "u": pa.array(curs, pa.string())})
+            # hash pack is fixed-width (20 digits + "|") → Arrow slice,
+            # no per-row split
+            return pa.table({
+                "walk_id": b["walk_id"],
+                "u": pc.utf8_slice_codeunits(
+                    b["pack"].combine_chunks() if isinstance(
+                        b["pack"], pa.ChunkedArray) else b["pack"],
+                    start=21, stop=2 ** 30)})
 
         state = (sym_ds.join(state, join_type="inner",
                              num_partitions=nparts, on=("u",))
