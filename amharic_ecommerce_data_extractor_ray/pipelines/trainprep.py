@@ -281,7 +281,9 @@ def hf_trainer_shim(train_ds, eval_ds, vocab: list[str], *,
     prepared Datasets and hands them to an HF Trainer
     (ner_trainer.py:178-246).  transformers (and its pretrained checkpoint
     download) are unavailable offline — use ``train_token_classifier`` /
-    ``train_token_classifier_torch`` for a real loop over the same tables."""
+    ``train_token_classifier_torch`` for a real loop over the same tables,
+    or ``hf_finetune_token_classifier`` below for the full HF recipe over
+    raw (tokens, labels) sentences (``make hf-smoke``)."""
     try:
         import transformers  # noqa: F401
         import torch  # noqa: F401
@@ -291,4 +293,83 @@ def hf_trainer_shim(train_ds, eval_ds, vocab: list[str], *,
             "prepare_training_data output is trainer-ready (input_ids + "
             "labels_aligned with -100 masking) — see train_token_classifier"
         ) from exc
-    raise NotImplementedError("HF Trainer wiring not implemented here")
+    raise NotImplementedError(
+        "prepare_training_data uses the repo's hash subword tokenizer, "
+        "whose input_ids are incompatible with an HF checkpoint's "
+        "embedding vocabulary; fine-tune from raw sentences via "
+        "hf_finetune_token_classifier instead")
+
+
+def hf_finetune_token_classifier(sentences_ds, label_vocab: list[str], *,
+                                 model_dir: str, out_dir: str,
+                                 epochs: int = 1, batch_size: int = 8,
+                                 lr: float = 5e-5, max_length: int = 64,
+                                 max_sentences: int | None = None,
+                                 seed: int = 42) -> dict:
+    """REAL HF fine-tune of a token-classification model over a labeled
+    sentence Dataset (A2, ner_trainer.py:68-246 semantics): HF-tokenize with
+    ``is_split_into_words=True``, align labels onto first subword pieces
+    (-100 elsewhere — the standard public recipe), run ``Trainer`` for
+    ``epochs``, save model+tokenizer to ``out_dir``.
+
+    Contract: ``sentences_ds`` rows carry (tokens: list<str>, labels:
+    list<str>) and the TABLE IS SMALL (a fine-tuning set, not the corpus) —
+    it is collected driver-side; the corpus-scale halves of A2 (labeling,
+    prep, inference) stay distributed.  Optional-import guarded: raises the
+    documented NotImplementedError without torch/transformers (exercised by
+    ``make hf-smoke``, which skips cleanly in this sandbox)."""
+    try:
+        import torch
+        import transformers
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformers/torch not available in this environment; "
+            "prepare_training_data output is trainer-ready — see "
+            "train_token_classifier") from exc
+
+    rows = (sentences_ds.take(max_sentences) if max_sentences
+            else sentences_ds.take_all())
+    sents = [list(r["tokens"]) for r in rows if len(r["tokens"])]
+    labs = [list(r["labels"]) for r in rows if len(r["tokens"])]
+
+    label2id = {l: i for i, l in enumerate(label_vocab)}
+    tok = transformers.AutoTokenizer.from_pretrained(model_dir)
+    model = transformers.AutoModelForTokenClassification.from_pretrained(
+        model_dir, num_labels=len(label_vocab),
+        id2label=dict(enumerate(label_vocab)), label2id=label2id,
+        ignore_mismatched_sizes=True)
+
+    enc = tok(sents, is_split_into_words=True, truncation=True,
+              padding=True, max_length=max_length)
+    aligned = []
+    for i, ls in enumerate(labs):
+        word_ids = enc.word_ids(batch_index=i)
+        prev, row = None, []
+        for wid in word_ids:
+            if wid is None or wid == prev:
+                row.append(-100)
+            else:
+                row.append(label2id.get(ls[wid], label2id.get("O", 0)))
+            prev = wid
+        aligned.append(row)
+
+    class _DS(torch.utils.data.Dataset):
+        def __len__(self):
+            return len(sents)
+
+        def __getitem__(self, i):
+            item = {k: torch.tensor(v[i]) for k, v in enc.items()}
+            item["labels"] = torch.tensor(aligned[i])
+            return item
+
+    args = transformers.TrainingArguments(
+        output_dir=out_dir, num_train_epochs=epochs,
+        per_device_train_batch_size=batch_size, learning_rate=lr,
+        seed=seed, report_to=[], save_strategy="no", logging_strategy="no")
+    trainer = transformers.Trainer(model=model, args=args,
+                                   train_dataset=_DS())
+    result = trainer.train()
+    trainer.save_model(out_dir)
+    tok.save_pretrained(out_dir)
+    return {"train_loss": float(result.training_loss),
+            "n_sentences": len(sents), "out_dir": out_dir}

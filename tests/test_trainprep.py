@@ -132,3 +132,20 @@ def test_train_token_classifier_torch_matches_numpy(ray_session):
     a = train_token_classifier(train, test, vocab, epochs=2)
     b = train_token_classifier_torch(train, test, vocab, epochs=2)
     assert abs(a["eval_acc"][-1] - b["eval_acc"][-1]) < 0.05
+
+
+def test_hf_finetune_raises_cleanly_without_torch():
+    """The full HF fine-tune entry (make hf-smoke) must fail with the
+    documented NotImplementedError where torch/transformers are absent."""
+    pytest_mod = pytest
+    try:
+        import transformers  # noqa: F401
+        import torch  # noqa: F401
+        pytest_mod.skip("torch present — guard not reachable")
+    except ImportError:
+        pass
+    from amharic_ecommerce_data_extractor_ray.pipelines.trainprep import (
+        hf_finetune_token_classifier)
+
+    with pytest.raises(NotImplementedError, match="trainer-ready"):
+        hf_finetune_token_classifier(None, ["O"], model_dir="x", out_dir="y")
