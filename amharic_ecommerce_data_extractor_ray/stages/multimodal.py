@@ -1,10 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video payloads are ``binary`` columns with metadata columns
-alongside.  The decode kernels themselves are STUBBED (no image/audio libs in
-this container — clearly marked below); everything Ray-side is real and
-tested: schema, actor-pool stage shape, small batch sizes for wide binary
-rows, deterministic fake feature extraction so the pipeline is verifiable.
+alongside.  Every stage carries TWO kernels behind one production layout:
+the deterministic fake (the oracle-checkable default — no media libraries
+in this container) and a REAL branch behind feature detection
+(``DecodeStage(kernel="pil")`` → Pillow image decode,
+``AudioWindowStage(kernel="wav")`` → stdlib PCM WAV decode — real even in
+this sandbox, ``FrameSampleStage(kernel="imageio")`` → imageio/cv2 frame
+extraction).  Absent libraries raise the documented NotImplementedError at
+actor init, never mid-batch.
 
 At scale: binary payloads dominate block size — stages here use small
 ``batch_size`` and ``batch_format="pyarrow"`` (binary columns round-trip
@@ -16,8 +20,6 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
-
-DECODED_LIBS_AVAILABLE = False  # PIL / cv2 / torchaudio absent in sandbox
 
 
 def attach_payload_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Table:
@@ -34,20 +36,42 @@ def attach_payload_batch(batch: pa.Table, *, text_col: str = "content") -> pa.Ta
 class DecodeStage:
     """Actor-pool decode/feature-extract stage.
 
-    Real decode requires PIL/libvips/ffmpeg — unavailable here, so
-    ``_decode`` is a deterministic fake: "width/height" derived from the
-    payload hash, "features" = first 4 bytes of sha256.  The actor signature,
-    per-actor init, batch shaping and output schema are the production
-    layout; swap ``_decode`` for a real kernel when the libs exist.
+    Two kernels behind one production layout (actor signature, per-actor
+    init-once, batch shaping, output schema):
+
+    - ``kernel="fake"`` (default, the oracle path): deterministic stand-in —
+      "width/height" derived from the payload hash, "features" = first 4
+      bytes of sha256.  Verifiable without image libraries.
+    - ``kernel="pil"``: REAL image decode via Pillow (feature-detected in
+      ``__init__``, raising the documented NotImplementedError when absent):
+      width/height from the decoded image, features = the 2×2 grayscale
+      thumbnail's pixels / 255 (deterministic).  Exercised by an
+      importorskip test over a stdlib-built PNG the day Pillow lands.
     """
 
-    def __init__(self):
-        # Per-actor init: in production, load the codec / model here once.
+    def __init__(self, kernel: str = "fake"):
+        # Per-actor init: codec / model loads happen here once.
         self._hasher = hashlib.sha256
+        self.kernel = kernel
+        if kernel == "pil":
+            try:
+                from PIL import Image
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "DecodeStage(kernel='pil') needs Pillow, which is not "
+                    "available in this environment; use the deterministic "
+                    "kernel='fake' path") from exc
+            self._pil_image = Image
 
     def _decode(self, payload: bytes) -> tuple[int, int, list[float]]:
-        if DECODED_LIBS_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError("real decode not wired in this sandbox")
+        if self.kernel == "pil":
+            import io
+
+            im = self._pil_image.open(io.BytesIO(payload))
+            width, height = im.size
+            thumb = im.convert("L").resize((2, 2))
+            feats = [p / 255.0 for p in thumb.getdata()]
+            return width, height, feats
         digest = self._hasher(payload).digest()
         width = 1 + digest[0] % 64
         height = 1 + digest[1] % 64
@@ -91,13 +115,43 @@ class FrameSampleStage:
     output layout (one row per SAMPLED FRAME via a flat explode — the shape a
     downstream embedding/train stage consumes)."""
 
-    def __init__(self, stride: int = 5):
+    def __init__(self, stride: int = 5, kernel: str = "fake"):
         self.stride = stride
         self._hasher = hashlib.sha256
+        self.kernel = kernel
+        if kernel == "imageio":
+            try:
+                import imageio  # noqa: F401
+            except ImportError:
+                try:
+                    import cv2  # noqa: F401
+                except ImportError as exc:
+                    raise NotImplementedError(
+                        "FrameSampleStage(kernel='imageio') needs imageio "
+                        "or cv2 (+ffmpeg), unavailable in this environment; "
+                        "use the deterministic kernel='fake' path") from exc
 
     def _frames(self, payload: bytes) -> list[tuple[int, list[float]]]:
-        if DECODED_LIBS_AVAILABLE:  # pragma: no cover
-            raise NotImplementedError("real frame extraction not wired here")
+        if self.kernel == "imageio":  # pragma: no cover - env-blocked here
+            import io
+
+            import imageio.v3 as iio
+            import numpy as np
+
+            frames = iio.imread(io.BytesIO(payload), index=None)
+            out = []
+            for fidx in range(0, len(frames), self.stride):
+                f = np.asarray(frames[fidx], dtype=np.float64)
+                # mean luma of the frame's 2×2 corner blocks — the same
+                # 4-float feature layout as the fake kernel
+                h, w = f.shape[0], f.shape[1]
+                g = f.mean(axis=-1) if f.ndim == 3 else f
+                out.append((fidx, [
+                    float(g[:h // 2, :w // 2].mean()) / 255.0,
+                    float(g[:h // 2, w // 2:].mean()) / 255.0,
+                    float(g[h // 2:, :w // 2].mean()) / 255.0,
+                    float(g[h // 2:, w // 2:].mean()) / 255.0]))
+            return out
         digest = self._hasher(payload).digest()
         n_frames = 1 + digest[2] % 120
         out = []
@@ -145,20 +199,48 @@ class AudioWindowStage:
     exact kernel shape a real int16 PCM buffer needs, so swapping in a
     real decoder changes one line."""
 
-    def __init__(self, *, window: int = 16, hop: int = 8):
+    def __init__(self, *, window: int = 16, hop: int = 8,
+                 kernel: str = "text"):
+        # kernel="text": the SQL-mirrorable sandbox decode (code points as
+        # samples).  kernel="wav": REAL PCM decode of a "payload" binary
+        # column via the stdlib wave module — works in this sandbox (no
+        # ffmpeg needed for PCM WAV) and is pinned by a real-asset test.
         self.window = window
         self.hop = hop
+        self.kernel = kernel
+
+    @staticmethod
+    def _wav_samples(payload: bytes):
+        import io
+        import wave
+
+        import numpy as np
+
+        with wave.open(io.BytesIO(payload)) as w:
+            assert w.getsampwidth() == 2, "16-bit PCM expected"
+            raw = w.readframes(w.getnframes())
+            x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+            if w.getnchannels() > 1:          # mixdown: mean of channels
+                x = x.reshape(-1, w.getnchannels()).mean(
+                    axis=1).astype(np.int64)
+            return x
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
 
-        texts = batch["content"].to_pylist()
+        if self.kernel == "wav":
+            sources = batch["payload"].to_pylist()
+        else:
+            sources = batch["content"].to_pylist()
         mids = batch["message_id"].to_pylist()
         out_mid, out_idx, out_start, out_energy = [], [], [], []
         W, H = self.window, self.hop
-        for mid, t in zip(mids, texts):
-            cp = np.frombuffer((t or "").encode("utf-32-le"),
-                               dtype=np.uint32).astype(np.int64)
+        for mid, t in zip(mids, sources):
+            if self.kernel == "wav":
+                cp = self._wav_samples(t or b"")
+            else:
+                cp = np.frombuffer((t or "").encode("utf-32-le"),
+                                   dtype=np.uint32).astype(np.int64)
             n = len(cp)
             if n < W:
                 continue

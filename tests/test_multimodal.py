@@ -125,3 +125,124 @@ def test_scene_change_semantics(ray_session):
     assert g["is_scene"].tolist() == want_scene
     # on random-ish luminance, boundaries occur but are a strict subset
     assert 0 < got["is_scene"].sum() < len(got)
+
+
+# ---- real-media kernels (VERDICT r4 next-step #5) -------------------------
+
+def _tiny_wav(samples, *, channels=1, rate=8000) -> bytes:
+    """Deterministic 16-bit PCM WAV built with the stdlib only."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def _tiny_png_gray4x4() -> bytes:
+    """4x4 grayscale gradient PNG built with stdlib zlib/struct — a real,
+    decodable asset that needs no image library to CREATE."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # 8-bit gray
+    rows = b"".join(
+        b"\x00" + bytes((y * 4 + x) * 17 for x in range(4))
+        for y in range(4))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
+
+
+def test_audio_wav_kernel_real_pcm(ray_session):
+    """kernel='wav' decodes REAL 16-bit PCM (stdlib wave — works in this
+    sandbox) through the actor-pool stage; energies match a dense numpy
+    recompute, stereo mixes down to the channel mean."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.multimodal import (
+        AudioWindowStage)
+
+    mono = list(range(-8, 12))                       # 20 samples
+    stereo = [v for s in range(10) for v in (s, s + 2)]  # 10 frames, mean s+1
+    ds = rd.from_items([
+        {"message_id": 1, "payload": _tiny_wav(mono)},
+        {"message_id": 2, "payload": _tiny_wav(stereo, channels=2)},
+        {"message_id": 3, "payload": _tiny_wav([])},   # too short → no rows
+    ])
+    out = (ds.map_batches(AudioWindowStage, batch_format="pyarrow",
+                          batch_size=2, concurrency=1,
+                          fn_constructor_kwargs={"window": 8, "hop": 4,
+                                                 "kernel": "wav"})
+           .to_pandas().sort_values(["message_id", "window_idx"])
+           .reset_index(drop=True))
+
+    x = np.array(mono, dtype=np.int64)
+    exp1 = [int((x[s:s + 8] ** 2).sum()) for s in range(0, 13, 4)]
+    got1 = out[out["message_id"] == 1]["energy"].tolist()
+    assert got1 == exp1
+    y = np.arange(10, dtype=np.int64) + 1            # stereo mixdown
+    exp2 = [int((y[s:s + 8] ** 2).sum()) for s in range(0, 3, 4)]
+    got2 = out[out["message_id"] == 2]["energy"].tolist()
+    assert got2 == exp2
+    assert (out["message_id"] == 3).sum() == 0
+
+
+def test_decode_stage_pil_kernel_or_clean_guard(ray_session):
+    """With Pillow present the 'pil' kernel decodes the stdlib-built PNG
+    (real width/height + thumbnail features); without it, actor init must
+    raise the documented NotImplementedError, never fail mid-batch."""
+    import pytest
+
+    from amharic_ecommerce_data_extractor_ray.stages.multimodal import (
+        DecodeStage)
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            DecodeStage(kernel="pil")
+        return
+
+    import pyarrow as pa
+
+    stage = DecodeStage(kernel="pil")
+    out = stage(pa.table({
+        "message_id": pa.array([1], pa.int64()),
+        "payload": pa.array([_tiny_png_gray4x4()], pa.binary())}))
+    assert out["width"].to_pylist() == [4]
+    assert out["height"].to_pylist() == [4]
+    feats = out["features"].to_pylist()[0]
+    assert len(feats) == 4 and all(0.0 <= f <= 1.0 for f in feats)
+
+
+def test_frame_sample_imageio_guard():
+    """kernel='imageio' raises the documented NotImplementedError at init
+    when imageio/cv2 are absent (skips if one is present)."""
+    import pytest
+
+    from amharic_ecommerce_data_extractor_ray.stages.multimodal import (
+        FrameSampleStage)
+
+    try:
+        import imageio  # noqa: F401
+        pytest.skip("imageio present — guard not reachable")
+    except ImportError:
+        pass
+    try:
+        import cv2  # noqa: F401
+        pytest.skip("cv2 present — guard not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="imageio"):
+        FrameSampleStage(kernel="imageio")
