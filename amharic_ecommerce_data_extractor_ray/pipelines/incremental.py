@@ -172,7 +172,17 @@ def incremental_update(prev_out: str, delta_corpus, *,
     from ..stages.scorecard import (finalize_scorecard, merge_partials_group,
                                     scorecard_partials_batch)
 
+    import time as _time
+
     stats: dict = {}
+    timings: dict = {}
+    _t0 = _time.time()
+
+    def _mark(phase):
+        nonlocal _t0
+        timings[phase] = round(_time.time() - _t0, 3)
+        _t0 = _time.time()
+
     delta_msg_dir = f"{prev_out}/messages/delta_{delta_name}"
     delta_tri_dir = f"{prev_out}/triples_deltas/{delta_name}"
 
@@ -210,6 +220,7 @@ def incremental_update(prev_out: str, delta_corpus, *,
         .select_columns(ENTITY_COLS),
         delta_msg_dir, fingerprint=fingerprint)
     stats["delta_messages"] = res["rows"]
+    _mark("tag_delta")
 
     # 2. delta triples — appended alongside the previous triples partitions
     res = checkpointed_write(
@@ -218,6 +229,7 @@ def incremental_update(prev_out: str, delta_corpus, *,
             batch_size=DEFAULT_BATCH),
         delta_tri_dir, fingerprint=fingerprint)
     stats["delta_triples"] = res["rows"]
+    _mark("triples_delta")
     delta_triples_stored = rd.read_parquet(delta_tri_dir)
 
     # 3. merge aggregate views (vocabulary-sized rewrites).  The delta-aware
@@ -253,9 +265,21 @@ def incremental_update(prev_out: str, delta_corpus, *,
 
     vendors = vendors.map_batches(restore_types, batch_format="pyarrow")
 
-    nodes = vendors.union(
-        _merged_entity_nodes(prev_nodes, delta_triples_stored)).materialize()
-    edges = _merged_edges(prev_edges, delta_triples_stored).materialize()
+    # the nodes and edges merges are independent vocabulary-sized jobs
+    # whose cost at delta scale is almost entirely per-stage scheduling
+    # latency — materialize them CONCURRENTLY (driver threads; Ray jobs
+    # are independent) instead of paying the latencies in sequence
+    from concurrent.futures import ThreadPoolExecutor
+
+    nodes_lazy = vendors.union(
+        _merged_entity_nodes(prev_nodes, delta_triples_stored))
+    edges_lazy = _merged_edges(prev_edges, delta_triples_stored)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        nodes_f = pool.submit(nodes_lazy.materialize)
+        edges_f = pool.submit(edges_lazy.materialize)
+        nodes = nodes_f.result()
+        edges = edges_f.result()
+    _mark("merge_nodes_edges")
 
     stats["nodes"] = _rewrite_aggregate(nodes, f"{prev_out}/nodes",
                                         fingerprint=agg_fp,
@@ -264,6 +288,7 @@ def incremental_update(prev_out: str, delta_corpus, *,
                                         fingerprint=agg_fp,
                                         applied_deltas=new_applied,
                                         partition_on="pred")
+    _mark("rewrite_aggregates")
 
     # 4. scorecard from ALL stored message boundaries (content-free, small;
     #    no re-tagging) — a pure derivation, so re-running it is idempotent
@@ -278,4 +303,6 @@ def incremental_update(prev_out: str, delta_corpus, *,
     pq.write_table(pa.Table.from_pandas(sc, preserve_index=False),
                    f"{prev_out}/scorecard/scorecard.parquet")
     stats["scorecard"] = len(sc)
+    _mark("scorecard")
+    stats["timings"] = timings
     return stats
