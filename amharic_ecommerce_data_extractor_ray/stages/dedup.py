@@ -328,9 +328,12 @@ def minhash_lsh_pairs(docs_ds, *, text_col="text", id_col="doc_id",
              .groupby(["band_id", "band_hash"])
              .map_groups(bucket_pairs, batch_format="pandas"))
     # a pair can collide in several bands — native dedup (est is identical
-    # across bands, Max is a no-op merge)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("jaccard_est", alias_name="jaccard_est"))
+    # across bands, Max is a no-op merge).  exact_fold: the map_groups
+    # above leaks schema-less empty blocks that would float64-poison the
+    # fold's reduce for ids above 2**53 (see joins.exact_fold)
+    from .joins import exact_fold
+    return exact_fold(pairs, ["id_a", "id_b"],
+                      Max("jaccard_est", alias_name="jaccard_est"))
 
 
 # ------------------------------------------------------------------- simhash
@@ -619,10 +622,14 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
         return sum(int(x) for x in parts["s"])
 
     # round 0: label(v) = min(v, min neighbor) (self-loops supply v).
-    # Identity map_batches pins every block to ARROW: Ray's sort aggregate
-    # emits empty PANDAS blocks for group-less partitions, and a later
-    # union/sort over mixed pandas+arrow blocks asserts.
-    labels = (edges.groupby("src").aggregate(Min("dst", alias_name="label"))
+    # exact_fold pins the aggregate's reduce to Arrow: caller pair lists
+    # typically descend from map_groups (minhash/fuzzy/substring pair
+    # generation), whose schema-less empty blocks would float64-poison the
+    # fold and corrupt 63-bit md5 vertex ids (see joins.exact_fold).  The
+    # identity map_batches then pins OUTPUT blocks for the later unions.
+    from .joins import exact_fold as _exact_fold
+    labels = (_exact_fold(edges, "src", Min("dst", alias_name="label"),
+                          nparts=num_partitions)
               .map_batches(lambda b: b, batch_format="pyarrow")
               .materialize())
     prev_sum = exact_sum(labels)
@@ -839,7 +846,10 @@ def substring_window_pairs(docs_ds, *, text_col: str = "text",
 
     edges = hash_lookup_join(wins, reps, on="h").map_batches(
         keep_members, batch_format="pyarrow")
-    return (edges.groupby(["id_a", "id_b"]).count()
+    from ray.data.aggregate import Count as _Count
+
+    from .joins import exact_fold as _ef
+    return (_ef(edges, ["id_a", "id_b"], _Count(alias_name="count()"))
             .map_batches(lambda b: b.select(["id_a", "id_b", "count()"])
                          .rename_columns(["id_a", "id_b", "n_windows"]),
                          batch_format="pyarrow"))
@@ -944,12 +954,14 @@ def set_similarity_join(docs_ds, *, text_col: str = "text",
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
-    cands = (prefixed.groupby("bucket")
+    from .joins import exact_fold as _exact_fold
+    cands = (_exact_fold(prefixed.groupby("bucket")
              .map_groups(bucket_candidates, batch_format="pandas")
-             .map_batches(lambda b: b, batch_format="pyarrow")
+             .map_batches(lambda b: b, batch_format="pyarrow"),
              # a pair found via several shared prefix shingles dedupes
-             # through a native aggregate (no per-pair Python)
-             .groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_c"))
+             # through a native aggregate (no per-pair Python);
+             # exact_fold guards the ids against empty-block poison
+             ["id_a", "id_b"], Count(alias_name="_c"))
              .map_batches(lambda b: b.select(["id_a", "id_b"]),
                           batch_format="pyarrow")
              # candidate list is pair-scale (tiny): materialize so the

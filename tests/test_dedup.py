@@ -375,3 +375,38 @@ def test_connected_components_md5_scale_ids(ray_session):
     assert set(cc["nid"]) == set(ids)
     assert cc["cluster_id"].nunique() == 1
     assert int(cc["cluster_id"].iloc[0]) == int(ids.min())
+
+
+def test_connected_components_big_ids_with_empty_block_lineage(ray_session,
+                                                               tmp_path):
+    """Regression (r5): the CC round-0 Min fold must stay exact when the
+    pair list descends from a map_groups whose empty partitions leak
+    schema-less pandas blocks — with 63-bit ids the unpinned fold's reduce
+    float64-corrupted them (see joins.exact_fold)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.dedup import (
+        connected_components)
+
+    B = (1 << 60) + 1
+    # groups keyed so the sort leaves several group-less partitions
+    pq.write_table(pa.table({
+        "g": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "id_a": pa.array([B, B + 1, B + 2, B + 3, B + 9], pa.int64()),
+        "id_b": pa.array([B + 1, B + 4, B + 3, B + 2, B + 9], pa.int64()),
+    }), tmp_path / "pairs.parquet")
+
+    def passthrough(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["id_a", "id_b"]]
+
+    pairs = (rd.read_parquet(str(tmp_path / "pairs.parquet"))
+             .groupby("g").map_groups(passthrough, batch_format="pandas"))
+    out = (connected_components(pairs, num_partitions=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    lab = {int(r["doc_id"]): int(r["cluster_id"]) for _, r in out.iterrows()}
+    assert lab[B] == lab[B + 1] == lab[B + 4] == B
+    assert lab[B + 2] == lab[B + 3] == B + 2
+    assert lab[B + 9] == B + 9
