@@ -40,6 +40,11 @@ def test_two_sequential_deltas_compose(ray_session, tmp_path):
     n_inc = (rd.read_parquet(f"{inc_dir}/triples")
              .union(rd.read_parquet(f"{inc_dir}/triples_deltas")).count())
     assert n_inc == rd.read_parquet(f"{full_dir}/triples").count()
+    # scorecard via the STORED mergeable partials (d1 seeds the store, d2
+    # folds only its own partials in) == full-build scorecard
+    pd.testing.assert_frame_equal(
+        _canon(f"{inc_dir}/scorecard/scorecard.parquet"),
+        _canon(f"{full_dir}/scorecard/scorecard.parquet"))
 
 
 def test_incremental_equals_full_rebuild(ray_session, tmp_path):
