@@ -351,8 +351,41 @@ def run_scaling() -> None:
     }))
 
 
+def run_scaling_gated() -> None:
+    """Canary-gated scaling protocol (VERDICT r4 #1): burn full scaling runs
+    ONLY in a fast host window.  This co-tenant box swings 15-40% over
+    hours; the ≥0.8 bar is reproducibly measurable only in the ≥23K-canary
+    band (r2: 0.817, r3: 0.811 — see BASELINE.md scaling history), while
+    ~20K-band runs measure 0.70-0.76 no matter how stable the window is
+    (only the 24-worker side pays the co-tenancy tax).  Poll the 1-second
+    canary on a cadence and launch the full protocol when the band is fast;
+    give up (and say so) after the wait budget."""
+    gate = float(os.environ.get("BENCH_SCALE_GATE", "23000"))
+    poll_sec = int(os.environ.get("BENCH_SCALE_POLL_SEC", "300"))
+    max_wait = int(os.environ.get("BENCH_SCALE_MAX_WAIT_SEC", "14400"))
+    waited = 0
+    while True:
+        c = host_canary()
+        print(json.dumps({"gate_poll": c, "gate": gate,
+                          "waited_sec": waited}), flush=True)
+        if c >= gate:
+            run_scaling()
+            return
+        if waited >= max_wait:
+            print(json.dumps({
+                "metric": "scaling_efficiency",
+                "status": "window_never_opened",
+                "gate": gate, "max_wait_sec": max_wait,
+                "last_canary": c}), flush=True)
+            return
+        time.sleep(poll_sec)
+        waited += poll_sec
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-gated" in sys.argv:
+        run_scaling_gated()
+    elif "--scaling" in sys.argv:
         run_scaling()
     else:
         print(json.dumps(run_bench()))
