@@ -95,6 +95,62 @@ def _merged_edges(prev_edges_ds, delta_triples_ds):
     return merged.map_batches(to_edges, batch_format="pyarrow")
 
 
+def _refresh_scorecard_partials(prev_out: str, delta_name: str,
+                                delta_msg_dir: str, agg_fp: str,
+                                new_applied: list[str]) -> int:
+    """Fold ``delta_name``'s scorecard partials into the STORED vendor-sized
+    partials table (``scorecard_partials/``) and rewrite scorecard.parquet.
+
+    O(delta): the per-vendor partials are mergeable (merge_partials_group is
+    schema-closed and associative), so each update folds only the delta's
+    partials; the first update after a plain build_kg seeds the store by
+    folding the existing boundaries once (which already include the
+    just-written delta).  Previously the scorecard rescanned every stored
+    message boundary — the one O(total) term left in the delta path
+    (measured ~8 s of a 31 s delta at a 10M-row base, growing forever).
+
+    Idempotent via the same applied_deltas manifest discipline as
+    nodes/edges, and callable from BOTH the main path and the
+    already-applied early return: a crash between the nodes/edges rewrite
+    and this step leaves the delta recorded in the nodes manifest but not
+    here, and the re-run repairs the scorecard instead of skipping it."""
+    import ray.data as rd
+
+    from ..stages.scorecard import (_PARTIAL_SCHEMA, finalize_scorecard,
+                                    merge_partials_group,
+                                    scorecard_partials_batch)
+
+    partials_dir = f"{prev_out}/scorecard_partials"
+    pmani = _read_sub_manifest(partials_dir)
+    if pmani is not None and delta_name in pmani.get("applied_deltas", []):
+        merged_pdf = rd.read_parquet(partials_dir).to_pandas()
+    else:
+        if pmani is None:
+            src = (rd.read_parquet(f"{prev_out}/messages")
+                   .map_batches(scorecard_partials_batch,
+                                batch_format="pyarrow"))
+        else:
+            src = rd.read_parquet(partials_dir).union(
+                rd.read_parquet(delta_msg_dir)
+                .map_batches(scorecard_partials_batch,
+                             batch_format="pyarrow"))
+        merged_pdf = (src.materialize()
+                      .groupby("repo")
+                      .map_groups(merge_partials_group,
+                                  batch_format="pandas")
+                      .to_pandas())
+        merged_tbl = (pa.Table.from_pandas(merged_pdf, preserve_index=False)
+                      .select(_PARTIAL_SCHEMA.names).cast(_PARTIAL_SCHEMA))
+        _rewrite_aggregate(rd.from_arrow(merged_tbl), partials_dir,
+                           fingerprint=agg_fp, applied_deltas=new_applied)
+    sc = finalize_scorecard(merged_pdf)
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(sc, preserve_index=False),
+                   f"{prev_out}/scorecard/scorecard.parquet")
+    return len(sc)
+
+
 def _read_sub_manifest(path: str) -> dict | None:
     import json
     import os
@@ -169,8 +225,6 @@ def incremental_update(prev_out: str, delta_corpus, *,
     from ..stages.canonicalize import vendor_nodes
     from ..stages.enrich import (fused_entities_batch,
                                  triples_from_entities_batch)
-    from ..stages.scorecard import (finalize_scorecard, merge_partials_group,
-                                    scorecard_partials_batch)
 
     import time as _time
 
@@ -202,9 +256,17 @@ def incremental_update(prev_out: str, delta_corpus, *,
     if delta_name in already:
         if fingerprint is not None and (_read_sub_manifest(delta_msg_dir)
                                         or {}).get("fingerprint") == fingerprint:
-            # fully applied earlier — idempotent no-op
+            # fully applied earlier — idempotent no-op for nodes/edges, but
+            # REPAIR the scorecard if a crash landed between the nodes
+            # rewrite (which records the delta) and the partials rewrite
+            # (which did not run): skipping here would drop the delta from
+            # the scorecard forever
+            agg_fp_done = "+".join(["incremental"] + already)
+            n_sc = _refresh_scorecard_partials(
+                prev_out, delta_name, delta_msg_dir, agg_fp_done, already)
             return {"delta_messages": (_read_sub_manifest(delta_msg_dir)
                                        or {}).get("rows", 0),
+                    "scorecard": n_sc,
                     "skipped": True}
         raise ValueError(
             f"incremental_update: delta {delta_name!r} is already merged "
@@ -290,50 +352,11 @@ def incremental_update(prev_out: str, delta_corpus, *,
                                         partition_on="pred")
     _mark("rewrite_aggregates")
 
-    # 4. scorecard — O(delta): the per-vendor partials are MERGEABLE
-    #    (merge_partials_group is schema-closed and associative), so the
-    #    merged vendor-sized table is STORED (scorecard_partials/) and each
-    #    update folds only the DELTA's partials into it.  Previously this
-    #    step rescanned every stored message boundary — the one O(total)
-    #    term left in the delta path (measured ~8 s of a 31 s delta at a
-    #    10M-row base, and growing linearly forever).  The first update
-    #    after a plain build_kg seeds the store by folding the existing
-    #    boundaries once (which already include the just-written delta).
-    #    Idempotent via the same applied_deltas manifest discipline as
-    #    nodes/edges: a crash between the partials rewrite and the end of
-    #    the run re-enters here, sees the delta recorded, and reuses the
-    #    stored table instead of double-counting.
-    from ..stages.scorecard import _PARTIAL_SCHEMA
-
-    partials_dir = f"{prev_out}/scorecard_partials"
-    pmani = _read_sub_manifest(partials_dir)
-    if pmani is not None and delta_name in pmani.get("applied_deltas", []):
-        merged_pdf = rd.read_parquet(partials_dir).to_pandas()
-    else:
-        if pmani is None:
-            src = (rd.read_parquet(f"{prev_out}/messages")
-                   .map_batches(scorecard_partials_batch,
-                                batch_format="pyarrow"))
-        else:
-            src = rd.read_parquet(partials_dir).union(
-                rd.read_parquet(delta_msg_dir)
-                .map_batches(scorecard_partials_batch,
-                             batch_format="pyarrow"))
-        merged_pdf = (src.materialize()
-                      .groupby("repo")
-                      .map_groups(merge_partials_group,
-                                  batch_format="pandas")
-                      .to_pandas())
-        merged_tbl = (pa.Table.from_pandas(merged_pdf, preserve_index=False)
-                      .select(_PARTIAL_SCHEMA.names).cast(_PARTIAL_SCHEMA))
-        _rewrite_aggregate(rd.from_arrow(merged_tbl), partials_dir,
-                           fingerprint=agg_fp, applied_deltas=new_applied)
-    sc = finalize_scorecard(merged_pdf)
-    import pyarrow.parquet as pq
-
-    pq.write_table(pa.Table.from_pandas(sc, preserve_index=False),
-                   f"{prev_out}/scorecard/scorecard.parquet")
-    stats["scorecard"] = len(sc)
+    # 4. scorecard — O(delta) via the stored mergeable partials (see
+    #    _refresh_scorecard_partials; also invoked from the already-applied
+    #    early return so a crash before this point is repaired on re-run)
+    stats["scorecard"] = _refresh_scorecard_partials(
+        prev_out, delta_name, delta_msg_dir, agg_fp, new_applied)
     _mark("scorecard")
     stats["timings"] = timings
     return stats

@@ -189,6 +189,11 @@ def kg_cooccurrence(sf_dir: str):
     import pandas as pd
     from ray.data.aggregate import Sum
 
+    # materialize the shared boundary FIRST: it auto-initializes Ray, and
+    # _session_key's get_job_id() asserts on an uninitialized session (a
+    # fresh process calling kg_cooccurrence/kg_components directly would
+    # otherwise crash before any Dataset op could init Ray)
+    triples = triples_materialized(sf_dir)
     key = _session_key(sf_dir)
     if key in _COOC_CACHE:
         return _COOC_CACHE[key]
@@ -217,7 +222,7 @@ def kg_cooccurrence(sf_dir: str):
             "obj_b": pa.array(g["obj_norm_y"], pa.string()),
             "n": pa.array(g["n"], pa.int64())})
 
-    cooc = (triples_materialized(sf_dir)
+    cooc = (triples
             .select_columns(["message_id", "pred", "obj_norm"])
             .map_batches(pair_partials, batch_format="pyarrow")
             .groupby(["pred_a", "obj_a", "pred_b", "obj_b"])

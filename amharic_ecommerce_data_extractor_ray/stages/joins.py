@@ -50,9 +50,15 @@ def exact_fold(ds, key, *aggs, nparts: int = 8):
     the row-merge and every dtype is preserved exactly — verified for
     chained folds whose INPUT already carries poisoned empties.
 
+    ``nparts`` sizes the fallback's repartition and is passed through as
+    the Aggregate op's ``num_partitions`` (consumed only under the
+    hash-shuffle strategy; the default sort strategy derives its output
+    width from the mapper count, so tuning shuffle width there is the
+    caller's upstream-repartition job).
+
     Falls back to a ``repartition(nparts)``-fronted pandas-safe fold if
-    the (public-source, version-coupled) logical-op constructor moves —
-    exact only for null-free inputs, which every attach/partial emitted
+    ANY of the (public-source, version-coupled) internals move — exact
+    only for null-free inputs, which every attach/partial emitted
     upstream of a fold in this repo is by construction."""
     try:
         from ray.data._internal.logical.interfaces import LogicalPlan
@@ -64,7 +70,7 @@ def exact_fold(ds, key, *aggs, nparts: int = 8):
         # NOTE: the exchange target compares against BatchFormat.ARROW,
         # whose string value is "arrow" (NOT the user-facing "pyarrow")
         op = Aggregate(ds._logical_plan.dag, key=key, aggs=list(aggs),
-                       batch_format="arrow")
+                       num_partitions=nparts, batch_format="arrow")
         return Dataset(plan, LogicalPlan(op, ds.context))
     except (ImportError, AttributeError, TypeError):
         return ds.repartition(nparts).groupby(key).aggregate(*aggs)
@@ -106,19 +112,23 @@ def exact_map_groups(ds, keys, fn, *, batch_format: str = "pyarrow"):
         op = Sort(ds._logical_plan.dag, sort_key=SortKey(key_list),
                   batch_format="arrow")
         sorted_ds = Dataset(plan, LogicalPlan(op, ds.context))
+
+        def wrapped_fn(batch, *args, **kwargs):
+            yield from _apply_udf_to_groups(fn, batch, key_list,
+                                            batch_format, *args, **kwargs)
+
+        wrapped_fn.__name__ = getattr(fn, "__name__", "exact_map_groups")
+        # plan construction happens eagerly, so a moved internal (incl.
+        # the private map_batches entry) surfaces HERE and falls back —
+        # execution itself is deferred and uses only what was validated
+        return sorted_ds._map_batches_without_batch_size_validation(
+            wrapped_fn, batch_size=None, batch_format=None,
+            zero_copy_batch=False, compute=None, fn_args=None,
+            fn_kwargs=None, fn_constructor_args=None,
+            fn_constructor_kwargs=None, num_cpus=None, num_gpus=None,
+            memory=None, concurrency=None, ray_remote_args_fn=None)
     except (ImportError, AttributeError, TypeError):
         return ds.groupby(keys).map_groups(fn, batch_format=batch_format)
-
-    def wrapped_fn(batch, *args, **kwargs):
-        yield from _apply_udf_to_groups(fn, batch, key_list, batch_format,
-                                        *args, **kwargs)
-
-    wrapped_fn.__name__ = getattr(fn, "__name__", "exact_map_groups")
-    return sorted_ds._map_batches_without_batch_size_validation(
-        wrapped_fn, batch_size=None, batch_format=None,
-        zero_copy_batch=False, compute=None, fn_args=None, fn_kwargs=None,
-        fn_constructor_args=None, fn_constructor_kwargs=None, num_cpus=None,
-        num_gpus=None, memory=None, concurrency=None, ray_remote_args_fn=None)
 
 
 def arrow_inner_merge(left: pa.Table, right: pa.Table, on: str) -> pa.Table:

@@ -217,7 +217,10 @@ class AudioWindowStage:
         import numpy as np
 
         with wave.open(io.BytesIO(payload)) as w:
-            assert w.getsampwidth() == 2, "16-bit PCM expected"
+            if w.getsampwidth() != 2:      # explicit: asserts vanish on -O
+                raise ValueError(
+                    f"AudioWindowStage(kernel='wav') expects 16-bit PCM, "
+                    f"got sample width {w.getsampwidth()} bytes")
             raw = w.readframes(w.getnframes())
             x = np.frombuffer(raw, dtype="<i2").astype(np.int64)
             if w.getnchannels() > 1:          # mixdown: mean of channels

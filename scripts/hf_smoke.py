@@ -119,10 +119,13 @@ def main() -> None:
         for rule, pred in zip(r["rule_labels"], r["tag_labels"]):
             if pred != "O" and rule == pred:
                 tp += 1
-            elif pred != "O":
-                fp += 1
-            elif rule != "O":
-                fn += 1
+            else:
+                # a cross-label confusion (pred B-PRICE, rule B-PRODUCT)
+                # is BOTH a false positive and a missed rule token
+                if pred != "O":
+                    fp += 1
+                if rule != "O":
+                    fn += 1
     prec = tp / max(tp + fp, 1)
     rec = tp / max(tp + fn, 1)
     f1 = 2 * prec * rec / max(prec + rec, 1e-12)

@@ -176,3 +176,39 @@ def test_build_kg_refuses_over_incremental_output(ray_session, tmp_path):
                        fingerprint="fp1")
     with pytest.raises(ValueError, match="incremental deltas"):
         build_kg_from_corpus(lambda: _corpus(0, 300), out, fingerprint="x")
+
+
+def test_crash_before_scorecard_repairs_on_rerun(ray_session, tmp_path,
+                                                 monkeypatch):
+    """r5 review finding: a crash AFTER the nodes/edges rewrite (which
+    records the delta as applied) but BEFORE the scorecard-partials fold
+    must not drop the delta from the scorecard forever — the idempotent
+    re-run repairs it."""
+    import pytest
+
+    import amharic_ecommerce_data_extractor_ray.pipelines.incremental as inc
+    from amharic_ecommerce_data_extractor_ray.pipelines.kg import (
+        build_kg_from_corpus)
+
+    full_dir = str(tmp_path / "full")
+    out = str(tmp_path / "inc")
+    build_kg_from_corpus(lambda: _corpus(0, 300), full_dir, fingerprint="f")
+    build_kg_from_corpus(lambda: _corpus(0, 200), out, fingerprint="b")
+
+    real = inc._refresh_scorecard_partials
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before scorecard fold")
+
+    monkeypatch.setattr(inc, "_refresh_scorecard_partials", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        inc.incremental_update(out, _corpus(200, 300), delta_name="d1",
+                               fingerprint="fp-d1")
+    monkeypatch.setattr(inc, "_refresh_scorecard_partials", real)
+
+    stats = inc.incremental_update(out, _corpus(200, 300), delta_name="d1",
+                                   fingerprint="fp-d1")
+    assert stats.get("skipped") is True
+    pd.testing.assert_frame_equal(
+        _canon(f"{out}/scorecard/scorecard.parquet"),
+        _canon(f"{full_dir}/scorecard/scorecard.parquet"))
