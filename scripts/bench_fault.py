@@ -86,7 +86,7 @@ def _live_task_workers(session_root: int) -> list[tuple[int, str]]:
     return out
 
 
-def _child(corpus_dir: str, out_dir: str) -> None:
+def _child(corpus_dir: str, out_dir: str, resume: bool = False) -> None:
     import shutil
 
     import ray
@@ -95,16 +95,19 @@ def _child(corpus_dir: str, out_dir: str) -> None:
     from amharic_ecommerce_data_extractor_ray.pipelines.kg import (
         build_kg_from_corpus)
 
-    shutil.rmtree(out_dir, ignore_errors=True)
+    if not resume:
+        shutil.rmtree(out_dir, ignore_errors=True)
     ray.init(address="local", num_cpus=32, include_dashboard=False,
              logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
     t0 = time.time()
-    build_kg_from_corpus(lambda: rd.read_parquet(corpus_dir), out_dir,
-                         fingerprint="fault-proof")
-    print(json.dumps({"wall_sec": round(time.time() - t0, 2)}))
+    manifest = build_kg_from_corpus(lambda: rd.read_parquet(corpus_dir),
+                                    out_dir, fingerprint="fault-proof")
+    print(json.dumps({"wall_sec": round(time.time() - t0, 2),
+                      "datasets": manifest.get("datasets",
+                                               manifest.get("stats", {}))}))
     ray.shutdown()
 
 
@@ -125,7 +128,8 @@ def _table_hash(con, path: str) -> dict:
 
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
-        _child(sys.argv[2], sys.argv[3])
+        _child(sys.argv[2], sys.argv[3],
+               resume=len(sys.argv) > 4 and sys.argv[4] == "resume")
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--prep":
         _prep()
