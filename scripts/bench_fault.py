@@ -37,7 +37,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_ROWS = (int(sys.argv[2]) if sys.argv[1:2] == ["--prep"]
+N_ROWS = (int(sys.argv[2]) if sys.argv[1:2] in (["--prep"], ["--actor"])
+          and len(sys.argv) > 2 and sys.argv[2].isdigit()
           else int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit()
           else 2_000_000)
 KILLS_PER_WAVE = int(os.environ.get("FAULT_KILLS_PER_WAVE", "2"))
@@ -111,6 +112,39 @@ def _child(corpus_dir: str, out_dir: str, resume: bool = False) -> None:
     ray.shutdown()
 
 
+def _child_actor(corpus_dir: str, out_dir: str) -> None:
+    """The ACTOR-POOL variant: corpus → enrich → NumpyModelTagStage (weights
+    built once per actor in __init__) → parquet.  Killing these workers
+    exercises Ray Data's ``max_restarts=-1`` actor recovery — a restarted
+    actor re-runs __init__ (rebuilds weights) and retries the lost batch —
+    rather than plain task lineage retry."""
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    from amharic_ecommerce_data_extractor_ray.stages.enrich import (
+        NumpyModelTagStage, enrich_batch)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.init(address="local", num_cpus=32, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    t0 = time.time()
+    (rd.read_parquet(corpus_dir)
+     .map_batches(enrich_batch, batch_format="pyarrow")
+     .map_batches(NumpyModelTagStage, batch_format="pyarrow",
+                  batch_size=256, concurrency=8)
+     .select_columns(["message_id", "content_sha256", "tag_tokens",
+                      "tag_labels"])
+     .write_parquet(out_dir))
+    print(json.dumps({"wall_sec": round(time.time() - t0, 2),
+                      "datasets": {}}))
+    ray.shutdown()
+
+
 def _prep() -> None:
     from bench import ensure_corpus
 
@@ -131,9 +165,18 @@ def main() -> None:
         _child(sys.argv[2], sys.argv[3],
                resume=len(sys.argv) > 4 and sys.argv[4] == "resume")
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--child-actor":
+        _child_actor(sys.argv[2], sys.argv[3])
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--prep":
         _prep()
         return
+
+    actor_mode = "--actor" in sys.argv
+    child_flag = "--child-actor" if actor_mode else "--child"
+    # only busy ACTOR workers are valid victims in actor mode — the claim
+    # is specifically that a stateful actor restarts and retries
+    victim_filter = "NumpyModelTagStage" if actor_mode else ""
 
     me = os.path.abspath(__file__)
     corpus_dir = subprocess.run(
@@ -142,7 +185,7 @@ def main() -> None:
 
     def run(out_dir: str, kill_times: list[float]) -> dict:
         kills: list[dict] = []
-        proc = subprocess.Popen([sys.executable, me, "--child", corpus_dir,
+        proc = subprocess.Popen([sys.executable, me, child_flag, corpus_dir,
                                  out_dir], stdout=subprocess.PIPE, text=True)
 
         def killer() -> None:
@@ -152,7 +195,8 @@ def main() -> None:
                     if proc.poll() is not None:
                         return
                     time.sleep(0.25)
-                victims = _live_task_workers(proc.pid)[:KILLS_PER_WAVE]
+                victims = [(p, n) for p, n in _live_task_workers(proc.pid)
+                           if victim_filter in n][:KILLS_PER_WAVE]
                 for pid, name in victims:
                     try:
                         os.kill(pid, signal.SIGKILL)
@@ -170,8 +214,9 @@ def main() -> None:
         wall = json.loads(out.strip().splitlines()[-1])["wall_sec"]
         return {"wall_sec": wall, "kills": kills}
 
-    clean = run(f"/tmp/bench_fault_clean_{N_ROWS}", [])
-    fault = run(f"/tmp/bench_fault_fault_{N_ROWS}",
+    tag = "actor" if actor_mode else "kg"
+    clean = run(f"/tmp/bench_fault_{tag}_clean_{N_ROWS}", [])
+    fault = run(f"/tmp/bench_fault_{tag}_fault_{N_ROWS}",
                 [clean["wall_sec"] * 0.35, clean["wall_sec"] * 0.65])
 
     import duckdb
@@ -179,15 +224,18 @@ def main() -> None:
     con = duckdb.connect()
     tables = {}
     all_match = True
-    for t in ["messages", "triples", "nodes", "edges", "scorecard"]:
-        hc = _table_hash(con, f"/tmp/bench_fault_clean_{N_ROWS}/{t}")
-        hf = _table_hash(con, f"/tmp/bench_fault_fault_{N_ROWS}/{t}")
+    compare = ([""] if actor_mode
+               else ["messages", "triples", "nodes", "edges", "scorecard"])
+    for t in compare:
+        hc = _table_hash(con, f"/tmp/bench_fault_{tag}_clean_{N_ROWS}/{t}")
+        hf = _table_hash(con, f"/tmp/bench_fault_{tag}_fault_{N_ROWS}/{t}")
         match = hc == hf
         all_match &= match
-        tables[t] = {"clean": hc, "fault": hf, "match": match}
+        tables[t or "tags"] = {"clean": hc, "fault": hf, "match": match}
 
     print(json.dumps({
-        "metric": "build_kg_fault_tolerance",
+        "metric": ("actor_pool_fault_tolerance" if actor_mode
+                   else "build_kg_fault_tolerance"),
         "n_rows": N_ROWS,
         "clean_wall_sec": clean["wall_sec"],
         "fault_wall_sec": fault["wall_sec"],
