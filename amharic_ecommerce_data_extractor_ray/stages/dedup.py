@@ -543,7 +543,7 @@ def embedding_cosine_pairs(emb_ds, *, vec_col="embedding", id_col="vec_id",
 
 def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
                          out_id_col="doc_id", max_iters=50,
-                         num_partitions=16):
+                         num_partitions=16, stats: dict | None = None):
     """Distributed connected components over a near-dup PAIR list —
     completes the dedup story: pairs → cluster id → canonical survivor
     (= the cluster id itself, the component's minimum doc id).
@@ -686,7 +686,9 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
             "label": pa.array(m["label"].to_numpy(dtype="int64"), pa.int64()),
         })
 
+    n_rounds = 0
     for _ in range(max_iters):
+        n_rounds += 1
         tagged = (edges.map_batches(pad_edges, batch_format="pyarrow")
                   .union(labels.map_batches(label_edges,
                                             batch_format="pyarrow"))
@@ -722,6 +724,10 @@ def connected_components(pairs_ds, *, id_a="id_a", id_b="id_b",
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    if stats is not None:
+        # rounds INCLUDING the final no-change confirmation round (the
+        # fixpoint witness costs one extra propagate+fold by construction)
+        stats["rounds"] = n_rounds
 
     def rename(b: pa.Table) -> pa.Table:
         return pa.table({out_id_col: b["src"], "cluster_id": b["label"]})
